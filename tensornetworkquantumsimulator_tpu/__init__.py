@@ -1,0 +1,122 @@
+"""tensornetworkquantumsimulator_tpu — a TPU-native tensor-network quantum
+simulator.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference Julia package haimeng-zhang/TensorNetworkQuantumSimulator
+(mounted read-only at /root/reference; see SURVEY.md for the layer map):
+quantum circuits, dynamics and equilibrium physics on tensor networks of
+near-arbitrary geometry, with simple-update gate application under
+belief-propagation environments and four interchangeable contraction
+backends ("exact", "bp", "boundarymps", "loopcorrections").
+
+The generic engine here is an eager named-index tensor layer over jnp; the
+jit/vmap/shard_map static-shape fast path for TPUs lives in
+`tensornetworkquantumsimulator_tpu.parallel`.
+"""
+
+from . import ops, utils, models, engines
+from .ops import Index, Tensor
+from .utils import (
+    NamedEdge,
+    NamedGraph,
+    build_graph_from_circuit,
+    edge_color,
+    heavy_hexagonal_lattice,
+    lieb_lattice,
+    named_comb_tree,
+    named_grid,
+    named_hexagonal_lattice_graph,
+    named_path_graph,
+    topology_to_graph,
+)
+from .models import (
+    BilinearForm,
+    QuadraticForm,
+    TensorNetwork,
+    TensorNetworkState,
+    identitytensornetworkstate,
+    paulitensornetworkstate,
+    random_tensornetwork,
+    random_tensornetworkstate,
+    seed,
+    siteinds,
+    tensornetworkstate,
+    zerostate,
+)
+from .engines import (
+    BeliefPropagationCache,
+    BoundaryMPSCache,
+    contract_network as contract,
+    loopcorrected_partitionfunction,
+)
+from .apply import apply_circuit, apply_gates, full_update, simple_update
+from .gauge import (
+    entanglement,
+    gauge_and_scale,
+    normalize,
+    symmetric_gauge,
+    symmetrize_and_bpnormalize,
+    symmetrize_and_normalize,
+)
+from .measure import (
+    expect,
+    inner,
+    norm,
+    norm_sqr,
+    rdm,
+    reduced_density_matrix,
+)
+from .truncate import truncate
+from .sampling import sample, sample_certified, sample_directly_certified
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BeliefPropagationCache",
+    "BilinearForm",
+    "BoundaryMPSCache",
+    "Index",
+    "NamedEdge",
+    "NamedGraph",
+    "QuadraticForm",
+    "Tensor",
+    "TensorNetwork",
+    "TensorNetworkState",
+    "apply_circuit",
+    "apply_gates",
+    "build_graph_from_circuit",
+    "contract",
+    "edge_color",
+    "entanglement",
+    "expect",
+    "full_update",
+    "gauge_and_scale",
+    "heavy_hexagonal_lattice",
+    "identitytensornetworkstate",
+    "inner",
+    "lieb_lattice",
+    "loopcorrected_partitionfunction",
+    "named_comb_tree",
+    "named_grid",
+    "named_hexagonal_lattice_graph",
+    "named_path_graph",
+    "norm",
+    "norm_sqr",
+    "normalize",
+    "paulitensornetworkstate",
+    "random_tensornetwork",
+    "random_tensornetworkstate",
+    "rdm",
+    "reduced_density_matrix",
+    "sample",
+    "sample_certified",
+    "sample_directly_certified",
+    "seed",
+    "simple_update",
+    "siteinds",
+    "symmetric_gauge",
+    "tensornetworkstate",
+    "topology_to_graph",
+    "truncate",
+    "zerostate",
+]

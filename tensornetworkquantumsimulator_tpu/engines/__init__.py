@@ -1,0 +1,12 @@
+"""Contraction engines: exact, belief propagation, boundary MPS, loop
+corrections."""
+
+from .beliefpropagation import (
+    AbstractBeliefPropagationCache,
+    BeliefPropagationCache,
+    default_bp_update_kwargs,
+    message_diff,
+)
+from .boundarymps import BoundaryMPSCache, PartitionEdge, path_contract
+from .contract import contract_network
+from .loopcorrection import loopcorrected_partitionfunction

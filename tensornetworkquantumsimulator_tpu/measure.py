@@ -1,0 +1,316 @@
+"""Measurement layer: `expect`, `norm_sqr`, `inner`, `reduced_density_matrix`.
+
+Rebuild of `src/expect.jl`, `src/norm_sqr.jl`, `src/inner.jl`, `src/rdm.jl`.
+Observables are tuples ``(op_string(s), vertices, coeff=1)``; every backend
+("exact", "bp", "boundarymps", "loopcorrections") shares the
+`norm_factors`-based numerator/denominator construction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+
+from .engines.beliefpropagation import (
+    BeliefPropagationCache,
+    default_bp_update_kwargs,
+)
+from .models.forms import BilinearForm
+from .models.tensornetwork import TensorNetwork, TensorNetworkState
+from .ops.paths import contraction_sequence
+from .ops.tensor import Tensor, contract, delta
+from .utils.checks import algorithm_check, collect_vertices, default_alg
+from .utils.graphs import NamedGraph
+
+
+# ---------------------------------------------------------------------------
+# observables
+# ---------------------------------------------------------------------------
+
+
+def collectobservable(obs: tuple, g: NamedGraph):
+    """Parse ``(ops, vertices[, coeff])`` (`expect.jl:160-176`)."""
+    coeff = 1 if len(obs) == 2 else obs[-1]
+    verts = collect_vertices(obs[1], g)
+    op = obs[0]
+    if isinstance(op, str):
+        op_strings = list(op)
+    elif isinstance(op, (list, tuple)) and all(isinstance(o, str) for o in op):
+        op_strings = list(op)
+    else:
+        raise ValueError(
+            "Invalid observable: expected a string (one pauli character per "
+            "vertex) or a list of strings (one per vertex)."
+        )
+    if len(op_strings) != len(verts):
+        raise ValueError("Invalid observable: need as many operators as vertices.")
+    return op_strings, verts, coeff
+
+
+def observables_vertices(observable, g: NamedGraph):
+    if isinstance(observable, tuple):
+        return collect_vertices(observable[1], g)
+    out = []
+    for obs in observable:
+        for v in collect_vertices(obs[1], g):
+            if v not in out:
+                out.append(v)
+    return out
+
+
+def boundarymps_partitioning(observable, g: NamedGraph) -> str:
+    """Row vs column partitioning so each observable stays inside one
+    partition (`expect.jl:181-195`)."""
+    observables = [observable] if isinstance(observable, tuple) else list(observable)
+    partitioning = None
+    for o in observables:
+        vs = observables_vertices(o, g)
+        if all(v[0] == vs[0][0] for v in vs) and partitioning in ("row", None):
+            partitioning = "row"
+        elif all(v[-1] == vs[0][-1] for v in vs) and partitioning in ("col", None):
+            partitioning = "col"
+        else:
+            raise ValueError(
+                "Observables must align in a single column or row for "
+                "BoundaryMPS measurements."
+            )
+    return partitioning
+
+
+# ---------------------------------------------------------------------------
+# expect
+# ---------------------------------------------------------------------------
+
+
+def expect(psi, observable, alg: str | None = None, **kwargs):
+    """⟨ψ|O|ψ⟩/⟨ψ|ψ⟩ with the chosen backend (`expect.jl:36-157`)."""
+    if alg is None:
+        alg = default_alg(psi)
+    algorithm_check(psi, "expect", alg)
+    single = isinstance(observable, tuple)
+    observables = [observable] if single else list(observable)
+    out = _expect_impl(alg, psi, observables, **kwargs)
+    return out[0] if single else out
+
+
+def _expect_impl(alg, psi, observables, **kwargs):
+    if alg == "exact":
+        return _expect_exact(psi, observables, **kwargs)
+    if alg == "bp":
+        if isinstance(psi, TensorNetworkState):
+            cache_update_kwargs = kwargs.pop(
+                "cache_update_kwargs", None
+            ) or default_bp_update_kwargs(psi)
+            psi = BeliefPropagationCache(psi).update(**cache_update_kwargs)
+        return [_expect_bp(psi, obs) for obs in observables]
+    if alg == "boundarymps":
+        from .engines.boundarymps import BoundaryMPSCache, expect_boundarymps
+
+        return expect_boundarymps(psi, observables, **kwargs)
+    raise ValueError(f"unknown alg {alg!r}")
+
+
+def _expect_exact(psi: TensorNetworkState, observables, **kwargs):
+    denom = norm_sqr(psi, alg="exact")
+    g = psi.graph()
+    out = []
+    for obs in observables:
+        op_strings, vs, coeff = collectobservable(obs, g)
+        if coeff == 0:
+            out.append(0)
+            continue
+        op_f = _op_string_fn(op_strings, vs)
+        tensors = psi.norm_factors(psi.vertices(), op_strings=op_f)
+        seq = contraction_sequence(tensors, alg="einexpr")
+        numer = contract(tensors, seq).scalar()
+        out.append(coeff * numer / denom)
+    return out
+
+
+def _op_string_fn(op_strings, vs):
+    table = {v: o for v, o in zip(vs, op_strings)}
+    return lambda v: table.get(v, "I")
+
+
+def _expect_bp(cache: BeliefPropagationCache, obs):
+    """Numerator/denominator over the Steiner tree connecting the observable
+    vertices plus incoming messages (`expect.jl:58-83`)."""
+    g = cache.graph()
+    op_strings, obs_vs, coeff = collectobservable(obs, g)
+    if coeff == 0:
+        return 0
+    if len(obs_vs) == 1:
+        steiner_vs = obs_vs
+    else:
+        steiner_vs = cache.network().steiner_tree(obs_vs).vertices()
+
+    incoming = cache.incoming_messages(list(steiner_vs))
+    denom_tensors = cache.network().norm_factors(steiner_vs) + incoming
+    seq = contraction_sequence(denom_tensors, alg="optimal")
+    denom = contract(denom_tensors, seq).scalar()
+
+    op_f = _op_string_fn(op_strings, obs_vs)
+    numer_tensors = cache.network().norm_factors(steiner_vs, op_strings=op_f) + incoming
+    seq = contraction_sequence(numer_tensors, alg="optimal")
+    numer = contract(numer_tensors, seq).scalar()
+    return coeff * numer / denom
+
+
+# ---------------------------------------------------------------------------
+# norm_sqr
+# ---------------------------------------------------------------------------
+
+
+def norm_sqr(psi, alg: str | None = None, **kwargs):
+    """⟨ψ|ψ⟩ (`norm_sqr.jl:47-88`)."""
+    if alg is None:
+        alg = default_alg(psi)
+    algorithm_check(psi, "norm_sqr", alg)
+
+    if isinstance(psi, BeliefPropagationCache) or _is_bmps_cache(psi):
+        return _norm_sqr_cache(alg, psi, **kwargs)
+
+    if alg == "exact":
+        tensors = psi.norm_factors(psi.vertices())
+        seq = contraction_sequence(tensors, alg="einexpr")
+        return contract(tensors, seq).scalar()
+    if alg in ("bp", "loopcorrections"):
+        cache_update_kwargs = kwargs.pop(
+            "cache_update_kwargs", None
+        ) or default_bp_update_kwargs(psi)
+        cache = BeliefPropagationCache(psi).update(**cache_update_kwargs)
+        return _norm_sqr_cache(alg, cache, **kwargs)
+    if alg == "boundarymps":
+        from .engines.boundarymps import BoundaryMPSCache
+
+        mps_bond_dimension = kwargs.pop("mps_bond_dimension")
+        partition_by = kwargs.pop("partition_by", "row")
+        cache_update_kwargs = kwargs.pop("cache_update_kwargs", {})
+        cache = BoundaryMPSCache(psi, mps_bond_dimension, partition_by=partition_by)
+        cache = cache.update(**cache_update_kwargs)
+        return _norm_sqr_cache(alg, cache, **kwargs)
+    raise ValueError(f"unknown alg {alg!r}")
+
+
+def _is_bmps_cache(psi):
+    from .engines.boundarymps import BoundaryMPSCache
+
+    return isinstance(psi, BoundaryMPSCache)
+
+
+def _norm_sqr_cache(alg, cache, max_configuration_size=None, **kwargs):
+    tn = cache.network()
+    if alg in ("bp", "boundarymps"):
+        z = cache.partitionfunction()
+    elif alg == "loopcorrections":
+        from .engines.loopcorrection import loopcorrected_partitionfunction
+
+        z = loopcorrected_partitionfunction(cache, max_configuration_size)
+    else:
+        raise ValueError(f"unknown alg {alg!r}")
+    if isinstance(tn, TensorNetworkState):
+        return z
+    if isinstance(tn, TensorNetwork):
+        return z * z
+    return z
+
+
+def norm(psi, alg: str | None = None, **kwargs):
+    z = norm_sqr(psi, alg=alg, **kwargs)
+    out = np.sqrt(z)
+    return complex(out) if np.iscomplexobj(out) else float(out)
+
+
+# ---------------------------------------------------------------------------
+# inner
+# ---------------------------------------------------------------------------
+
+
+def inner(psi: TensorNetworkState, phi: TensorNetworkState, alg: str, **kwargs):
+    """⟨ψ|ϕ⟩ via a BilinearForm (`inner.jl:53-98`)."""
+    algorithm_check(psi, "inner", alg)
+    algorithm_check(phi, "inner", alg)
+    blf = BilinearForm(psi, phi)
+    if alg == "exact":
+        tensors = blf.bp_factors(blf.vertices())
+        seq = contraction_sequence(tensors, alg="einexpr")
+        return contract(tensors, seq).scalar()
+    if alg in ("bp", "loopcorrections"):
+        cache_update_kwargs = kwargs.pop("cache_update_kwargs", {})
+        cache = BeliefPropagationCache(blf).update(**cache_update_kwargs)
+        if alg == "bp":
+            return cache.partitionfunction()
+        from .engines.loopcorrection import loopcorrected_partitionfunction
+
+        return loopcorrected_partitionfunction(
+            cache, kwargs.pop("max_configuration_size", None)
+        )
+    if alg == "boundarymps":
+        from .engines.boundarymps import BoundaryMPSCache
+
+        mps_bond_dimension = kwargs.pop("mps_bond_dimension")
+        partition_by = kwargs.pop("partition_by", "row")
+        cache_update_kwargs = kwargs.pop("cache_update_kwargs", {})
+        cache = BoundaryMPSCache(blf, mps_bond_dimension, partition_by=partition_by)
+        cache = cache.update(**cache_update_kwargs)
+        return cache.partitionfunction()
+    raise ValueError(f"unknown alg {alg!r}")
+
+
+# ---------------------------------------------------------------------------
+# reduced density matrices
+# ---------------------------------------------------------------------------
+
+
+def normalize_rdm(rho: Tensor) -> Tensor:
+    """Normalize to unit trace (`rdm.jl:1-8`)."""
+    tr = rho
+    for i in [i for i in rho.inds if i.plev == 0]:
+        tr = tr * delta((i, i.prime()), dtype=rho.dtype)
+    return rho * (1.0 / tr.scalar())
+
+
+def reduced_density_matrix(psi, verts, alg: str | None = None, normalize: bool = True, **kwargs):
+    """RDM on a vertex set (`rdm.jl:24-115`)."""
+    if alg is None:
+        alg = default_alg(psi)
+    algorithm_check(psi, "rdm", alg)
+    g = psi.graph()
+    verts = collect_vertices(verts, g)
+
+    if alg == "exact":
+        op_f = lambda v: "ρ" if v in verts else "I"
+        tensors = psi.norm_factors(psi.vertices(), op_strings=op_f)
+        seq = contraction_sequence(tensors, alg="einexpr")
+        rho = contract(tensors, seq)
+        return normalize_rdm(rho) if normalize else rho
+
+    if alg == "bp":
+        if isinstance(psi, TensorNetworkState):
+            cache_update_kwargs = kwargs.pop(
+                "cache_update_kwargs", None
+            ) or default_bp_update_kwargs(psi)
+            psi = BeliefPropagationCache(psi).update(**cache_update_kwargs)
+        cache = psi
+        steiner_vs = (
+            verts
+            if len(verts) == 1
+            else cache.network().steiner_tree(verts).vertices()
+        )
+        op_f = lambda v: "ρ" if v in verts else "I"
+        tensors = cache.network().norm_factors(steiner_vs, op_strings=op_f)
+        tensors += cache.incoming_messages(list(steiner_vs))
+        seq = contraction_sequence(tensors, alg="optimal")
+        rho = contract(tensors, seq)
+        return normalize_rdm(rho) if normalize else rho
+
+    if alg == "boundarymps":
+        from .engines.boundarymps import BoundaryMPSCache, rdm_boundarymps
+
+        return rdm_boundarymps(psi, verts, normalize=normalize, **kwargs)
+    raise ValueError(f"unknown alg {alg!r}")
+
+
+rdm = reduced_density_matrix
