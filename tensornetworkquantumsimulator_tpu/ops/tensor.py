@@ -30,6 +30,16 @@ def _canonical_dtype(dtype):
     return jnp.zeros((), dtype=dtype).dtype
 
 
+def _weak_scalar(x):
+    """Coerce numpy scalars to weakly-typed Python numbers so scalar algebra
+    never widens the tensor dtype (np.float64 * complex64 -> complex128).
+    Note np.float64/np.complex128 subclass the Python types, so test for
+    np.generic explicitly."""
+    if isinstance(x, (np.generic, np.ndarray)):
+        return x.item()
+    return x
+
+
 @jax.tree_util.register_pytree_node_class
 class Tensor:
     """A dense tensor with named indices.
@@ -151,17 +161,17 @@ class Tensor:
     def __mul__(self, other):
         if isinstance(other, Tensor):
             return contract_pair(self, other)
-        return Tensor(self.data * other, self.inds)
+        return Tensor(self.data * _weak_scalar(other), self.inds)
 
     def __rmul__(self, other):
         if isinstance(other, Tensor):
             return contract_pair(other, self)
-        return Tensor(self.data * other, self.inds)
+        return Tensor(self.data * _weak_scalar(other), self.inds)
 
     def __truediv__(self, other):
         if isinstance(other, Tensor):
             raise TypeError("use contraction with an inverted tensor")
-        return Tensor(self.data / other, self.inds)
+        return Tensor(self.data / _weak_scalar(other), self.inds)
 
     def norm(self):
         return jnp.linalg.norm(self.data.reshape(-1)).item()
