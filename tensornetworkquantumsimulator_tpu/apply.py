@@ -275,10 +275,20 @@ def _optimise_p_q(p, q, envs, o, nfullupdatesweeps=10, maxdim=None, cutoff=None)
             [i.prime() for i in s_other], s_other
         )
         m_tensor = contract([other, other_dag] + list(envs))
-        # m_tensor has x's inds (unprimed) and their primes
+        # m_tensor has x's inds (unprimed) and their primes, except legs of x
+        # that touch nothing else (its site leg) — the operator is the
+        # identity there, so extend with δ(i, i')
         rhs = b_vec(other)
         xin = list(rhs.inds)
         xout = [i.prime() for i in xin]
+        from .ops.tensor import delta as _delta
+
+        present = set(m_tensor.inds)
+        for i in xin:
+            if i not in present:
+                m_tensor = contract_pair(
+                    m_tensor, _delta((i, i.prime()), dtype=m_tensor.dtype)
+                )
         mat = m_tensor.array(tuple(xout) + tuple(xin))
         dsz = int(np.prod([i.dim for i in xin]))
         mat = mat.reshape(dsz, dsz)

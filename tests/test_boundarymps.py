@@ -1,0 +1,66 @@
+"""Mirrors reference `test/test_boundarymps.jl`."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tensornetworkquantumsimulator_tpu as tnqs
+from tensornetworkquantumsimulator_tpu import (
+    BoundaryMPSCache,
+    TensorNetwork,
+    TensorNetworkState,
+    named_grid,
+    random_tensornetwork,
+    random_tensornetworkstate,
+)
+
+DTYPES = [jnp.float32, jnp.float64, jnp.complex64, jnp.complex128]
+
+
+def _rtol(dtype):
+    return 1e-3 if jnp.finfo(jnp.zeros((), dtype).real.dtype).bits == 32 else 1e-8
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_bmps_flat_network(dtype):
+    g = named_grid((3, 3))
+    psi = random_tensornetwork(dtype, g, bond_dimension=2)
+    cache = BoundaryMPSCache(psi, 4)
+    assert isinstance(cache.network(), TensorNetwork)
+    assert cache.graph() == g  # 3x3 grid partitions are already paths
+    cache = cache.update()
+    z_bmps = cache.partitionfunction()
+    z_exact = tnqs.contract(psi, alg="exact")
+    np.testing.assert_allclose(z_bmps, z_exact, rtol=_rtol(dtype))
+    np.testing.assert_allclose(
+        tnqs.contract(psi, alg="boundarymps", mps_bond_dimension=4),
+        z_exact,
+        rtol=_rtol(dtype),
+    )
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_bmps_state(dtype):
+    g = named_grid((3, 3))
+    psi = random_tensornetworkstate(dtype, g, bond_dimension=2)
+    cache = BoundaryMPSCache(psi, 4)
+    assert isinstance(cache.network(), TensorNetworkState)
+    cache = cache.update()
+    z_bmps = cache.partitionfunction()
+    z_exact = tnqs.norm_sqr(psi, alg="exact")
+    np.testing.assert_allclose(z_bmps, z_exact, rtol=_rtol(dtype))
+    np.testing.assert_allclose(
+        tnqs.norm_sqr(psi, alg="boundarymps", mps_bond_dimension=4),
+        z_exact,
+        rtol=_rtol(dtype),
+    )
+
+    vs = [(2, 1), (2, 3)]
+    rho_1 = tnqs.rdm(cache, vs)
+    rho_2 = tnqs.reduced_density_matrix(
+        psi, vs, alg="boundarymps", mps_bond_dimension=4
+    )
+    rho_exact = tnqs.reduced_density_matrix(psi, vs, alg="exact")
+    eps = float(jnp.finfo(jnp.zeros((), dtype).real.dtype).eps)
+    assert (rho_1 - rho_2).norm() <= 300 * eps
+    assert (rho_1 - rho_exact).norm() <= 300 * eps
