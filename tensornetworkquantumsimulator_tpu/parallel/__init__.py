@@ -1,0 +1,19 @@
+"""TPU scaling layer: static-shape batched engine, jitted Trotter layers,
+and multi-chip sharding (SPMD over a jax Mesh).
+
+No reference counterpart — this is the new first-class parallelism component
+called for in SURVEY.md §2."""
+
+from .convert import batched_from_tns, batched_messages_to_cache, batched_to_tns
+from .engine import (
+    BatchedState,
+    apply_color_group,
+    apply_one_site,
+    bp_iteration,
+    bp_update,
+    identity_messages,
+    local_expectations,
+    local_rdms,
+)
+from .structure import BatchedGraphSpec, SlotPairBucket, compile_graph
+from .trotter import BatchedCircuit, make_expectation_fn, make_layer_fn

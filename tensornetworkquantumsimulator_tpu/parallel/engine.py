@@ -1,0 +1,380 @@
+"""Batched, jit-compiled TPU engine: flooding BP + vmapped simple update.
+
+This is the performance core of the framework (SURVEY.md §2 item 1:
+"Batched edge-group parallelism").  Where the generic engine walks the graph
+edge by edge (like the reference's sequential forest sweep,
+`beliefpropagationcache.jl:74-85`), this engine runs
+
+- synchronous ("flooding") BP: every directed message updated in one shot
+  per iteration, as one batched einsum chain over ``[V, D, χ, χ]`` arrays,
+  iterated inside ``lax.while_loop`` with the reference's tolerance
+  semantics (`abstractbeliefpropagationcache.jl:198-222`);
+- simple-update gate application vmapped over an entire edge-color group
+  (`apply_gates.jl:95-122` + `simple_update.jl:17-68` semantics, with
+  grow-then-truncate inside a static χ buffer);
+
+entirely under ``jax.jit`` — one XLA program per Trotter layer.
+"""
+
+from __future__ import annotations
+
+import string
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .structure import BatchedGraphSpec
+
+_LETTERS = string.ascii_lowercase
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+class BatchedState(NamedTuple):
+    """Pytree state: padded vertex tensors + per-slot incoming messages."""
+
+    tensors: jax.Array  # [V, χ, ..., χ (D times), d]
+    messages: jax.Array  # [V, D, χ, χ] (ket, bra) environment matrices
+
+    @property
+    def chi(self) -> int:
+        return self.tensors.shape[1]
+
+    @property
+    def degree(self) -> int:
+        return self.tensors.ndim - 2
+
+
+def identity_messages(v: int, d: int, chi: int, dtype) -> jax.Array:
+    eye = jnp.eye(chi, dtype=dtype)
+    return jnp.broadcast_to(eye, (v, d, chi, chi)).copy()
+
+
+def _absorb(t, m, axis):
+    """Σ_l t[..., l, ...] m[v, l, l'] along the given axis (batched on v)."""
+    t2 = jnp.moveaxis(t, axis, -1)
+    out = jnp.einsum("v...l,vlm->v...m", t2, m, precision=_PRECISION)
+    return jnp.moveaxis(out, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# flooding BP
+# ---------------------------------------------------------------------------
+
+
+def _outgoing_messages(spec: BatchedGraphSpec, state: BatchedState) -> jax.Array:
+    """m_out[u, j]: message u sends through slot j — contract the local norm
+    factors with all incoming messages except slot j
+    (`abstractbeliefpropagationcache.jl:144-177`, batched)."""
+    D = spec.degree
+    t = state.tensors  # [V, b0..b_{D-1}, s]
+    outs = []
+    for j in range(D):
+        acc = t
+        for k in range(D):
+            if k != j:
+                acc = _absorb(acc, state.messages[:, k], 1 + k)
+        lab = [_LETTERS[k] for k in range(D)]
+        acc_lab = list(lab)
+        acc_lab[j] = "p"  # outgoing ket leg
+        conj_lab = list(lab)
+        conj_lab[j] = "q"  # outgoing bra leg
+        eq = f"v{''.join(acc_lab)}s,v{''.join(conj_lab)}s->vpq"
+        outs.append(jnp.einsum(eq, acc, jnp.conj(t), precision=_PRECISION))
+    return jnp.stack(outs, axis=1)  # [V, D, χ, χ]
+
+
+def _normalize_messages(m, mask, hermitize: bool = True):
+    """Hermitize + divide by the entry sum (`abstractbeliefpropagationcache.
+    jl:164-172`); dummy slots pinned to the identity."""
+    if hermitize:
+        m = 0.5 * (m + jnp.conj(jnp.swapaxes(m, -1, -2)))
+    s = jnp.sum(m, axis=(-2, -1), keepdims=True)
+    safe = jnp.where(jnp.abs(s) == 0, 1.0, s)
+    m = m / safe
+    eye = jnp.eye(m.shape[-1], dtype=m.dtype)
+    return jnp.where(mask[..., None, None], m, eye)
+
+
+def bp_iteration(spec: BatchedGraphSpec, state: BatchedState) -> jax.Array:
+    """One synchronous sweep: every directed message updated at once."""
+    m_out = _outgoing_messages(spec, state)
+    nbr = jnp.asarray(spec.nbr_array())
+    nbr_slot = jnp.asarray(spec.nbr_slot_array())
+    mask = jnp.asarray(spec.mask_array())
+    # the message INTO v through slot k was sent by nbr[v,k] via nbr_slot[v,k]
+    gathered = m_out[nbr, nbr_slot]  # [V, D, χ, χ]
+    return _normalize_messages(gathered, mask)
+
+
+def _message_distance(a, b, mask):
+    """Mean per-edge fidelity distance (`beliefpropagationcache.jl:15-19`)."""
+    dot = jnp.sum(jnp.conj(a) * b, axis=(-2, -1))
+    na = jnp.linalg.norm(a.reshape(a.shape[:-2] + (-1,)), axis=-1)
+    nb = jnp.linalg.norm(b.reshape(b.shape[:-2] + (-1,)), axis=-1)
+    denom = jnp.where(na * nb == 0, 1.0, na * nb)
+    f = jnp.abs(dot / denom) ** 2
+    d = jnp.where(mask, 1.0 - f, 0.0)
+    return jnp.sum(d) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def default_batched_tolerance(dtype) -> float:
+    if jnp.dtype(dtype) in (jnp.dtype("float32"), jnp.dtype("complex64")):
+        return 1e-5
+    return 1e-8
+
+
+def bp_update(
+    spec: BatchedGraphSpec,
+    state: BatchedState,
+    maxiter: int = 30,
+    tolerance: float | None = None,
+    damping: float = 0.0,
+) -> BatchedState:
+    """Flooding BP to the fixed point (tolerance on the mean message change,
+    mirroring `update` at `abstractbeliefpropagationcache.jl:198-222`)."""
+    if tolerance is None:
+        tolerance = default_batched_tolerance(state.tensors.dtype)
+    mask = jnp.asarray(spec.mask_array())
+    rdt = jnp.zeros((), state.tensors.dtype).real.dtype
+
+    def cond(carry):
+        _, it, diff = carry
+        return jnp.logical_and(it < maxiter, diff > tolerance)
+
+    def body(carry):
+        m, it, _ = carry
+        new = bp_iteration(spec, state._replace(messages=m))
+        if damping > 0:
+            new = _normalize_messages(
+                (1 - damping) * new + damping * m, mask, hermitize=False
+            )
+        return (new, it + 1, _message_distance(m, new, mask).astype(rdt))
+
+    m, _, _ = jax.lax.while_loop(
+        cond, body, (state.messages, jnp.int32(0), jnp.asarray(jnp.inf, rdt))
+    )
+    return state._replace(messages=m)
+
+
+# ---------------------------------------------------------------------------
+# environment roots
+# ---------------------------------------------------------------------------
+
+
+def _pseudo_roots(m):
+    """(√M, 1/√M) of hermitian environment batches with cutoff zeroing
+    (`utils.jl:18-26`, batched); padded/dummy directions stay exactly zero."""
+    m = 0.5 * (m + jnp.conj(jnp.swapaxes(m, -1, -2)))
+    w, u = jnp.linalg.eigh(m)
+    eps = jnp.finfo(w.dtype).eps
+    wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    good = w > 10 * eps * jnp.maximum(wmax, eps)
+    safe = jnp.where(good, w, 1.0)
+    sq = jnp.where(good, jnp.sqrt(safe), 0.0)
+    isq = jnp.where(good, 1.0 / jnp.sqrt(safe), 0.0)
+    uh = jnp.conj(jnp.swapaxes(u, -1, -2))
+    root = (u * sq[..., None, :]) @ uh
+    inv_root = (u * isq[..., None, :]) @ uh
+    return root, inv_root
+
+
+# ---------------------------------------------------------------------------
+# batched simple update for one slot-pair bucket
+# ---------------------------------------------------------------------------
+
+
+def _gate_bucket_update(
+    state: BatchedState,
+    gate: jax.Array,  # [s1', s2', s1, s2] or batched [B, ...]
+    u_idx: jax.Array,
+    v_idx: jax.Array,
+    slot_u: int,
+    slot_v: int,
+    chi: int,
+    cutoff: float,
+    normalize_tensors: bool,
+):
+    """Simple update vmapped over all edges of one (slot_u, slot_v) bucket
+    (`simple_update.jl:17-68`): absorb √env → QR-reduce → gate → truncated
+    SVD into the static χ buffer → restore with 1/√env; the kept spectrum
+    becomes the new edge message (`apply_gates.jl:108-115`)."""
+    D = state.degree
+    d = state.tensors.shape[-1]
+    tu = state.tensors[u_idx]
+    tv = state.tensors[v_idx]
+    mu = state.messages[u_idx]
+    mv = state.messages[v_idx]
+
+    def prep(t, m, slot):
+        inv_roots = []
+        for k in range(D):
+            if k == slot:
+                continue
+            root, inv_root = _pseudo_roots(m[:, k])
+            t = _absorb(t, root, 1 + k)
+            inv_roots.append(inv_root)
+        # [B, b0..b_{D-1}, s] -> [B, others..., b_slot, s] -> [B, M, χ*d]
+        perm = [0] + [1 + k for k in range(D) if k != slot] + [1 + slot, D + 1]
+        tp = jnp.transpose(t, perm)
+        B = tp.shape[0]
+        M = int(np.prod(tp.shape[1:D]))
+        q, r = jnp.linalg.qr(tp.reshape(B, M, chi * d))
+        return q, r.reshape(B, -1, chi, d), inv_roots
+
+    qu, ru, inv_u = prep(tu, mu, slot_u)
+    qv, rv, inv_v = prep(tv, mv, slot_v)
+
+    # θ = gate · (Rᵤ Rᵥ) over the shared bond l
+    theta = jnp.einsum("bxlc,bylz->bxcyz", ru, rv, precision=_PRECISION)
+    if gate.ndim == 4:
+        theta = jnp.einsum(
+            "bxcyz,pqcz->bxpyq", theta, gate.astype(theta.dtype),
+            precision=_PRECISION,
+        )
+    else:
+        theta = jnp.einsum(
+            "bxcyz,bpqcz->bxpyq", theta, gate.astype(theta.dtype),
+            precision=_PRECISION,
+        )
+    B, r1, _, r2, _ = theta.shape
+    mat = theta.reshape(B, r1 * d, r2 * d)
+    uu, s, vh = jnp.linalg.svd(mat, full_matrices=False)
+
+    # reference truncation semantics (relative discarded Σσ² ≤ cutoff, then
+    # cap at χ) inside a static buffer
+    p = s * s
+    total = jnp.sum(p, axis=-1, keepdims=True)
+    tail = jnp.cumsum(p[..., ::-1], axis=-1)[..., ::-1]
+    rel_tail = tail / jnp.where(total == 0, 1.0, total)
+    keep = rel_tail > cutoff
+    keep = keep.at[..., 0].set(True)
+    keep &= jnp.arange(s.shape[-1])[None, :] < chi
+    err = jnp.sum(jnp.where(keep, 0.0, p), axis=-1) / jnp.squeeze(
+        jnp.where(total == 0, 1.0, total), -1
+    )
+
+    k = min(chi, s.shape[-1])
+    s_kept = jnp.where(keep, s, 0.0)[..., :k]
+    uu = uu[..., :k]
+    vh = vh[..., :k, :]
+    if k < chi:  # bond smaller than the buffer: zero-pad
+        padn = chi - k
+        s_kept = jnp.pad(s_kept, ((0, 0), (0, padn)))
+        uu = jnp.pad(uu, ((0, 0), (0, 0), (0, padn)))
+        vh = jnp.pad(vh, ((0, 0), (0, padn), (0, 0)))
+    sqrt_s = jnp.sqrt(s_kept).astype(mat.dtype)
+    x = uu * sqrt_s[:, None, :]  # [B, r1*d, χ]
+    y = sqrt_s[:, :, None] * vh  # [B, χ, r2*d]
+
+    def finish(q, fac, inv_roots, slot, t_ref):
+        # fac: [B, r, d, χ]; q: [B, M, r] -> [B, M, d, χ]
+        t = jnp.einsum("bmr,brdc->bmdc", q, fac, precision=_PRECISION)
+        other = [t_ref.shape[1 + kk] for kk in range(D) if kk != slot]
+        t = t.reshape((t.shape[0],) + tuple(other) + (d, chi))
+        t = jnp.moveaxis(t, -1, -2)  # [..., χ(slot), d]
+        order = [kk for kk in range(D) if kk != slot] + [slot]
+        inv_perm = [0] + [1 + order.index(kk) for kk in range(D)] + [D + 1]
+        t = jnp.transpose(t, inv_perm)
+        it = iter(inv_roots)
+        for kk in range(D):
+            if kk == slot:
+                continue
+            # inv_root is hermitian: contracting the bra leg with it equals
+            # the reference's dag(inv_sqrt_env) contraction
+            t = _absorb(t, next(it), 1 + kk)
+        return t
+
+    tu_new = finish(qu, x.reshape(B, r1, d, chi), inv_u, slot_u, tu)
+    tv_new = finish(
+        qv, jnp.swapaxes(y, 1, 2).reshape(B, r2, d, chi), inv_v, slot_v, tv
+    )
+
+    s_norm = jnp.linalg.norm(s_kept, axis=-1, keepdims=True)
+    if normalize_tensors:
+        s_msg = s_kept / jnp.where(s_norm == 0, 1.0, s_norm)
+    else:
+        s_msg = s_kept
+    msg = jax.vmap(jnp.diag)(s_msg).astype(state.messages.dtype)
+
+    if normalize_tensors:
+        def _nrm(t):
+            n = jnp.linalg.norm(t.reshape(t.shape[0], -1), axis=-1)
+            n = jnp.where(n == 0, 1.0, n)
+            return t / n.reshape((-1,) + (1,) * (t.ndim - 1))
+
+        tu_new, tv_new = _nrm(tu_new), _nrm(tv_new)
+
+    tensors = state.tensors.at[u_idx].set(tu_new.astype(state.tensors.dtype))
+    tensors = tensors.at[v_idx].set(tv_new.astype(state.tensors.dtype))
+    messages = state.messages.at[u_idx, slot_u].set(msg)
+    messages = messages.at[v_idx, slot_v].set(msg)
+    return BatchedState(tensors, messages), err
+
+
+def apply_one_site(state: BatchedState, gate: jax.Array, idx=None) -> BatchedState:
+    """Batched 1-site gates: gate [d', d] broadcast over vertices, or
+    [B, d', d] applied at positions ``idx``."""
+    g = gate
+    if idx is None:
+        if g.ndim == 2:
+            t = jnp.einsum("v...d,pd->v...p", state.tensors, g.astype(state.tensors.dtype), precision=_PRECISION)
+        else:
+            t = jnp.einsum("v...d,vpd->v...p", state.tensors, g.astype(state.tensors.dtype), precision=_PRECISION)
+        return state._replace(tensors=t)
+    sub = state.tensors[idx]
+    if g.ndim == 2:
+        sub = jnp.einsum("b...d,pd->b...p", sub, g.astype(sub.dtype), precision=_PRECISION)
+    else:
+        sub = jnp.einsum("b...d,bpd->b...p", sub, g.astype(sub.dtype), precision=_PRECISION)
+    return state._replace(tensors=state.tensors.at[idx].set(sub))
+
+
+def apply_color_group(
+    state: BatchedState,
+    buckets,
+    gate: jax.Array,
+    chi: int,
+    cutoff: float,
+    normalize_tensors: bool = True,
+):
+    """Apply one 2-site gate to every edge of a color group (the batched
+    analogue of the reference's per-color loop, `2dIsing_dynamics.jl:25-28`)."""
+    errs = []
+    for b in buckets:
+        u_idx = jnp.asarray(b.u_idx, dtype=jnp.int32)
+        v_idx = jnp.asarray(b.v_idx, dtype=jnp.int32)
+        state, err = _gate_bucket_update(
+            state, gate, u_idx, v_idx, b.slot_u, b.slot_v, chi, cutoff,
+            normalize_tensors,
+        )
+        errs.append(err)
+    return state, jnp.concatenate(errs) if errs else jnp.zeros((0,))
+
+
+# ---------------------------------------------------------------------------
+# batched local expectation values
+# ---------------------------------------------------------------------------
+
+
+def local_rdms(spec: BatchedGraphSpec, state: BatchedState) -> jax.Array:
+    """Unnormalized 1-site RDMs ρ[v, s, s'] from the BP environments."""
+    D = spec.degree
+    t = state.tensors
+    acc = t
+    for k in range(D):
+        acc = _absorb(acc, state.messages[:, k], 1 + k)
+    lab = "".join(_LETTERS[k] for k in range(D))
+    eq = f"v{lab}s,v{lab}z->vsz"
+    return jnp.einsum(eq, acc, jnp.conj(t), precision=_PRECISION)
+
+
+def local_expectations(
+    spec: BatchedGraphSpec, state: BatchedState, op: jax.Array
+) -> jax.Array:
+    """⟨op⟩ for every vertex (single-site observables, `expect.jl:58-83`)."""
+    rho = local_rdms(spec, state)  # [V, s(ket), z(bra)]
+    numer = jnp.einsum("vsz,zs->v", rho, op.astype(rho.dtype), precision=_PRECISION)
+    denom = jnp.einsum("vss->v", rho)
+    return numer / denom
