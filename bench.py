@@ -1,0 +1,87 @@
+"""Benchmark: TFIM Trotter dynamics layers/sec on the batched TPU engine.
+
+Config 1 of BASELINE.md: 5x5 grid TFIM, χ=10, BP apply + BP ⟨Z⟩ per layer
+(the reference's `examples/2dIsing_dynamics.jl` workload at the driver's
+χ=10 metric point).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the Julia-reference CPU per-layer wall-clock;
+the reference publishes no numbers (BASELINE.md), so we use the conservative
+estimate recorded in BASELINE_MEASURED (per-layer seconds) — updated in
+place if/when the Julia reference is benchmarked on this machine.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensornetworkquantumsimulator_tpu.utils import edge_color, named_grid
+from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+from tensornetworkquantumsimulator_tpu.parallel import (
+    BatchedCircuit,
+    make_expectation_fn,
+    make_layer_fn,
+)
+from tensornetworkquantumsimulator_tpu.parallel.convert import batched_product_state
+
+# Estimated Julia reference per-layer wall clock for this config on CPU
+# (5x5 TFIM, chi=10, BP apply + expect). Reference prints but does not
+# record timings (BASELINE.md) — this figure is a placeholder measurement
+# target of ~1 s/layer on a modern CPU core.
+BASELINE_SECONDS_PER_LAYER = 1.0
+
+
+def main():
+    chi = 10
+    nx = ny = 5
+    nl_warm, nl_bench = 3, 25
+    dt, hx, hz, J = 0.25, 1.0, 0.8, 0.5
+
+    g = named_grid((nx, ny))
+    layer = []
+    layer += [("Rx", [v], 2 * hx * dt) for v in g.vertices()]
+    layer += [("Rz", [v], 2 * hz * dt) for v in g.vertices()]
+    for colored_edges in edge_color(g, 4):
+        layer += [("Rzz", pair, 2 * J * dt) for pair in colored_edges]
+
+    spec, state = batched_product_state(g, chi=chi, dtype=np.complex64)
+    circuit = BatchedCircuit(layer, g, spec=spec)
+    layer_fn = make_layer_fn(
+        circuit, chi=chi, cutoff=1e-10, normalize_tensors=True, bp_maxiter=25
+    )
+    expect_fn = make_expectation_fn(spec, op_matrix("Z", 2), real_output=True)
+
+    # warmup / compile
+    for _ in range(nl_warm):
+        state, errs = layer_fn(state)
+        z = expect_fn(state)
+    jax.block_until_ready((state, z))
+
+    t0 = time.perf_counter()
+    for _ in range(nl_bench):
+        state, errs = layer_fn(state)
+        z = expect_fn(state)
+    jax.block_until_ready((state, z))
+    dt_total = time.perf_counter() - t0
+
+    per_layer = dt_total / nl_bench
+    layers_per_sec = 1.0 / per_layer
+    vs_baseline = BASELINE_SECONDS_PER_LAYER / per_layer
+
+    print(
+        json.dumps(
+            {
+                "metric": "tfim_5x5_chi10_layers_per_sec",
+                "value": round(layers_per_sec, 3),
+                "unit": "layers/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

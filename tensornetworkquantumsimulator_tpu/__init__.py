@@ -47,8 +47,17 @@ from .engines import (
     BeliefPropagationCache,
     BoundaryMPSCache,
     contract_network as contract,
+    loop_correlation,
+    loop_correlations,
     loopcorrected_partitionfunction,
 )
+from .utils.checkpoint import (
+    load_batched_state,
+    load_state,
+    save_batched_state,
+    save_state,
+)
+from .utils.profiling import ApplyConfig, BPUpdateConfig, LayerTimer, trace
 from .apply import apply_circuit, apply_gates, full_update, simple_update
 from .gauge import (
     entanglement,

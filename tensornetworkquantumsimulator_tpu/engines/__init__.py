@@ -9,4 +9,5 @@ from .beliefpropagation import (
 )
 from .boundarymps import BoundaryMPSCache, PartitionEdge, path_contract
 from .contract import contract_network
+from .diagnostics import loop_correlation, loop_correlations
 from .loopcorrection import loopcorrected_partitionfunction

@@ -4,7 +4,12 @@ and multi-chip sharding (SPMD over a jax Mesh).
 No reference counterpart — this is the new first-class parallelism component
 called for in SURVEY.md §2."""
 
-from .convert import batched_from_tns, batched_messages_to_cache, batched_to_tns
+from .convert import (
+    batched_from_tns,
+    batched_messages_to_cache,
+    batched_product_state,
+    batched_to_tns,
+)
 from .engine import (
     BatchedState,
     apply_color_group,

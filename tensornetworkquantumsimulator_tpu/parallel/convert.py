@@ -15,6 +15,36 @@ from .engine import BatchedState, identity_messages
 from .structure import BatchedGraphSpec, compile_graph
 
 
+def batched_product_state(
+    g,
+    chi: int,
+    state_fn=None,
+    dtype=np.complex64,
+    spec: BatchedGraphSpec | None = None,
+    d: int = 2,
+) -> tuple:
+    """Build a product-state BatchedState entirely host-side (numpy) and
+    upload once — the TPU-native path for initial states (avoids any eager
+    device work; the axon backend only supports compiled programs well).
+
+    ``state_fn`` maps a vertex to a state string ("↑", "X+", ...) or vector;
+    default is all-up."""
+    from ..models.sites import state_vector
+
+    if spec is None:
+        spec = compile_graph(g)
+    if state_fn is None:
+        state_fn = lambda v: "↑"
+    V, D = spec.num_vertices, spec.degree
+    tensors = np.zeros((V,) + (chi,) * D + (d,), dtype=dtype)
+    for i, v in enumerate(spec.vertices):
+        local = state_fn(v)
+        vec = state_vector(local, d) if isinstance(local, str) else np.asarray(local)
+        tensors[(i,) + (0,) * D] = vec.astype(dtype)
+    msgs = np.broadcast_to(np.eye(chi, dtype=dtype), (V, D, chi, chi)).copy()
+    return spec, BatchedState(jnp.asarray(tensors), jnp.asarray(msgs))
+
+
 def batched_from_tns(
     tns: TensorNetworkState,
     chi: int,
@@ -36,7 +66,7 @@ def batched_from_tns(
     nbr = spec.nbr_array()
     mask = spec.mask_array()
     tensors = np.zeros((V,) + (chi,) * D + (d,), dtype=dtype)
-    msgs = np.asarray(identity_messages(V, D, chi, dtype))
+    msgs = np.broadcast_to(np.eye(chi, dtype=dtype), (V, D, chi, chi)).copy()
     for i, v in enumerate(spec.vertices):
         t = tns[v]
         sind = tns.siteinds(v)[0]

@@ -182,8 +182,9 @@ def make_layer_fn(
     bp_maxiter: int = 30,
     bp_tolerance: float | None = None,
     final_update: bool = True,
+    jit: bool = True,
 ) -> Callable:
-    """Build the jitted layer function: state -> (state, truncation_errors)."""
+    """Build the (jitted) layer function: state -> (state, truncation_errors)."""
     spec = circuit.spec
 
     def layer(state: BatchedState):
@@ -226,14 +227,19 @@ def make_layer_fn(
         )
         return state, all_errs
 
-    return jax.jit(layer)
+    return jax.jit(layer) if jit else layer
 
 
-def make_expectation_fn(spec: BatchedGraphSpec, op: np.ndarray) -> Callable:
+def make_expectation_fn(
+    spec: BatchedGraphSpec, op: np.ndarray, real_output: bool = False
+) -> Callable:
+    """Jitted per-vertex ⟨op⟩. ``real_output=True`` returns the real part —
+    use it when transferring results off-device (hermitian observables)."""
     op = jnp.asarray(op)
 
     @jax.jit
     def fn(state: BatchedState):
-        return local_expectations(spec, state, op)
+        out = local_expectations(spec, state, op)
+        return jnp.real(out) if real_output else out
 
     return fn

