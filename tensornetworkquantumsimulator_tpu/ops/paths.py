@@ -78,14 +78,28 @@ def contraction_sequence(tensors: Sequence, alg: str = "optimal", **kwargs):
     if hit is not None:
         return hit
 
-    if alg == "optimal":
-        optimize = "dp" if n <= 14 else "greedy"
-    elif alg in ("einexpr", "greedy"):
-        optimize = "greedy"
-    else:
-        optimize = alg
-    path, _ = opt_einsum.contract_path(eq, *shapes, shapes=True, optimize=optimize)
-    seq = _ssa_path(path, n)
+    seq = None
+    if alg == "optimal" and n <= 16:
+        # native exact DP (C++, `native/pathopt.cpp`) — the counterpart of
+        # the reference's TensorOperations.optimaltree
+        from ..native import optimal_path_native
+
+        dims = {}
+        for sub, shape in zip(inputs, shapes):
+            for c, dim in zip(sub, shape):
+                dims[c] = dim
+        seq = optimal_path_native([tuple(sub) for sub in inputs], dims)
+    if seq is None:
+        if alg == "optimal":
+            optimize = "dp" if n <= 14 else "greedy"
+        elif alg in ("einexpr", "greedy"):
+            optimize = "greedy"
+        else:
+            optimize = alg
+        path, _ = opt_einsum.contract_path(
+            eq, *shapes, shapes=True, optimize=optimize
+        )
+        seq = _ssa_path(path, n)
     if len(_PATH_CACHE) < _MAX_CACHE:
         _PATH_CACHE[key] = seq
     return seq

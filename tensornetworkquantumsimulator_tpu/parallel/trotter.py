@@ -235,7 +235,7 @@ def make_expectation_fn(
 ) -> Callable:
     """Jitted per-vertex ⟨op⟩. ``real_output=True`` returns the real part —
     use it when transferring results off-device (hermitian observables)."""
-    op = jnp.asarray(op)
+    op = np.asarray(op)  # stay host-side; becomes an MLIR constant at trace
 
     @jax.jit
     def fn(state: BatchedState):
