@@ -12,9 +12,14 @@ place if/when the Julia reference is benchmarked on this machine.
 """
 
 import json
+import os
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tnqs_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

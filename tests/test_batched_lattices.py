@@ -1,0 +1,70 @@
+"""Batched engine on non-square lattices: heavy-hex (degree 3, mixed slot
+buckets) and 3D periodic torus (degree 6), cross-validated against the
+generic engine."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tensornetworkquantumsimulator_tpu as tnqs
+from tensornetworkquantumsimulator_tpu import (
+    edge_color,
+    heavy_hexagonal_lattice,
+    named_grid,
+    tensornetworkstate,
+)
+from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+from tensornetworkquantumsimulator_tpu.parallel import (
+    BatchedCircuit,
+    batched_product_state,
+    local_expectations,
+    make_layer_fn,
+)
+
+
+def _check_lattice(g, layer, chi, obs_v, atol=5e-6, nl=1):
+    psi0 = tensornetworkstate(jnp.complex128, lambda v: "↑", g, "S=1/2")
+    psi = psi0
+    for _ in range(nl):
+        psi, _ = tnqs.apply_circuit(
+            layer,
+            psi,
+            apply_kwargs=dict(maxdim=chi, cutoff=1e-12, normalize_tensors=True),
+            bp_update_kwargs=dict(maxiter=80, tolerance=1e-13),
+        )
+    z_ref = tnqs.expect(
+        psi, ("Z", [obs_v]), alg="bp",
+        cache_update_kwargs=dict(maxiter=200, tolerance=1e-14),
+    )
+
+    spec, state = batched_product_state(g, chi=chi, dtype=np.complex128)
+    circuit = BatchedCircuit(layer, g, spec=spec)
+    layer_fn = make_layer_fn(
+        circuit, chi=chi, cutoff=1e-12, bp_maxiter=100, bp_tolerance=1e-13
+    )
+    for _ in range(nl):
+        state, _ = layer_fn(state)
+    from tensornetworkquantumsimulator_tpu.parallel import bp_update
+
+    state = bp_update(spec, state, maxiter=200, tolerance=1e-14)
+    z = local_expectations(spec, state, jnp.asarray(op_matrix("Z", 2)))
+    z_b = complex(z[spec.vertex_position(obs_v)])
+    np.testing.assert_allclose(np.real(z_b), np.real(z_ref), atol=atol)
+
+
+def test_heavyhex_batched_matches_generic():
+    g = heavy_hexagonal_lattice(2, 2)
+    layer = [("Rx", [v], 0.4) for v in g.vertices()]
+    for group in edge_color(g, 3):
+        layer += [("Rzz", pair, 0.6) for pair in group]
+    vc = sorted(g.vertices())[len(g.vertices()) // 2]
+    _check_lattice(g, layer, chi=4, obs_v=vc, nl=2)
+
+
+def test_3d_torus_batched_matches_generic():
+    g = named_grid((3, 3, 3), periodic=True)
+    layer = [("Rz", [v], -0.04) for v in g.vertices()]
+    for group in edge_color(g, 7):
+        layer += [("Rxx", pair, -0.08) for pair in group]
+    vc = g.center()[0]
+    _check_lattice(g, layer, chi=3, obs_v=vc, nl=1, atol=2e-5)

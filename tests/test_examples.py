@@ -1,0 +1,44 @@
+"""Examples as integration tests (reference `test/test_examples.jl`):
+run each example entry point at reduced size."""
+
+import importlib.util
+import pathlib
+import sys
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(name, EXAMPLES / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ising_2d_dynamics_small():
+    _load("ising_2d_dynamics").main(nl=2, nx=4, ny=4, chi=3, mps_bond_dimension=3)
+
+
+def test_ising_3d_dynamics_small():
+    _load("ising_3d_dynamics").main(no_trotter_steps=1, chi=2)
+
+
+def test_heavyhex_small():
+    _load("heavyhex_ising_dynamics").main(
+        hx=2, hy=2, no_trotter_steps=2, chi=3, nsamples=2
+    )
+
+
+def test_heisenberg_example_small():
+    _load("ising_2d_heisenberg").main(no_trotter_steps=1, chi=3)
+
+
+def test_loopcorrections_example():
+    _load("loopcorrections").main()
+
+
+@pytest.mark.slow
+def test_boundarymps_example():
+    _load("boundarymps_convergence").main()
