@@ -243,7 +243,6 @@ def make_sharded_bp_update(
         mesh=mesh,
         in_specs=(spec_v,) * 8,
         out_specs=spec_v,
-        check_rep=False,
     )
 
     @jax.jit
