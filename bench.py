@@ -39,43 +39,52 @@ from tensornetworkquantumsimulator_tpu.parallel.convert import batched_product_s
 BASELINE_SECONDS_PER_LAYER = 1.0
 
 
-def main():
-    chi = 10
-    nx = ny = 5
-    nl_warm, nl_bench = 3, 25
-    dt, hx, hz, J = 0.25, 1.0, 0.8, 0.5
-
-    g = named_grid((nx, ny))
-    layer = []
-    layer += [("Rx", [v], 2 * hx * dt) for v in g.vertices()]
-    layer += [("Rz", [v], 2 * hz * dt) for v in g.vertices()]
-    for colored_edges in edge_color(g, 4):
-        layer += [("Rzz", pair, 2 * J * dt) for pair in colored_edges]
-
+def _bench_workload(g, layer, chi, nl_warm=3, nl_bench=25, bp_maxiter=25):
     spec, state = batched_product_state(g, chi=chi, dtype=np.complex64)
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(
-        circuit, chi=chi, cutoff=1e-10, normalize_tensors=True, bp_maxiter=25
+        circuit, chi=chi, cutoff=1e-10, normalize_tensors=True,
+        bp_maxiter=bp_maxiter,
     )
     expect_fn = make_expectation_fn(spec, op_matrix("Z", 2), real_output=True)
-
-    # warmup / compile
     for _ in range(nl_warm):
         state, errs = layer_fn(state)
         z = expect_fn(state)
     jax.block_until_ready((state, z))
-
     t0 = time.perf_counter()
     for _ in range(nl_bench):
         state, errs = layer_fn(state)
         z = expect_fn(state)
     jax.block_until_ready((state, z))
-    dt_total = time.perf_counter() - t0
+    per_layer = (time.perf_counter() - t0) / nl_bench
+    center = np.asarray(z)[len(spec.vertices) // 2]
+    return per_layer, float(center)
 
-    per_layer = dt_total / nl_bench
+
+def main():
+    dt, hx, hz, J = 0.25, 1.0, 0.8, 0.5
+
+    # config 1 (headline): 5x5 TFIM, chi=10
+    g = named_grid((5, 5))
+    layer = []
+    layer += [("Rx", [v], 2 * hx * dt) for v in g.vertices()]
+    layer += [("Rz", [v], 2 * hz * dt) for v in g.vertices()]
+    for colored_edges in edge_color(g, 4):
+        layer += [("Rzz", pair, 2 * J * dt) for pair in colored_edges]
+    per_layer, z_center = _bench_workload(g, layer, chi=10)
+
+    # config 2: IBM-Eagle 127-qubit heavy-hex kicked Ising, chi=8
+    # (the reference's `heavyhexIsing_dynamics.jl` workload at utility scale)
+    from tensornetworkquantumsimulator_tpu.utils.lattices import ibm_eagle_lattice
+
+    gh = ibm_eagle_lattice()
+    layer_h = [("Rx", [v], 0.4) for v in gh.vertices()]
+    for group in edge_color(gh, 3):
+        layer_h += [("Rzz", pair, 2 * (3.14159 / 4)) for pair in group]
+    per_layer_h, _zh = _bench_workload(gh, layer_h, chi=8, nl_bench=10)
+
     layers_per_sec = 1.0 / per_layer
     vs_baseline = BASELINE_SECONDS_PER_LAYER / per_layer
-
     print(
         json.dumps(
             {
@@ -83,6 +92,8 @@ def main():
                 "value": round(layers_per_sec, 3),
                 "unit": "layers/s",
                 "vs_baseline": round(vs_baseline, 2),
+                "z_center_28layers": round(z_center, 6),
+                "heavyhex127q_chi8_layers_per_sec": round(1.0 / per_layer_h, 3),
             }
         )
     )

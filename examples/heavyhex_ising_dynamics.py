@@ -41,7 +41,8 @@ def main(hx=5, hy=5, no_trotter_steps=20, chi=8, nsamples=10):
     for i in range(1, no_trotter_steps + 1):
         t0 = time.perf_counter()
         state, errs = layer_fn(state)
-        fid = float(jnp.prod(1.0 - errs))
+        import numpy as np
+        fid = float(np.prod(1.0 - np.asarray(errs)))
         fidelities.append(fid)
         print(f"Trotter step {i}: layer fidelity {fid:.6f} "
               f"({time.perf_counter() - t0:.3f}s)")
@@ -52,9 +53,10 @@ def main(hx=5, hy=5, no_trotter_steps=20, chi=8, nsamples=10):
     print(f"Total final fidelity {total_fid:.6f}")
 
     central = sorted(g.vertices())[len(g.vertices()) // 2]
-    z_fn = make_expectation_fn(spec, op_matrix("Z", 2))
-    sz_bp = z_fn(state)[spec.vertex_position(central)]
-    print(f"BP magnetisation on {central}: {complex(sz_bp):.6f}")
+    z_fn = make_expectation_fn(spec, op_matrix("Z", 2), real_output=True)
+    import numpy as np
+    sz_bp = np.asarray(z_fn(state))[spec.vertex_position(central)]
+    print(f"BP magnetisation on {central}: {sz_bp:.6f}")
 
     psi = batched_to_tns(spec, state, g, psi0.siteinds())
     bitstrings = tnqs.sample_directly_certified(

@@ -41,19 +41,19 @@ def main(nl=20, nx=5, ny=5, chi=5, mps_bond_dimension=4):
     spec, state = batched_from_tns(psi0, chi=chi)
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(circuit, chi=chi, cutoff=1e-10)
-    z_fn = make_expectation_fn(spec, op_matrix("Z", 2))
+    z_fn = make_expectation_fn(spec, op_matrix("Z", 2), real_output=True)
     obs_pos = spec.vertex_position((3, 3))
 
     for l in range(1, nl + 1):
         t0 = time.perf_counter()
         state, errors = layer_fn(state)
-        sz_bp = z_fn(state)[obs_pos]
-        jax.block_until_ready(sz_bp)
+        z_host = np.asarray(z_fn(state))
+        errs_host = np.asarray(errors)
         t1 = time.perf_counter() - t0
         print(f"Layer {l}")
         print(f"    Took time: {t1:.4f} [s]")
-        print(f"    Maximum Gate error for layer was {float(jnp.max(errors)):.3e}")
-        print(f"    BP Measured Sigmaz is {complex(sz_bp):.6f}")
+        print(f"    Maximum Gate error for layer was {errs_host.max():.3e}")
+        print(f"    BP Measured Sigmaz is {z_host[obs_pos]:.6f}")
 
     # boundary-MPS measurement through the generic engine
     psi = batched_to_tns(spec, state, g, psi0.siteinds())

@@ -32,19 +32,20 @@ def main(no_trotter_steps=10, chi=4):
     spec, state = batched_from_tns(psi0, chi=chi)
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(circuit, chi=chi, cutoff=1e-10)
-    z_fn = make_expectation_fn(spec, op_matrix("Z", 2))
+    z_fn = make_expectation_fn(spec, op_matrix("Z", 2), real_output=True)
+    import numpy as np
     vc = g.center()[0]
     pos = spec.vertex_position(vc)
 
-    print(f"Initial Sigma Z on centre site: {float(z_fn(state)[pos].real):.6f}")
+    print(f"Initial Sigma Z on centre site: {np.asarray(z_fn(state))[pos]:.6f}")
     for l in range(1, no_trotter_steps + 1):
         t0 = time.perf_counter()
         state, errors = layer_fn(state)
-        z = z_fn(state)[pos]
-        jax.block_until_ready(z)
+        z = np.asarray(z_fn(state))[pos]
+        errs_host = np.asarray(errors)
         print(f"Layer {l}: took {time.perf_counter() - t0:.4f}s, "
-              f"max gate error {float(jnp.max(errors)):.3e}, "
-              f"Sigma z = {float(z.real):.6f}")
+              f"max gate error {errs_host.max():.3e}, "
+              f"Sigma z = {z:.6f}")
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ from .lattices import (
     build_graph_from_circuit,
     build_graph_from_gates,
     heavy_hexagonal_lattice,
+    ibm_eagle_lattice,
     lieb_lattice,
     named_comb_tree,
     named_grid,

@@ -97,6 +97,37 @@ def heavy_hexagonal_lattice(nx_: int, ny_: int) -> NamedGraph:
     return out
 
 
+def ibm_eagle_lattice() -> NamedGraph:
+    """The 127-qubit IBM-Eagle heavy-hex topology (the utility-scale
+    kicked-Ising geometry): 7 long rows of 14/15 qubits on columns 0–14,
+    bridged every 4 columns with alternating offset; 127 vertices, 144
+    edges, max degree 3.
+
+    Vertices are (row, col) with bridge qubits at (row + 0.5, col)."""
+    g = NamedGraph()
+    rows = range(7)
+    cols_of = {0: range(0, 14), 6: range(1, 15)}
+    for r in rows:
+        cols = cols_of.get(r, range(0, 15))
+        prev = None
+        for c in cols:
+            v = (r, c)
+            g.add_vertex_inplace(v)
+            if prev is not None:
+                g.add_edge_inplace(NamedEdge(prev, v))
+            prev = v
+    for r in range(6):
+        offset = 0 if r % 2 == 0 else 2
+        for c in range(offset, 15, 4):
+            if not (g.has_vertex((r, c)) and g.has_vertex((r + 1, c))):
+                continue
+            b = (r + 0.5, c)
+            g.add_vertex_inplace(b)
+            g.add_edge_inplace(NamedEdge((r, c), b))
+            g.add_edge_inplace(NamedEdge(b, (r + 1, c)))
+    return g
+
+
 def lieb_lattice(nx_: int, ny_: int, periodic: bool = False) -> NamedGraph:
     """Lieb lattice: square grid with even-even vertices removed
     (`graph_ops.jl:25-38`)."""
