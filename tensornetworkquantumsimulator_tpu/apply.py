@@ -289,11 +289,11 @@ def _optimise_p_q(p, q, envs, o, nfullupdatesweeps=10, maxdim=None, cutoff=None)
                 m_tensor = contract_pair(
                     m_tensor, _delta((i, i.prime()), dtype=m_tensor.dtype)
                 )
-        mat = m_tensor.array(tuple(xout) + tuple(xin))
+        mat = np.asarray(m_tensor.array(tuple(xout) + tuple(xin)))
         dsz = int(np.prod([i.dim for i in xin]))
         mat = mat.reshape(dsz, dsz)
-        bvec = rhs.array(tuple(xin)).reshape(dsz)
-        sol = jnp.linalg.lstsq(mat, bvec)[0]
+        bvec = np.asarray(rhs.array(tuple(xin))).reshape(dsz)
+        sol = np.linalg.lstsq(mat, bvec, rcond=None)[0].astype(mat.dtype)
         return Tensor(sol.reshape(tuple(i.dim for i in xin)), tuple(xin))
 
     for _ in range(nfullupdatesweeps):

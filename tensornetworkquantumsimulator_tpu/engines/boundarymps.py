@@ -79,8 +79,14 @@ class BoundaryMPSCache(AbstractBeliefPropagationCache):
         self._mps_bond_dimension = mps_bond_dimension
         self._partition_by = partition_by
 
-        grouping = (lambda v: v[0]) if partition_by == "row" else (lambda v: v[-1])
-        sorting = (lambda v: v[-1]) if partition_by == "row" else (lambda v: v[0])
+        def _first(v):
+            return v[0] if isinstance(v, tuple) else v
+
+        def _last(v):
+            return v[-1] if isinstance(v, tuple) else v
+
+        grouping = _first if partition_by == "row" else _last
+        sorting = _last if partition_by == "row" else _first
         self._grouping = grouping
         self._sorting = sorting
 
@@ -651,9 +657,11 @@ def rdm_boundarymps(
 
 
 def _rdm_partitioning(vs):
-    if all(v[0] == vs[0][0] for v in vs):
+    first = lambda v: v[0] if isinstance(v, tuple) else v
+    last = lambda v: v[-1] if isinstance(v, tuple) else v
+    if all(first(v) == first(vs[0]) for v in vs):
         return "row"
-    if all(v[-1] == vs[0][-1] for v in vs):
+    if all(last(v) == last(vs[0]) for v in vs):
         return "col"
     raise ValueError("Vertices must align in a single column or row for BoundaryMPS.")
 

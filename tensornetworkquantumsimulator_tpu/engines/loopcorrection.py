@@ -95,7 +95,7 @@ def _weight(bpc: BeliefPropagationCache, eg):
             # identity over the product space (row ⊗ col)
             dims = tuple(i.dim for i in row_inds)
             total = int(np.prod(dims))
-            eye = jnp.eye(total, dtype=bpc.scalartype()).reshape(dims + dims)
+            eye = np.eye(total, dtype=bpc.scalartype()).reshape(dims + dims)
             identity = Tensor(eye, tuple(row_inds) + tuple(col_inds))
             me = bpc.message(e)
             ap = identity - _outer(me, mer, tuple(row_inds) + tuple(col_inds))

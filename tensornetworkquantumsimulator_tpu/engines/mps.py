@@ -38,7 +38,7 @@ def mps_site_inds(tensors: List[Tensor], i: int) -> list:
 
 def mps_norm(tensors: List[Tensor]) -> float:
     """√⟨M|M⟩ by zipping the ladder left to right."""
-    env = Tensor(jnp.ones(()), ())
+    env = Tensor(np.ones(()), ())
     for t in tensors:
         env = contract_pair(env, t)
         env = contract_pair(env, t.dag().prime(which=_link_only(tensors, t)))

@@ -45,12 +45,12 @@ def symmetric_gauge_inplace(bp_cache: BeliefPropagationCache, regularization=Non
 
         def eig_roots(m: Tensor):
             arr = m.array((l, lp))
-            work = arr
-            w_, u_ = jnp.linalg.eigh(work)
-            w_ = jnp.real(w_) + regularization
-            uh = jnp.conj(u_).T
-            root = (u_ * jnp.sqrt(w_)[None, :]) @ uh
-            inv_root = (u_ * (1.0 / jnp.sqrt(w_))[None, :]) @ uh
+            xp = np if isinstance(arr, np.ndarray) else jnp
+            w_, u_ = xp.linalg.eigh(arr)
+            w_ = xp.real(w_) + regularization
+            uh = xp.conj(u_).T
+            root = (u_ * xp.sqrt(w_)[None, :]) @ uh
+            inv_root = (u_ * (1.0 / xp.sqrt(w_))[None, :]) @ uh
             return root, inv_root
 
         rootX, inv_rootX = eig_roots(bp_cache.message(e))
@@ -62,7 +62,8 @@ def symmetric_gauge_inplace(bp_cache: BeliefPropagationCache, regularization=Non
 
         # Ce = √X · √Y^T over the bond; Ce = U diag(s) Vh
         ce = rootX @ rootY.T
-        uu, ss, vvh = jnp.linalg.svd(ce, full_matrices=False)
+        xp = np if isinstance(ce, np.ndarray) else jnp
+        uu, ss, vvh = xp.linalg.svd(ce, full_matrices=False)
         k = ss.shape[0]
         new_l = Index(int(k), tags=l.tags)
         U = Tensor(uu, (l, new_l))
@@ -71,8 +72,8 @@ def symmetric_gauge_inplace(bp_cache: BeliefPropagationCache, regularization=Non
         psis = contract_pair(psis, U)
         psid = contract_pair(psid.replaceind(l, l_sim), V)
 
-        S = Tensor(jnp.diag(ss.astype(psis.dtype)), (new_l, new_l.prime()))
-        sqrtS = Tensor(jnp.diag(jnp.sqrt(ss).astype(psis.dtype)), (new_l, new_l.prime()))
+        S = Tensor(xp.diag(ss.astype(psis.dtype)), (new_l, new_l.prime()))
+        sqrtS = Tensor(xp.diag(xp.sqrt(ss).astype(psis.dtype)), (new_l, new_l.prime()))
         psis = contract_pair(psis, sqrtS).noprime()
         psid = contract_pair(psid, sqrtS).noprime()
         tn.setindex_preserve(psis, vsrc)
@@ -138,9 +139,11 @@ def entanglement(psi, e, alg: str = None, cache_update_kwargs=None):
     root_m2, _ = pseudo_sqrt_inv_sqrt(m2)
     l_sim = l.sim()
     s = contract_pair(root_m1, root_m2.replaceind(l, l_sim))
-    sv = jnp.linalg.svd(s.array((l, l_sim)), compute_uv=False)
-    sv = sv / jnp.linalg.norm(sv)
+    arr = s.array((l, l_sim))
+    xp = np if isinstance(arr, np.ndarray) else jnp
+    sv = xp.linalg.svd(arr, compute_uv=False)
     sv = np.asarray(sv)
+    sv = sv / np.linalg.norm(sv)
     eps = float(jnp.finfo(sv.dtype).eps)
     ee = -sum(d * d * np.log(d * d) for d in sv if abs(d) >= eps)
     return abs(ee)

@@ -60,6 +60,14 @@ def observables_vertices(observable, g: NamedGraph):
     return out
 
 
+def _first(v):
+    return v[0] if isinstance(v, tuple) else v
+
+
+def _last(v):
+    return v[-1] if isinstance(v, tuple) else v
+
+
 def boundarymps_partitioning(observable, g: NamedGraph) -> str:
     """Row vs column partitioning so each observable stays inside one
     partition (`expect.jl:181-195`)."""
@@ -67,9 +75,9 @@ def boundarymps_partitioning(observable, g: NamedGraph) -> str:
     partitioning = None
     for o in observables:
         vs = observables_vertices(o, g)
-        if all(v[0] == vs[0][0] for v in vs) and partitioning in ("row", None):
+        if all(_first(v) == _first(vs[0]) for v in vs) and partitioning in ("row", None):
             partitioning = "row"
-        elif all(v[-1] == vs[0][-1] for v in vs) and partitioning in ("col", None):
+        elif all(_last(v) == _last(vs[0]) for v in vs) and partitioning in ("col", None):
             partitioning = "col"
         else:
             raise ValueError(

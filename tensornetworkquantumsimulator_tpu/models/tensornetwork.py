@@ -466,18 +466,18 @@ def add(tn1: AbstractTensorNetwork, tn2: AbstractTensorNetwork):
             raise ValueError("direct-sum add: dangling index mismatch")
         new_inds = tuple(shared1) + tuple(l12)
         shape = tuple(i.dim for i in new_inds)
-        data = jnp.zeros(shape, dtype=dtype)
-        a1 = t1.array(tuple(shared1) + tuple(l1)).astype(dtype)
-        a2 = t2.replaceinds(shared2, shared1).array(
-            tuple(shared1) + tuple(l2)
+        data = np.zeros(shape, dtype=dtype)
+        a1 = np.asarray(t1.array(tuple(shared1) + tuple(l1))).astype(dtype)
+        a2 = np.asarray(
+            t2.replaceinds(shared2, shared1).array(tuple(shared1) + tuple(l2))
         ).astype(dtype)
         sl1 = tuple([slice(None)] * len(shared1) + [slice(0, i.dim) for i in l1])
         sl2 = tuple(
             [slice(None)] * len(shared2)
             + [slice(i1.dim, i1.dim + i2.dim) for i1, i2 in zip(l1, l2)]
         )
-        data = data.at[sl1].set(a1)
-        data = data.at[sl2].set(a2)
+        data[sl1] = a1
+        data[sl2] = a2
         out_tensors[v] = Tensor(data, new_inds)
     tn12 = TensorNetwork(out_tensors, tn1.graph().copy())
     if is_state:

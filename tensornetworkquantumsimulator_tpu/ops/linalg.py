@@ -17,6 +17,12 @@ from .index import Index, uniqueinds
 from .tensor import Tensor, _canonical_dtype
 
 
+def _xp(arr):
+    """Backend module for an array: numpy stays numpy (no XLA compiles in
+    the eager generic engine), jax stays jax."""
+    return np if isinstance(arr, np.ndarray) else jnp
+
+
 def _matricize(t: Tensor, left_inds):
     left = [i for i in t.inds if i in set(left_inds)]
     right = uniqueinds(t.inds, left)
@@ -28,7 +34,13 @@ def _matricize(t: Tensor, left_inds):
 
 def _promote_f64(arr):
     """Reference `safe_eigen` (`utils.jl:77-91`): do eigen in 64-bit when the
-    runtime allows it (tests run with x64 on CPU; on TPU this is a no-op)."""
+    runtime allows it (always for numpy; x64-gated for jax)."""
+    if isinstance(arr, np.ndarray):
+        if arr.dtype == np.float32:
+            return arr.astype(np.float64), arr.dtype
+        if arr.dtype == np.complex64:
+            return arr.astype(np.complex128), arr.dtype
+        return arr, arr.dtype
     if arr.dtype == jnp.float32:
         return arr.astype(_canonical_dtype(jnp.float64)), arr.dtype
     if arr.dtype == jnp.complex64:
@@ -74,7 +86,8 @@ def svd_truncated(
     """
     mat, left, right = _matricize(t, left_inds)
     work, orig_dtype = _promote_f64(mat)
-    u, s, vh = jnp.linalg.svd(work, full_matrices=False)
+    xp = _xp(work)
+    u, s, vh = xp.linalg.svd(work, full_matrices=False)
     s_host = np.asarray(s)
     k = truncation_rank(s_host, maxdim=maxdim, cutoff=cutoff, mindim=mindim)
     p = s_host.astype(np.float64) ** 2
@@ -83,7 +96,7 @@ def svd_truncated(
 
     u, s, vh = u[:, :k], s[:k], vh[:k, :]
     if ortho == "none":
-        rs = jnp.sqrt(s)
+        rs = xp.sqrt(s)
         x, y = u * rs[None, :], rs[:, None] * vh
     elif ortho == "left":
         x, y = u, s[:, None] * vh
@@ -93,19 +106,19 @@ def svd_truncated(
         raise ValueError(f"unknown ortho {ortho}")
     x = x.astype(orig_dtype)
     y = y.astype(orig_dtype)
-    s = s.astype(orig_dtype if not jnp.iscomplexobj(mat) else mat.real.dtype)
+    s = s.astype(np.zeros((), orig_dtype).real.dtype)  # σ are real
 
     bond = Index(int(k), tags=tags)
     X = Tensor(x.reshape(tuple(i.dim for i in left) + (k,)), tuple(left) + (bond,))
     Y = Tensor(y.reshape((k,) + tuple(i.dim for i in right)), (bond,) + tuple(right))
-    s_t = Tensor(jnp.diag(s), (bond, bond.prime()))
+    s_t = Tensor(xp.diag(s), (bond, bond.prime()))
     return X, Y, s_t, truncerr, bond
 
 
 def qr_factor(t: Tensor, left_inds, tags=("qr",)):
     """QR split: t = Q·R with Q isometric on (left_inds | bond)."""
     mat, left, right = _matricize(t, left_inds)
-    q, r = jnp.linalg.qr(mat, mode="reduced")
+    q, r = _xp(mat).linalg.qr(mat, mode="reduced")
     k = q.shape[1]
     bond = Index(int(k), tags=tags)
     Q = Tensor(q.reshape(tuple(i.dim for i in left) + (k,)), tuple(left) + (bond,))
@@ -138,7 +151,7 @@ def eigh_tensor(t: Tensor):
     if t.ndim != 2:
         raise ValueError("eigh_tensor expects a matrix tensor")
     work, orig_dtype = _promote_f64(t.data)
-    w, u = jnp.linalg.eigh(work)
+    w, u = _xp(work).linalg.eigh(work)
     return w, u, orig_dtype
 
 
@@ -149,14 +162,15 @@ def pseudo_sqrt_inv_sqrt(m: Tensor, cutoff=None):
     Both results carry the same (row, col) indices as ``m``.
     """
     if cutoff is None:
-        cutoff = 10 * float(jnp.finfo(jnp.real(m.data).dtype).eps)
+        cutoff = 10 * float(np.finfo(np.zeros((), m.dtype).real.dtype).eps)
     w, u, orig_dtype = eigh_tensor(m)
-    w = jnp.real(w)
-    good = (jnp.abs(w) >= cutoff) & (w > 0)
-    safe = jnp.where(good, w, 1.0)
-    sqrt_w = jnp.where(good, jnp.sqrt(safe), 0.0)
-    inv_sqrt_w = jnp.where(good, 1.0 / jnp.sqrt(safe), 0.0)
-    uh = jnp.conj(u).T
+    xp = _xp(u)
+    w = xp.real(w)
+    good = (xp.abs(w) >= cutoff) & (w > 0)
+    safe = xp.where(good, w, 1.0)
+    sqrt_w = xp.where(good, xp.sqrt(safe), 0.0)
+    inv_sqrt_w = xp.where(good, 1.0 / xp.sqrt(safe), 0.0)
+    uh = xp.conj(u).T
     m_sqrt = (u * sqrt_w[None, :]) @ uh
     m_inv_sqrt = (u * inv_sqrt_w[None, :]) @ uh
     return (
@@ -171,5 +185,5 @@ def eigendecomp_hermitian(m: Tensor, regularization=0.0):
     Used by the symmetric gauge (`symmetric_gauge.jl:12-20`).
     """
     w, u, orig_dtype = eigh_tensor(m)
-    w = jnp.real(w) + regularization
+    w = _xp(u).real(w) + regularization
     return u, w, orig_dtype

@@ -1,14 +1,18 @@
-"""Dense named-index tensors on JAX arrays.
+"""Dense named-index tensors.
 
 TPU-native replacement for the dense-`ITensor` subset the reference relies on
 (contraction `*`, `dag`, `prime`, `delta`, `onehot`, `random_itensor`,
 `replaceinds`, `noprime`, elementwise algebra; see
 `/root/reference/src/imports.jl` and usage throughout `/root/reference/src/`).
 
-A :class:`Tensor` is a pytree: the data is a ``jax.Array`` leaf and the index
+A :class:`Tensor` is a pytree: the data is an array leaf and the index
 tuple is static metadata, so closures over Tensors can be ``jax.jit``-ed and
-``vmap``-ed.  All pairwise contractions lower to a single ``jnp.einsum`` (an
-XLA dot-general, i.e. an MXU op on TPU).
+``vmap``-ed.  All pairwise contractions lower to a single einsum.
+
+Dual backend: numpy data stays on numpy (the generic eager engine — no XLA
+compile per op, which matters because evolving bond dimensions would force
+a fresh compile for nearly every shape), jax data stays on jax (jitted
+contexts).  Mixing promotes to jax.
 """
 
 from __future__ import annotations
@@ -28,6 +32,14 @@ _PRECISION = jax.lax.Precision.HIGHEST
 def _canonical_dtype(dtype):
     """Map a requested dtype to what JAX will actually produce (x64 gating)."""
     return jnp.zeros((), dtype=dtype).dtype
+
+
+def _is_np(*arrays) -> bool:
+    return all(isinstance(a, np.ndarray) for a in arrays)
+
+
+def _conj(a):
+    return np.conj(a) if isinstance(a, np.ndarray) else jnp.conj(a)
 
 
 def _weak_scalar(x):
@@ -51,8 +63,8 @@ class Tensor:
     __slots__ = ("data", "inds")
 
     def __init__(self, data, inds: Sequence[Index]):
-        if not isinstance(data, jax.Array):
-            data = jnp.asarray(data)
+        if not isinstance(data, (jax.Array, np.ndarray)):
+            data = np.asarray(data)
         inds = tuple(inds)
         if data.ndim != len(inds):
             raise ValueError(f"data ndim {data.ndim} != #inds {len(inds)}")
@@ -105,6 +117,8 @@ class Tensor:
         if set(inds_order) != set(self.inds):
             raise ValueError("inds_order must be a permutation of inds")
         perm = tuple(self.inds.index(i) for i in inds_order)
+        if isinstance(self.data, np.ndarray):
+            return np.transpose(self.data, perm)
         return jnp.transpose(self.data, perm)
 
     # -- index transformations ---------------------------------------------
@@ -132,7 +146,7 @@ class Tensor:
         return Tensor(self.data, new)
 
     def dag(self) -> "Tensor":
-        return Tensor(jnp.conj(self.data), self.inds)
+        return Tensor(_conj(self.data), self.inds)
 
     def conj(self) -> "Tensor":
         return self.dag()
@@ -174,22 +188,31 @@ class Tensor:
         return Tensor(self.data / _weak_scalar(other), self.inds)
 
     def norm(self):
+        if isinstance(self.data, np.ndarray):
+            return float(np.linalg.norm(self.data.reshape(-1)))
         return jnp.linalg.norm(self.data.reshape(-1)).item()
 
     def normalize(self) -> "Tensor":
-        n = jnp.linalg.norm(self.data.reshape(-1))
+        if isinstance(self.data, np.ndarray):
+            n = np.linalg.norm(self.data.reshape(-1))
+        else:
+            n = jnp.linalg.norm(self.data.reshape(-1))
         return Tensor(self.data / n, self.inds)
 
     def sum_entries(self):
+        if isinstance(self.data, np.ndarray):
+            return np.sum(self.data).item()
         return jnp.sum(self.data).item()
 
     def isreal(self) -> bool:
-        return not jnp.iscomplexobj(self.data)
+        return not np.iscomplexobj(self.data) if isinstance(
+            self.data, np.ndarray
+        ) else not jnp.iscomplexobj(self.data)
 
     def astype(self, dtype) -> "Tensor":
         dtype = _canonical_dtype(dtype)
         data = self.data
-        if jnp.iscomplexobj(data) and not jnp.issubdtype(dtype, jnp.complexfloating):
+        if np.iscomplexobj(data) and not jnp.issubdtype(dtype, jnp.complexfloating):
             data = data.real
         return Tensor(data.astype(dtype), self.inds)
 
@@ -219,9 +242,11 @@ def contract_pair(a: Tensor, b: Tensor, keep=()) -> Tensor:
     sub_b = "".join(letters[i] for i in b.inds)
     out_inds = tuple(a_only) + tuple(b_only)
     sub_out = "".join(letters[i] for i in out_inds)
-    data = jnp.einsum(
-        f"{sub_a},{sub_b}->{sub_out}", a.data, b.data, precision=_PRECISION
-    )
+    eq = f"{sub_a},{sub_b}->{sub_out}"
+    if _is_np(a.data, b.data):
+        data = np.einsum(eq, a.data, b.data, optimize=True)
+    else:
+        data = jnp.einsum(eq, a.data, b.data, precision=_PRECISION)
     return Tensor(data, out_inds)
 
 
@@ -273,20 +298,21 @@ def delta(inds: Sequence[Index] | Index, dtype=jnp.float64) -> Tensor:
     inds = tuple(inds)
     dtype = _canonical_dtype(dtype)
     if len(inds) == 0:
-        return Tensor(jnp.ones((), dtype=dtype), ())
+        return Tensor(np.ones((), dtype=dtype), ())
     if len(inds) == 1:
-        return Tensor(jnp.ones(inds[0].dim, dtype=dtype), inds)
+        return Tensor(np.ones(inds[0].dim, dtype=dtype), inds)
     shape = tuple(i.dim for i in inds)
     k = min(shape)
     data = np.zeros(shape, dtype=np.float64)
     data[tuple(np.arange(k) for _ in shape)] = 1.0
-    return Tensor(jnp.asarray(data, dtype=dtype), inds)
+    return Tensor(data.astype(dtype), inds)
 
 
 def onehot(ind: Index, pos: int, dtype=jnp.float64) -> Tensor:
     """Basis vector e_pos on ``ind`` (0-based; ITensors ``onehot`` is 1-based)."""
     dtype = _canonical_dtype(dtype)
-    data = jnp.zeros(ind.dim, dtype=dtype).at[pos].set(1.0)
+    data = np.zeros(ind.dim, dtype=dtype)
+    data[pos] = 1.0
     return Tensor(data, (ind,))
 
 
@@ -305,11 +331,12 @@ def random_tensor(key, inds: Sequence[Index], dtype=jnp.float64) -> Tensor:
         data = data.astype(dtype)
     else:
         data = jax.random.normal(key, shape, dtype)
-    return Tensor(data, inds)
+    return Tensor(np.asarray(data), inds)
 
 
 def from_array(arr, inds: Sequence[Index], dtype=None) -> Tensor:
-    arr = jnp.asarray(arr)
+    if not isinstance(arr, (jax.Array, np.ndarray)):
+        arr = np.asarray(arr)
     if dtype is not None:
         arr = arr.astype(_canonical_dtype(dtype))
     return Tensor(arr, tuple(inds))
@@ -343,6 +370,8 @@ def diagonal(t: Tensor):
     """Diagonal of a (i, i') two-index tensor as a 1-d array."""
     if t.ndim != 2:
         raise ValueError("diagonal expects a matrix tensor")
+    if isinstance(t.data, np.ndarray):
+        return np.diagonal(t.data)
     return jnp.diagonal(t.data)
 
 
@@ -350,6 +379,9 @@ def map_diag(f, t: Tensor) -> Tensor:
     """Apply f elementwise to the matrix diagonal, keep off-diagonals."""
     if t.ndim != 2:
         raise ValueError("map_diag expects a matrix tensor")
+    if isinstance(t.data, np.ndarray):
+        d = np.diagonal(t.data)
+        return Tensor(t.data + np.diag(f(d) - d), t.inds)
     d = jnp.diagonal(t.data)
     return Tensor(t.data + jnp.diag(f(d) - d), t.inds)
 
@@ -361,7 +393,7 @@ def combiner(inds: Sequence[Index], dtype=jnp.float64, tags=("combined",)):
     dims = tuple(i.dim for i in inds)
     total = int(np.prod(dims))
     comb = Index(total, tags=tags)
-    data = jnp.eye(total, dtype=_canonical_dtype(dtype)).reshape(dims + (total,))
+    data = np.eye(total, dtype=_canonical_dtype(dtype)).reshape(dims + (total,))
     return Tensor(data, inds + (comb,)), comb
 
 
@@ -380,5 +412,5 @@ def make_hermitian(t: Tensor) -> Tensor:
     if t.ndim != 2:
         raise ValueError("make_hermitian expects a matrix tensor")
     i, j = t.inds
-    swapped = Tensor(jnp.conj(t.data).T, (i, j))
+    swapped = Tensor(_conj(t.data).T, (i, j))
     return Tensor((t.data + swapped.data) / 2, t.inds)
