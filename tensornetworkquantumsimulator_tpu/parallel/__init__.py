@@ -14,6 +14,7 @@ from .engine import (
     BatchedState,
     apply_color_group,
     apply_one_site,
+    bond_expectations,
     bp_iteration,
     bp_update,
     identity_messages,

@@ -378,3 +378,56 @@ def local_expectations(
     numer = jnp.einsum("vsz,zs->v", rho, op.astype(rho.dtype), precision=_PRECISION)
     denom = jnp.einsum("vss->v", rho)
     return numer / denom
+
+
+def _site_transfer(state: BatchedState, idx, skip_slot: int):
+    """E[b, l, l', s, s'] at the given vertices: ψ ψ̄ with all incoming
+    messages absorbed except on ``skip_slot`` (open site legs)."""
+    D = state.degree
+    t = state.tensors[idx]
+    m = state.messages[idx]
+    acc = t
+    for k in range(D):
+        if k != skip_slot:
+            acc = _absorb(acc, m[:, k], 1 + k)
+    lab = [_LETTERS[k] for k in range(D)]
+    acc_lab = list(lab)
+    acc_lab[skip_slot] = "o"
+    conj_lab = list(lab)
+    conj_lab[skip_slot] = "p"
+    eq = f"v{''.join(acc_lab)}s,v{''.join(conj_lab)}z->vopsz"
+    return jnp.einsum(eq, acc, jnp.conj(t), precision=_PRECISION)
+
+
+def bond_expectations(
+    spec: BatchedGraphSpec,
+    state: BatchedState,
+    op1: jax.Array,
+    op2: jax.Array,
+) -> jax.Array:
+    """⟨op1 ⊗ op2⟩ for every graph edge (nearest-neighbor 2-site
+    observables — the BP Steiner-tree contraction of `expect.jl:58-83`
+    specialized to an edge, batched over all edges).
+
+    Returns values in the order of ``spec.edges``."""
+    out = []
+    # bucket edges by (slot_u, slot_v) so the transfer construction is static
+    buckets: dict = {}
+    for pos, (iu, iv, su, sv) in enumerate(spec.edges):
+        buckets.setdefault((su, sv), []).append((pos, iu, iv))
+    results = [None] * len(spec.edges)
+    for (su, sv), entries in sorted(buckets.items()):
+        u_idx = jnp.asarray([e[1] for e in entries], dtype=jnp.int32)
+        v_idx = jnp.asarray([e[2] for e in entries], dtype=jnp.int32)
+        eu = _site_transfer(state, u_idx, su)  # [B, l, l', s, s']
+        ev = _site_transfer(state, v_idx, sv)
+        o1 = op1.astype(eu.dtype)
+        o2 = op2.astype(eu.dtype)
+        numer = jnp.einsum(
+            "bopsz,zs,bopcx,xc->b", eu, o1, ev, o2, precision=_PRECISION
+        )
+        denom = jnp.einsum("bopss,bopcc->b", eu, ev, precision=_PRECISION)
+        vals = numer / denom
+        for j, e in enumerate(entries):
+            results[e[0]] = vals[j]
+    return jnp.stack(results)

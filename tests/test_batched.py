@@ -120,3 +120,24 @@ def test_batched_layer_multichip_shards():
     state, errs = layer_fn(state)
     z = local_expectations(spec, state, jnp.asarray(op_matrix("Z", 2)))
     assert np.all(np.isfinite(np.asarray(z)))
+
+
+def test_batched_bond_expectations():
+    from tensornetworkquantumsimulator_tpu.parallel import bond_expectations
+    from tensornetworkquantumsimulator_tpu import random_tensornetworkstate
+
+    g = named_grid((3, 3))
+    psi = random_tensornetworkstate(jnp.float64, g, bond_dimension=3)
+    spec, state = batched_from_tns(psi, chi=3)
+    state = bp_update(spec, state, maxiter=150, tolerance=1e-14)
+    zz = bond_expectations(
+        spec, state,
+        jnp.asarray(op_matrix("Z", 2)), jnp.asarray(op_matrix("Z", 2)),
+    )
+    for pos, (iu, iv, su, sv) in enumerate(spec.edges):
+        u, v = spec.vertices[iu], spec.vertices[iv]
+        ref = tnqs.expect(
+            psi, ("ZZ", [u, v]), alg="bp",
+            cache_update_kwargs=dict(maxiter=300, tolerance=1e-15),
+        )
+        np.testing.assert_allclose(float(np.real(zz[pos])), np.real(ref), atol=2e-6)
