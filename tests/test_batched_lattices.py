@@ -68,3 +68,56 @@ def test_3d_torus_batched_matches_generic():
         layer += [("Rxx", pair, -0.08) for pair in group]
     vc = g.center()[0]
     _check_lattice(g, layer, chi=3, obs_v=vc, nl=1, atol=2e-5)
+
+
+def test_batched_heisenberg_picture():
+    """Batched evolution of a Pauli-basis operator state (d=4 PTM gates)
+    cross-validated against the generic engine."""
+    from tensornetworkquantumsimulator_tpu import paulitensornetworkstate
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        batched_from_tns,
+        bp_update,
+    )
+
+    g = named_grid((3, 3))
+    vz = g.center()[0]
+    layer = [("Rz", [v], -0.05) for v in g.vertices()]
+    for group in edge_color(g, 4):
+        layer += [("Rxx", pair, -0.1) for pair in group]
+    layer = list(reversed(layer))
+
+    chi = 4
+    op0 = paulitensornetworkstate(
+        jnp.complex128, lambda v: "Z" if v == vz else "I", g
+    )
+    # generic
+    op_g, _ = tnqs.apply_circuit(
+        layer, op0,
+        apply_kwargs=dict(maxdim=chi, cutoff=1e-13, normalize_tensors=False),
+        bp_update_kwargs=dict(maxiter=80, tolerance=1e-13),
+    )
+    from tensornetworkquantumsimulator_tpu import tensornetworkstate
+
+    w_ref = tensornetworkstate(
+        jnp.complex128, lambda v: [1.0, 0.0, 0.0, 1.0], g, op_g.siteinds()
+    )
+    tr_ref = tnqs.inner(w_ref, op_g, alg="bp")
+
+    # batched (PTM path via heisenberg flag)
+    spec, state = batched_from_tns(op0, chi=chi)
+    circuit = BatchedCircuit(layer, g, spec=spec, d=4, heisenberg=True)
+    layer_fn = make_layer_fn(
+        circuit, chi=chi, cutoff=1e-13, normalize_tensors=False,
+        bp_maxiter=80, bp_tolerance=1e-13,
+    )
+    state, _ = layer_fn(state)
+    # ⟨O(t)⟩ on |↑…↑⟩ = coefficients contracted with [1,0,0,1] per site
+    from tensornetworkquantumsimulator_tpu.parallel import batched_to_tns
+
+    op_b = batched_to_tns(spec, state, g, op0.siteinds())
+    w_b = tensornetworkstate(
+        jnp.complex128, lambda v: [1.0, 0.0, 0.0, 1.0], g, op_b.siteinds()
+    )
+    tr_b = tnqs.inner(w_b, op_b, alg="bp")
+    assert abs(np.real(tr_ref)) > 0.1  # ⟨Z(t)⟩ on |↑...↑⟩ is O(1)
+    np.testing.assert_allclose(np.real(tr_b), np.real(tr_ref), rtol=1e-5)
