@@ -21,5 +21,6 @@ from .engine import (
     local_expectations,
     local_rdms,
 )
+from .boundarymps import make_grid_bmps
 from .structure import BatchedGraphSpec, SlotPairBucket, compile_graph
 from .trotter import BatchedCircuit, make_expectation_fn, make_layer_fn

@@ -47,7 +47,6 @@ def make_bp_sampler(
     RDM's diagonal, project the site, refresh BP a few flooding iterations,
     move to the next vertex."""
     V = spec.num_vertices
-    d = 0  # placeholder; taken from state at call time
 
     def sample_one(state: BatchedState, key):
         def step(carry, v):

@@ -174,7 +174,6 @@ def make_sharded_bp_update(
 
     D = sspec.spec.degree
     S = sspec.num_shards
-    chi_eye = None
 
     tables = dict(
         snv=jnp.asarray(sspec.send_next_v),

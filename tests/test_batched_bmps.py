@@ -1,0 +1,43 @@
+"""Batched (lax.scan fitting) boundary MPS vs the generic engine and exact
+contraction."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import tensornetworkquantumsimulator_tpu as tnqs
+from tensornetworkquantumsimulator_tpu import named_grid, random_tensornetworkstate
+from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+from tensornetworkquantumsimulator_tpu.parallel import batched_from_tns
+from tensornetworkquantumsimulator_tpu.parallel.boundarymps import make_grid_bmps
+
+
+def _z(norm_fn, tensors):
+    lz, ph = norm_fn(tensors)
+    return float(np.exp(np.asarray(lz))) * np.exp(1j * float(np.asarray(ph)))
+
+
+def test_grid_bmps_norm_and_expectations():
+    nx = ny = 4
+    chi = 3
+    g = named_grid((nx, ny))
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=chi)
+    psi = tnqs.normalize(psi, alg="bp")
+    spec, state = batched_from_tns(psi, chi=chi)
+
+    z_exact = tnqs.norm_sqr(psi, alg="exact")
+
+    # at matched rank the batched fitting agrees with the generic engine
+    norm16, _ = make_grid_bmps(spec, nx, ny, kmps=16, niters=20)
+    z_gen = tnqs.norm_sqr(psi, alg="boundarymps", mps_bond_dimension=16)
+    np.testing.assert_allclose(np.real(_z(norm16, state.tensors)), np.real(z_gen), rtol=1e-4)
+
+    # at full interface rank (81 = (χ²)² for a width-4 interface) it is exact
+    norm81, expect81 = make_grid_bmps(spec, nx, ny, kmps=81, niters=12)
+    np.testing.assert_allclose(
+        np.real(_z(norm81, state.tensors)), np.real(z_exact), rtol=1e-9
+    )
+
+    z_vals = np.asarray(expect81(state.tensors, jnp.asarray(op_matrix("Z", 2))))
+    for i, v in enumerate(spec.vertices):
+        ref = tnqs.expect(psi, ("Z", [v]), alg="exact")
+        np.testing.assert_allclose(z_vals[i], np.real(ref), atol=1e-9)
