@@ -31,13 +31,22 @@ def test_grid_bmps_norm_and_expectations():
     z_gen = tnqs.norm_sqr(psi, alg="boundarymps", mps_bond_dimension=16)
     np.testing.assert_allclose(np.real(_z(norm16, state.tensors)), np.real(z_gen), rtol=1e-4)
 
-    # at full interface rank (81 = (χ²)² for a width-4 interface) it is exact
-    norm81, expect81 = make_grid_bmps(spec, nx, ny, kmps=81, niters=12)
-    np.testing.assert_allclose(
-        np.real(_z(norm81, state.tensors)), np.real(z_exact), rtol=1e-9
-    )
 
-    z_vals = np.asarray(expect81(state.tensors, jnp.asarray(op_matrix("Z", 2))))
+
+def test_grid_bmps_exact_at_full_rank():
+    # width-3 interface: full rank is (χ²)^1 = 9, so K=9 is exact — a cheap
+    # end-to-end exactness check of the fitting/contraction machinery
+    nx, ny, chi = 4, 3, 3
+    g = named_grid((nx, ny))
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=chi)
+    psi = tnqs.normalize(psi, alg="bp")
+    spec, state = batched_from_tns(psi, chi=chi)
+    z_exact = tnqs.norm_sqr(psi, alg="exact")
+    norm9, expect9 = make_grid_bmps(spec, nx, ny, kmps=9, niters=12)
+    np.testing.assert_allclose(
+        np.real(_z(norm9, state.tensors)), np.real(z_exact), rtol=1e-9
+    )
+    z_vals = np.asarray(expect9(state.tensors, jnp.asarray(op_matrix("Z", 2))))
     for i, v in enumerate(spec.vertices):
         ref = tnqs.expect(psi, ("Z", [v]), alg="exact")
         np.testing.assert_allclose(z_vals[i], np.real(ref), atol=1e-9)
