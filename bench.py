@@ -75,6 +75,20 @@ def _bench_workload(g, layer, chi, nl_warm=3, nl_bench=25, bp_maxiter=25):
     return per_layer, z_val
 
 
+def run_heavyhex():
+    """Config 2: IBM-Eagle 127-qubit heavy-hex kicked Ising, chi=8
+    (the reference's `heavyhexIsing_dynamics.jl` workload at utility
+    scale)."""
+    from tensornetworkquantumsimulator_tpu.utils.lattices import ibm_eagle_lattice
+
+    gh = ibm_eagle_lattice()
+    layer_h = [("Rx", [v], 0.4) for v in gh.vertices()]
+    for group in edge_color(gh, 3):
+        layer_h += [("Rzz", pair, 2 * (3.14159 / 4)) for pair in group]
+    per_layer_h, _zh = _bench_workload(gh, layer_h, chi=8, nl_bench=10)
+    print(json.dumps({"heavyhex_per_layer": per_layer_h}))
+
+
 def main():
     dt, hx, hz, J = 0.25, 1.0, 0.8, 0.5
 
@@ -87,15 +101,24 @@ def main():
         layer += [("Rzz", pair, 2 * J * dt) for pair in colored_edges]
     per_layer, z_center = _bench_workload(g, layer, chi=10)
 
-    # config 2: IBM-Eagle 127-qubit heavy-hex kicked Ising, chi=8
-    # (the reference's `heavyhexIsing_dynamics.jl` workload at utility scale)
-    from tensornetworkquantumsimulator_tpu.utils.lattices import ibm_eagle_lattice
+    # config 2 runs in a fresh process: the axon runtime rejects new
+    # device_puts after a large unrelated program ran in the same process
+    import subprocess
+    import sys
 
-    gh = ibm_eagle_lattice()
-    layer_h = [("Rx", [v], 0.4) for v in gh.vertices()]
-    for group in edge_color(gh, 3):
-        layer_h += [("Rzz", pair, 2 * (3.14159 / 4)) for pair in group]
-    per_layer_h, _zh = _bench_workload(gh, layer_h, chi=8, nl_bench=10)
+    hh_layers_per_sec = float("nan")
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--heavyhex"],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                hh_layers_per_sec = 1.0 / json.loads(line)["heavyhex_per_layer"]
+    except Exception:
+        pass
 
     layers_per_sec = 1.0 / per_layer
     vs_baseline = BASELINE_SECONDS_PER_LAYER / per_layer
@@ -107,11 +130,16 @@ def main():
                 "unit": "layers/s",
                 "vs_baseline": round(vs_baseline, 2),
                 "z_center_28layers": round(z_center, 6),
-                "heavyhex127q_chi8_layers_per_sec": round(1.0 / per_layer_h, 3),
+                "heavyhex127q_chi8_layers_per_sec": round(hh_layers_per_sec, 3),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--heavyhex" in sys.argv:
+        run_heavyhex()
+    else:
+        main()
