@@ -255,6 +255,53 @@ def _contract_noprime(ts):
     return contract(ts, seq).noprime()
 
 
+def fidelity(envs, p_cur, q_cur, p_prev, q_prev, gate):
+    """|⟨gate·(p_prev q_prev), p_cur q_cur⟩|² / (norms) — the full-update
+    cost diagnostic (`full_update.jl:56-98`)."""
+    from .ops.index import commoninds as _common
+
+    p_sind = _common(p_cur.inds, gate.inds)[0]
+    q_sind = _common(q_cur.inds, gate.inds)[0]
+    p_sim, q_sim = p_sind.sim(), q_sind.sim()
+    gate_sq = contract_pair(
+        gate, gate.dag().replaceinds([p_sind, q_sind], [p_sim, q_sim])
+    )
+    term1 = contract(
+        [
+            p_prev,
+            q_prev,
+            p_prev.dag().prime().replaceind(p_sind.prime(), p_sim),
+            q_prev.dag().prime().replaceind(q_sind.prime(), q_sim),
+            gate_sq,
+        ]
+        + list(envs),
+        contraction_sequence(
+            [
+                p_prev,
+                q_prev,
+                p_prev.dag().prime().replaceind(p_sind.prime(), p_sim),
+                q_prev.dag().prime().replaceind(q_sind.prime(), q_sim),
+                gate_sq,
+            ]
+            + list(envs),
+            alg="optimal",
+        ),
+    ).scalar()
+    ts2 = [
+        p_cur,
+        q_cur,
+        p_cur.dag().prime().replaceind(p_sind.prime(), p_sind),
+        q_cur.dag().prime().replaceind(q_sind.prime(), q_sind),
+    ] + list(envs)
+    term2 = contract(ts2, contraction_sequence(ts2, alg="optimal")).scalar()
+    ts3 = [p_prev, q_prev, p_cur.dag().prime(), q_cur.dag().prime(), gate] + list(
+        envs
+    )
+    term3 = contract(ts3, contraction_sequence(ts3, alg="optimal")).scalar()
+    f = term3 / np.sqrt(term1 * term2)
+    return f * np.conj(f)
+
+
 def _optimise_p_q(p, q, envs, o, nfullupdatesweeps=10, maxdim=None, cutoff=None):
     """ALS sweeps solving M x = b per site (`full_update.jl:102-163`), with
     the Krylov solve replaced by a dense solve on the matricized normal

@@ -94,3 +94,41 @@ def test_exact_agreement_small_circuit():
     expected = np.real(state.conj() @ z_middle @ state)
     got = tnqs.expect(psi, ("Z", [vs[0]]), alg="exact")
     np.testing.assert_allclose(np.real(got), expected, rtol=1e-8)
+
+
+def test_full_update_matches_simple_update_on_tree():
+    """On a tree with converged BP envs and no truncation, full update and
+    simple update give the same state (both exact)."""
+    import tensornetworkquantumsimulator_tpu as tnqs
+    from tensornetworkquantumsimulator_tpu import (
+        BeliefPropagationCache,
+        random_tensornetworkstate,
+    )
+    from tensornetworkquantumsimulator_tpu.apply import full_update, simple_update
+    from tensornetworkquantumsimulator_tpu.models.gates import to_tensor
+
+    g = named_grid((3, 1))
+    psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=2)
+    psi = tnqs.normalize(psi, alg="bp")
+    cache = BeliefPropagationCache(psi).update(maxiter=50, tolerance=1e-14)
+    gate, verts = to_tensor(("Rzz", [(1, 1), (2, 1)], 0.3), psi.siteinds())
+    envs = cache.incoming_messages(verts)
+
+    t_fu = full_update(gate, psi, verts, envs=envs, nfullupdatesweeps=10)
+    psi_fu = psi.copy()
+    for t, v in zip(t_fu, verts):
+        psi_fu.tensornetwork().setindex_preserve(t, v)
+
+    t_su, _s, _err = simple_update(
+        gate, psi, verts, envs=envs, normalize_tensors=False
+    )
+    psi_su = psi.copy()
+    for t, v in zip(t_su, verts):
+        psi_su.tensornetwork().setindex_preserve(t, v)
+
+    # same physical state: overlap fidelity 1
+    ip = tnqs.inner(psi_fu, psi_su, alg="exact")
+    n1 = tnqs.norm_sqr(psi_fu, alg="exact")
+    n2 = tnqs.norm_sqr(psi_su, alg="exact")
+    f = abs(ip) ** 2 / abs(n1 * n2)
+    np.testing.assert_allclose(f, 1.0, rtol=1e-8)
