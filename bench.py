@@ -122,6 +122,10 @@ def main():
 
     layers_per_sec = 1.0 / per_layer
     vs_baseline = BASELINE_SECONDS_PER_LAYER / per_layer
+
+    def _num(x, nd):
+        return round(x, nd) if x == x else None  # NaN -> null (strict JSON)
+
     print(
         json.dumps(
             {
@@ -129,8 +133,8 @@ def main():
                 "value": round(layers_per_sec, 3),
                 "unit": "layers/s",
                 "vs_baseline": round(vs_baseline, 2),
-                "z_center_28layers": round(z_center, 6),
-                "heavyhex127q_chi8_layers_per_sec": round(hh_layers_per_sec, 3),
+                "z_center_28layers": _num(z_center, 6),
+                "heavyhex127q_chi8_layers_per_sec": _num(hh_layers_per_sec, 3),
             }
         )
     )
