@@ -58,7 +58,7 @@ class NamedGraph:
         for v in vertices:
             self._g.add_node(v)
         for e in edges:
-            self.add_edge(e)
+            self.add_edge_inplace(e)
 
     # -- structure ----------------------------------------------------------
     @classmethod

@@ -1,0 +1,95 @@
+"""Smaller API-surface parity checks vs the reference export list."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tensornetworkquantumsimulator_tpu as tnqs
+from tensornetworkquantumsimulator_tpu import (
+    BeliefPropagationCache,
+    QuadraticForm,
+    named_grid,
+    random_tensornetworkstate,
+    siteinds,
+)
+from tensornetworkquantumsimulator_tpu.ops import Index, make_hermitian, random_tensor
+import jax
+
+
+def test_expect_multi_observable_batch():
+    g = named_grid((3, 3))
+    psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=2)
+    obs = [("Z", [(1, 1)]), ("X", [(2, 2)]), ("Z", [(3, 3)], 0.5)]
+    vals = tnqs.expect(psi, obs, alg="bp")
+    assert len(vals) == 3
+    singles = [tnqs.expect(psi, o, alg="bp") for o in obs]
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(singles), rtol=1e-10)
+    # zero-coefficient observables short-circuit
+    assert tnqs.expect(psi, ("Z", [(1, 1)], 0), alg="bp") == 0
+
+
+def test_norm_function():
+    g = named_grid((3, 1))
+    psi = random_tensornetworkstate(jnp.float64, g, bond_dimension=2)
+    n = tnqs.norm(psi, alg="bp")
+    np.testing.assert_allclose(n * n, tnqs.norm_sqr(psi, alg="exact"), rtol=1e-10)
+
+
+def test_quadratic_form_with_operator():
+    # on a tree BP is exact, so Z(QF with op) = <Z> * <psi|psi>
+    g = named_grid((4, 1))
+    psi = random_tensornetworkstate(jnp.float64, g, bond_dimension=2)
+    qf = QuadraticForm(psi, lambda v: "Z" if v == (1, 1) else "I")
+    bpc = BeliefPropagationCache(qf).update(maxiter=50, tolerance=1e-14)
+    numer = bpc.partitionfunction()
+    expected = tnqs.expect(psi, ("Z", [(1, 1)]), alg="exact") * tnqs.norm_sqr(
+        psi, alg="exact"
+    )
+    np.testing.assert_allclose(numer, expected, rtol=1e-9)
+
+
+def test_make_hermitian():
+    i = Index(3)
+    t = random_tensor(jax.random.PRNGKey(0), (i, i.prime()), dtype=jnp.complex128)
+    h = make_hermitian(t)
+    arr = np.asarray(h.data)
+    np.testing.assert_allclose(arr, arr.conj().T, atol=1e-14)
+
+
+def test_insert_and_combine_virtualinds():
+    from tensornetworkquantumsimulator_tpu import TensorNetwork
+    from tensornetworkquantumsimulator_tpu.ops import random_tensor as rt
+    from tensornetworkquantumsimulator_tpu.utils import NamedEdge, NamedGraph
+
+    i, j, k = Index(2), Index(2), Index(2)
+    t1 = rt(jax.random.PRNGKey(1), (i, j))
+    t2 = rt(jax.random.PRNGKey(2), (i, j, k))
+    g = NamedGraph(["a", "b", "c"], [NamedEdge("a", "b"), NamedEdge("b", "c")])
+    tn = TensorNetwork({"a": t1, "b": t2, "c": rt(jax.random.PRNGKey(3), (k,))}, g)
+    # a-b share two indices: combine them into one
+    assert len(tn.virtualinds(NamedEdge("a", "b"))) == 2
+    tn.combine_virtualinds_inplace()
+    assert len(tn.virtualinds(NamedEdge("a", "b"))) == 1
+    assert tn.virtualind(NamedEdge("a", "b")).dim == 4
+
+    # disconnected-in-index edge gets a trivial bond inserted
+    g2 = NamedGraph(["x", "y"], [NamedEdge("x", "y")])
+    tn2 = TensorNetwork(
+        {"x": rt(jax.random.PRNGKey(4), (Index(2),)),
+         "y": rt(jax.random.PRNGKey(5), (Index(2),))},
+        g2,
+    )
+    assert not tn2.virtualinds(NamedEdge("x", "y"))
+    tn2.insert_virtualinds_inplace()
+    assert len(tn2.virtualinds(NamedEdge("x", "y"))) == 1
+
+
+def test_algorithm_check_errors():
+    g = named_grid((2, 2))
+    psi = random_tensornetworkstate(jnp.float64, g, bond_dimension=2)
+    with pytest.raises(ValueError):
+        tnqs.expect(psi, ("Z", [(1, 1)]), alg="loopcorrections")
+    with pytest.raises(ValueError):
+        tnqs.truncate(psi, alg="exact", maxdim=2)
+    with pytest.raises(ValueError):
+        tnqs.norm_sqr(psi, alg="nonsense")
