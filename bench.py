@@ -17,7 +17,9 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/tnqs_jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/tnqs_jax_cache_{jax.default_backend()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
