@@ -6,6 +6,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import tensornetworkquantumsimulator_tpu as tnqs
 from tensornetworkquantumsimulator_tpu import (
@@ -16,7 +17,7 @@ from tensornetworkquantumsimulator_tpu import (
 from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
 from tensornetworkquantumsimulator_tpu.parallel import (
     BatchedCircuit,
-    batched_from_tns,
+    batched_product_state,
     batched_to_tns,
     make_expectation_fn,
     make_layer_fn,
@@ -32,8 +33,7 @@ def main(hx=5, hy=5, no_trotter_steps=20, chi=8, nsamples=10):
     for edge_group in edge_color(g, 3):
         layer += [("Rzz", pair, 2 * J) for pair in edge_group]
 
-    psi0 = tensornetworkstate(jnp.complex64, lambda v: "↑", g, "S=1/2")
-    spec, state = batched_from_tns(psi0, chi=chi)
+    spec, state = batched_product_state(g, chi=chi, dtype=np.complex64)
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(circuit, chi=chi, cutoff=1e-12)
 
@@ -41,7 +41,6 @@ def main(hx=5, hy=5, no_trotter_steps=20, chi=8, nsamples=10):
     for i in range(1, no_trotter_steps + 1):
         t0 = time.perf_counter()
         state, errs = layer_fn(state)
-        import numpy as np
         fid = float(np.prod(1.0 - np.asarray(errs)))
         fidelities.append(fid)
         print(f"Trotter step {i}: layer fidelity {fid:.6f} "
@@ -54,11 +53,12 @@ def main(hx=5, hy=5, no_trotter_steps=20, chi=8, nsamples=10):
 
     central = sorted(g.vertices())[len(g.vertices()) // 2]
     z_fn = make_expectation_fn(spec, op_matrix("Z", 2), real_output=True)
-    import numpy as np
     sz_bp = np.asarray(z_fn(state))[spec.vertex_position(central)]
     print(f"BP magnetisation on {central}: {sz_bp:.6f}")
 
-    psi = batched_to_tns(spec, state, g, psi0.siteinds())
+    from tensornetworkquantumsimulator_tpu import siteinds as _siteinds
+
+    psi = batched_to_tns(spec, state, g, _siteinds("S=1/2", g))
     bitstrings = tnqs.sample_directly_certified(
         psi, nsamples, alg="boundarymps", norm_mps_bond_dimension=10
     )

@@ -18,7 +18,7 @@ from tensornetworkquantumsimulator_tpu import edge_color, named_grid, tensornetw
 from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
 from tensornetworkquantumsimulator_tpu.parallel import (
     BatchedCircuit,
-    batched_from_tns,
+    batched_product_state,
     batched_to_tns,
     make_expectation_fn,
     make_layer_fn,
@@ -37,8 +37,7 @@ def main(nl=20, nx=5, ny=5, chi=5, mps_bond_dimension=4):
 
     obs_v = ((nx + 1) // 2 + 1, (ny + 1) // 2 + 1)  # near the middle
 
-    psi0 = tensornetworkstate(jnp.complex64, lambda v: "↑", g, "S=1/2")
-    spec, state = batched_from_tns(psi0, chi=chi)
+    spec, state = batched_product_state(g, chi=chi, dtype=np.complex64)
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(circuit, chi=chi, cutoff=1e-10)
     z_fn = make_expectation_fn(spec, op_matrix("Z", 2), real_output=True)
@@ -56,7 +55,9 @@ def main(nl=20, nx=5, ny=5, chi=5, mps_bond_dimension=4):
         print(f"    BP Measured Sigmaz is {z_host[obs_pos]:.6f}")
 
     # boundary-MPS measurement through the generic engine
-    psi = batched_to_tns(spec, state, g, psi0.siteinds())
+    from tensornetworkquantumsimulator_tpu import siteinds as _siteinds
+
+    psi = batched_to_tns(spec, state, g, _siteinds("S=1/2", g))
     sz_bmps = tnqs.expect(
         psi, ("Z", [(3, 3)]), alg="boundarymps",
         mps_bond_dimension=mps_bond_dimension,

@@ -6,13 +6,14 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import tensornetworkquantumsimulator_tpu as tnqs
 from tensornetworkquantumsimulator_tpu import edge_color, named_grid, tensornetworkstate
 from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
 from tensornetworkquantumsimulator_tpu.parallel import (
     BatchedCircuit,
-    batched_from_tns,
+    batched_product_state,
     make_expectation_fn,
     make_layer_fn,
 )
@@ -20,7 +21,6 @@ from tensornetworkquantumsimulator_tpu.parallel import (
 
 def main(no_trotter_steps=10, chi=4):
     g = named_grid((3, 3, 3), periodic=True)
-    psi0 = tensornetworkstate(jnp.complex64, lambda v: "↑", g, "S=1/2")
 
     h, J, dt = -1.0, -1.0, 0.04
     layer = []
@@ -29,11 +29,10 @@ def main(no_trotter_steps=10, chi=4):
         layer += [("Rxx", pair, 2 * J * dt) for pair in colored_edges]
     layer += [("Rz", [v], h * dt) for v in g.vertices()]
 
-    spec, state = batched_from_tns(psi0, chi=chi)
+    spec, state = batched_product_state(g, chi=chi, dtype=np.complex64)
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(circuit, chi=chi, cutoff=1e-10)
     z_fn = make_expectation_fn(spec, op_matrix("Z", 2), real_output=True)
-    import numpy as np
     vc = g.center()[0]
     pos = spec.vertex_position(vc)
 
