@@ -181,6 +181,7 @@ def make_layer_fn(
     normalize_tensors: bool = True,
     bp_maxiter: int = 30,
     bp_tolerance: float | None = None,
+    bp_damping: float = 0.0,
     final_update: bool = True,
     jit: bool = True,
 ) -> Callable:
@@ -195,7 +196,8 @@ def make_layer_fn(
             else:
                 if seg.needs_refresh:
                     state = bp_update(
-                        spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance
+                        spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance,
+                        damping=bp_damping,
                     )
                 if seg.gates_per_bucket is None:
                     state, err = apply_color_group(
@@ -220,7 +222,8 @@ def make_layer_fn(
                         errs.append(err)
         if final_update:
             state = bp_update(
-                spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance
+                spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance,
+                damping=bp_damping,
             )
         all_errs = (
             jnp.concatenate(errs) if errs else jnp.zeros((0,), jnp.float32)
