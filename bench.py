@@ -41,31 +41,37 @@ from tensornetworkquantumsimulator_tpu.parallel.convert import batched_product_s
 BASELINE_SECONDS_PER_LAYER = 1.0
 
 
-def _bench_workload(g, layer, chi, nl_warm=3, nl_bench=25, bp_maxiter=25):
+def _bench_workload(g, layer, chi, nl_warm=3, nl_bench=50, bp_maxiter=25):
     from tensornetworkquantumsimulator_tpu.parallel import local_expectations
 
     spec, state = batched_product_state(g, chi=chi, dtype=np.complex64)
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(
         circuit, chi=chi, cutoff=1e-10, normalize_tensors=True,
-        bp_maxiter=bp_maxiter,
+        bp_maxiter=bp_maxiter, jit=False,
     )
     op = np.asarray(op_matrix("Z", 2))
     center = len(spec.vertices) // 2
 
-    # this TPU runtime only downloads scalars: reduce inside jit
+    # nl_bench layers + the per-layer measurement inside ONE program
+    # (lax.scan) so the tunnel round-trip latency doesn't pollute the
+    # device-throughput measurement
     @jax.jit
-    def expect_center(st):
-        return jnp.real(local_expectations(spec, st, op)[center])
+    def run_n(st):
+        def body(s, _):
+            s, errs = layer_fn(s)
+            z = jnp.real(local_expectations(spec, s, op)[center])
+            return s, z
+
+        st, zs = jax.lax.scan(body, st, None, length=nl_bench)
+        return st, zs[-1]
 
     for _ in range(nl_warm):
         state, errs = layer_fn(state)
-        z = expect_center(state)
+    state, z = run_n(state)  # compile + warm
     jax.block_until_ready((state, z))
     t0 = time.perf_counter()
-    for _ in range(nl_bench):
-        state, errs = layer_fn(state)
-        z = expect_center(state)
+    state, z = run_n(state)
     jax.block_until_ready((state, z))
     per_layer = (time.perf_counter() - t0) / nl_bench
     # some axon-runtime programs produce buffers whose host transfer is
@@ -135,7 +141,7 @@ def main():
                 "value": round(layers_per_sec, 3),
                 "unit": "layers/s",
                 "vs_baseline": round(vs_baseline, 2),
-                "z_center_28layers": _num(z_center, 6),
+                "z_center_after_layers": _num(z_center, 6),
                 "heavyhex127q_chi8_layers_per_sec": _num(hh_layers_per_sec, 3),
             }
         )
