@@ -136,8 +136,8 @@ def _get_one_sample(
     incoming_mps = None
     for i, partition in enumerate(partitions):
         pq, _logq, bitstring = _sample_partition(cache, partition, bitstring)
-        if p_over_q is None:
-            p_over_q = pq
+        p_over_q = pq  # the reference keeps the latest partition's first
+        # trace (`sampling.jl:227-231`)
         logq += _logq
         if i < len(partitions) - 1:
             next_partition = partitions[i + 1]
