@@ -22,5 +22,6 @@ from .engine import (
     local_rdms,
 )
 from .boundarymps import make_grid_bmps
+from .certified_sampling import make_grid_certified_sampler
 from .structure import BatchedGraphSpec, SlotPairBucket, compile_graph
 from .trotter import BatchedCircuit, make_expectation_fn, make_layer_fn
