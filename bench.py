@@ -41,7 +41,7 @@ from tensornetworkquantumsimulator_tpu.parallel.convert import batched_product_s
 BASELINE_SECONDS_PER_LAYER = 1.0
 
 
-def _bench_workload(g, layer, chi, nl_warm=3, nl_bench=50, bp_maxiter=25):
+def _bench_workload(g, layer, chi, nl_bench=50, bp_maxiter=25):
     from tensornetworkquantumsimulator_tpu.parallel import local_expectations
 
     spec, state = batched_product_state(g, chi=chi, dtype=np.complex64)
@@ -66,8 +66,6 @@ def _bench_workload(g, layer, chi, nl_warm=3, nl_bench=50, bp_maxiter=25):
         st, zs = jax.lax.scan(body, st, None, length=nl_bench)
         return st, zs[-1]
 
-    for _ in range(nl_warm):
-        state, errs = layer_fn(state)
     state, z = run_n(state)  # compile + warm
     jax.block_until_ready((state, z))
     t0 = time.perf_counter()
