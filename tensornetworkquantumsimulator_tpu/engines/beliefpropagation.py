@@ -14,8 +14,6 @@ for TPU lives in `parallel/batched_bp.py` and is validated against this one.
 from __future__ import annotations
 
 import math
-from typing import Callable, Iterable
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,7 +22,6 @@ from ..models.tensornetwork import (
     TensorNetwork,
     TensorNetworkState,
 )
-from ..ops.index import commoninds
 from ..ops.paths import contraction_sequence
 from ..ops.tensor import Tensor, contract, contract_pair, make_hermitian
 from ..utils.graphs import NamedEdge, NamedGraph, forest_cover_edge_sequence

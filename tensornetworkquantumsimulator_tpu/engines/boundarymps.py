@@ -14,8 +14,7 @@ is BP over the partitions graph, and each message update is either
 
 from __future__ import annotations
 
-import math
-from typing import Callable, List, Sequence
+from typing import Callable
 
 import numpy as np
 
@@ -27,7 +26,7 @@ from ..ops.paths import contraction_sequence
 from ..ops.tensor import Tensor, contract, contract_pair, delta
 from ..utils.graphs import NamedEdge, NamedGraph, forest_cover_edge_sequence
 from .beliefpropagation import AbstractBeliefPropagationCache, default_tolerance
-from .mps import generic_apply, merge_internal_tensors, mps_normalize, mps_truncate
+from .mps import generic_apply, mps_truncate
 
 DEFAULT_BMPS_NITERS = 50  # `boundarympscache.jl:41`
 

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from ..models.tensornetwork import AbstractTensorNetwork, TensorNetwork
+from ..models.tensornetwork import AbstractTensorNetwork
 from ..ops.paths import contraction_sequence
 from ..ops.tensor import contract as contract_list
 from .beliefpropagation import BeliefPropagationCache, default_bp_update_kwargs

@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops.paths import contraction_sequence
-from ..ops.tensor import Tensor, contract
+from ..ops.tensor import contract
 from ..utils.graphs import (
     NamedEdge,
     cycle_to_path,

@@ -7,14 +7,12 @@ the antiprojector δ − m_e m_ē at the BP fixed point.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..models.tensornetwork import TensorNetworkState
-from ..ops.index import Index
 from ..ops.paths import contraction_sequence
 from ..ops.tensor import Tensor, contract
-from ..utils.graphs import NamedEdge, edgeinduced_subgraphs_no_leaves
+from ..utils.graphs import edgeinduced_subgraphs_no_leaves
 from .beliefpropagation import BeliefPropagationCache
 
 

@@ -11,9 +11,8 @@ indices are whatever is not shared with the neighbors in the list.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops.index import commoninds, uniqueinds

@@ -17,7 +17,7 @@ from .engines.beliefpropagation import (
 )
 from .models.tensornetwork import TensorNetworkState
 from .ops.index import Index, commoninds
-from .ops.linalg import eigh_tensor, pseudo_sqrt_inv_sqrt, svd_truncated
+from .ops.linalg import pseudo_sqrt_inv_sqrt
 from .ops.tensor import Tensor, contract_pair
 from .utils.checks import algorithm_check
 

@@ -8,9 +8,6 @@ Observables are tuples ``(op_string(s), vertices, coeff=1)``; every backend
 
 from __future__ import annotations
 
-import math
-from typing import Sequence
-
 import numpy as np
 
 from .engines.beliefpropagation import (

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Callable
 
-from ..ops.index import Index
 from ..ops.tensor import Tensor, contract_pair, delta
 from ..utils.graphs import NamedEdge
 from . import sites as _sites

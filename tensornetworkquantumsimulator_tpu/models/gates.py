@@ -23,7 +23,6 @@ from scipy.linalg import expm
 
 from ..ops.index import Index
 from ..ops.tensor import Tensor, from_array
-from ..utils.graphs import NamedEdge
 from .sites import PAULI_I, PAULI_X, PAULI_Y, PAULI_Z, op_matrix
 
 _PAULIS = {"I": PAULI_I, "X": PAULI_X, "Y": PAULI_Y, "Z": PAULI_Z}

@@ -12,15 +12,14 @@ objects plus a :class:`~..utils.graphs.NamedGraph`; a
 
 from __future__ import annotations
 
-import numbers
-from typing import Callable, Iterable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.index import Index, commoninds, uniqueinds
-from ..ops.tensor import Tensor, contract, delta, from_array, onehot, random_tensor
+from ..ops.tensor import Tensor, delta, from_array, onehot, random_tensor
 from ..utils.graphs import NamedEdge, NamedGraph
 from . import sites as _sites
 

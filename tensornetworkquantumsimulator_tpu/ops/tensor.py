@@ -17,7 +17,7 @@ contexts).  Mixing promotes to jax.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ Strand end bonds are kept at size K with content pinned to slice 0.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

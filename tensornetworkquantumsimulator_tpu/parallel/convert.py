@@ -11,7 +11,7 @@ from ..models.tensornetwork import TensorNetwork, TensorNetworkState
 from ..ops.index import Index
 from ..ops.tensor import Tensor
 from ..utils.graphs import NamedEdge
-from .engine import BatchedState, identity_messages
+from .engine import BatchedState
 from .structure import BatchedGraphSpec, compile_graph
 
 

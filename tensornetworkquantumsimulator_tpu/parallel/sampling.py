@@ -8,13 +8,10 @@ PRNG keys — one XLA program drawing the whole batch of bitstrings.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .engine import BatchedState, _absorb, _LETTERS, _PRECISION, bp_iteration
+from .engine import BatchedState, _LETTERS, _PRECISION, bp_iteration
 from .structure import BatchedGraphSpec
 
 

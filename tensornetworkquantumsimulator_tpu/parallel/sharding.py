@@ -16,12 +16,10 @@ with the convergence test psum-reduced across the mesh.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .engine import BatchedState, _absorb, _LETTERS, _PRECISION
 from .structure import BatchedGraphSpec, compile_graph

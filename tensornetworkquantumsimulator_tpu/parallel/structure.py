@@ -21,11 +21,10 @@ host↔device traffic inside a Trotter layer.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import numpy as np
 
-from ..utils.graphs import NamedEdge, NamedGraph, edge_color
+from ..utils.graphs import NamedGraph, edge_color
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,7 +18,6 @@ layer, no host round-trips.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Sequence
 
 import jax
@@ -33,8 +32,6 @@ from .engine import (
     apply_color_group,
     apply_one_site,
     bp_update,
-    default_batched_tolerance,
-    identity_messages,
     local_expectations,
 )
 from .structure import BatchedGraphSpec, SlotPairBucket, compile_graph

@@ -14,18 +14,15 @@ first-trace p/q estimate.
 from __future__ import annotations
 
 import math
-from typing import List
-
 import numpy as np
 
 from .engines.beliefpropagation import BeliefPropagationCache
 from .engines.boundarymps import BoundaryMPSCache, PartitionEdge
 from .engines.mps import generic_apply, merge_internal_tensors, mps_truncate
 from .gauge import gauge_and_scale, symmetrize_and_normalize
-from .measure import normalize_rdm
 from .models.tensornetwork import TensorNetworkState
 from .ops.paths import contraction_sequence
-from .ops.tensor import Tensor, contract, contract_pair, delta, onehot
+from .ops.tensor import Tensor, contract, contract_pair, onehot
 from .utils.checks import algorithm_check
 from .utils.graphs import NamedEdge
 

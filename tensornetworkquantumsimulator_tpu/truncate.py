@@ -8,16 +8,15 @@ boundary-MPS environments, row then column passes (`truncate.jl:40-96`).
 
 from __future__ import annotations
 
-from .apply import apply_gate_inplace, full_update
+from .apply import apply_gate_inplace
 from .engines.beliefpropagation import (
     BeliefPropagationCache,
     default_bp_update_kwargs,
 )
 from .models import sites as _sites
-from .models.tensornetwork import TensorNetworkState
 from .ops.tensor import contract_pair
 from .utils.checks import algorithm_check
-from .utils.graphs import NamedEdge, edge_color
+from .utils.graphs import edge_color
 
 
 def _truncatable_edge(cache, e) -> bool:

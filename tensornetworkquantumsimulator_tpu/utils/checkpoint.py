@@ -13,10 +13,7 @@ flavors get simple on-disk checkpoints:
 from __future__ import annotations
 
 import json
-import os
-from typing import Any
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -9,9 +9,8 @@ precomputed here and baked into the jitted TPU programs as static structure.
 
 from __future__ import annotations
 
-import itertools
 from dataclasses import dataclass
-from typing import Hashable, Iterable, Sequence
+from typing import Hashable, Iterable
 
 import networkx as nx
 
