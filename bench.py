@@ -1,133 +1,184 @@
 """Benchmark: TFIM Trotter dynamics layers/sec on the batched TPU engine.
 
-Config 1 of BASELINE.md: 5x5 grid TFIM, χ=10, BP apply + BP ⟨Z⟩ per layer
-(the reference's `examples/2dIsing_dynamics.jl` workload at the driver's
-χ=10 metric point).  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Configs (BASELINE.md):
+  1. 5x5 grid TFIM, chi=10  — headline metric
+  2. IBM-Eagle 127q heavy-hex kicked Ising, chi=8
+  3. 5x5 grid TFIM, chi=32  — large-bond regime (SVD dominated)
 
-vs_baseline is measured against the Julia-reference CPU per-layer wall-clock;
-the reference publishes no numbers (BASELINE.md), so we use the conservative
-estimate recorded in BASELINE_MEASURED (per-layer seconds) — updated in
-place if/when the Julia reference is benchmarked on this machine.
+Prints ONE JSON line {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}.
+
+Measurement methodology (IMPORTANT — see CLAUDE.md "axon runtime"):
+`jax.block_until_ready` does NOT synchronize on the axon TPU runtime — it
+returns in ~0.2 ms regardless of how much device work is queued, so naive
+timing measures dispatch latency, not compute (measured: a 105-layer and a
+5-layer program both "complete" in 0.15-0.19 ms, while a forced sync shows
+the real work takes seconds).  The only working synchronization is to
+*attempt* a host download of a result scalar: the attempt blocks until the
+device finishes the dependency chain, then (usually) fails with
+UNIMPLEMENTED, which also poisons the process for further dispatches.
+Therefore each timing sample runs in its own subprocess, dispatching the
+SAME compiled n-layer program k times (chained through the state):
+
+  wall(k) = remote_compile + k * n * t_layer + RTT + download_latency
+
+with remote_compile/RTT noise of seconds-to-minutes (shared service).  The
+per-layer time is the min-filtered slope between two dispatch counts of
+identical HLO (so both sides share the same compile-noise distribution):
+
+  t_layer = (min_r wall(k_hi) - min_r wall(k_lo)) / ((k_hi - k_lo) * n)
+
+vs_baseline compares against the Julia-reference CPU per-layer wall-clock
+(~1 s/layer for config 1; the reference publishes no numbers, BASELINE.md).
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-import jax
-
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/tnqs_jax_cache_{jax.default_backend()}"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-import jax.numpy as jnp
-import numpy as np
-
-from tensornetworkquantumsimulator_tpu.utils import edge_color, named_grid
-from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
-from tensornetworkquantumsimulator_tpu.parallel import (
-    BatchedCircuit,
-    make_expectation_fn,
-    make_layer_fn,
-)
-from tensornetworkquantumsimulator_tpu.parallel.convert import batched_product_state
-
-# Estimated Julia reference per-layer wall clock for this config on CPU
-# (5x5 TFIM, chi=10, BP apply + expect). Reference prints but does not
-# record timings (BASELINE.md) — this figure is a placeholder measurement
-# target of ~1 s/layer on a modern CPU core.
 BASELINE_SECONDS_PER_LAYER = 1.0
+REPEATS = int(os.environ.get("TNQS_BENCH_REPEATS", "2"))
+
+CONFIGS = {
+    # name: (n_layers_per_dispatch, k_lo, k_hi) — the probe dispatches the
+    # same compiled n-layer program k times (chained), so the two k points
+    # share identical HLO (same remote-compile distribution) and the slope
+    # (k_hi-k_lo)·n amplifies the compute signal over the noise floor
+    "chi10": (2005, 1, 9),
+    "heavyhex": (255, 1, 9),
+    "chi32": (255, 1, 9),
+}
 
 
-def _bench_workload(g, layer, chi, nl_bench=50, bp_maxiter=25):
-    from tensornetworkquantumsimulator_tpu.parallel import local_expectations
+def _build(config: str):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/tmp/tnqs_jax_cache_{jax.default_backend()}"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from tensornetworkquantumsimulator_tpu.utils import edge_color, named_grid
+    from tensornetworkquantumsimulator_tpu.parallel import BatchedCircuit, make_layer_fn
+    from tensornetworkquantumsimulator_tpu.parallel.convert import batched_product_state
+
+    if config == "heavyhex":
+        from tensornetworkquantumsimulator_tpu.utils.lattices import ibm_eagle_lattice
+
+        g = ibm_eagle_lattice()
+        chi = 8
+        layer = [("Rx", [v], 0.4) for v in g.vertices()]
+        for group in edge_color(g, 3):
+            layer += [("Rzz", pair, 2 * (3.14159 / 4)) for pair in group]
+    else:
+        chi = {"chi10": 10, "chi32": 32}[config]
+        dt, hx, hz, J = 0.25, 1.0, 0.8, 0.5
+        g = named_grid((5, 5))
+        layer = [("Rx", [v], 2 * hx * dt) for v in g.vertices()]
+        layer += [("Rz", [v], 2 * hz * dt) for v in g.vertices()]
+        for colored_edges in edge_color(g, 4):
+            layer += [("Rzz", pair, 2 * J * dt) for pair in colored_edges]
 
     spec, state = batched_product_state(g, chi=chi, dtype=np.complex64)
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(
         circuit, chi=chi, cutoff=1e-10, normalize_tensors=True,
-        bp_maxiter=bp_maxiter, jit=False,
+        bp_maxiter=25, jit=False,
     )
+    return spec, state, layer_fn
+
+
+def run_probe(config: str, n: int, k: int = 1) -> None:
+    """One timing sample: AOT-compile the n-layer scan, dispatch it k times
+    chained, force sync via a download attempt, print {"wall_seconds": ...}."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+    from tensornetworkquantumsimulator_tpu.parallel import local_expectations
+
+    spec, state, layer_fn = _build(config)
     op = np.asarray(op_matrix("Z", 2))
     center = len(spec.vertices) // 2
 
-    # nl_bench layers + the per-layer measurement inside ONE program
-    # (lax.scan) so the tunnel round-trip latency doesn't pollute the
-    # device-throughput measurement
-    @jax.jit
     def run_n(st):
         def body(s, _):
             s, errs = layer_fn(s)
-            z = jnp.real(local_expectations(spec, s, op)[center])
-            return s, z
+            return s, None
 
-        st, zs = jax.lax.scan(body, st, None, length=nl_bench)
-        return st, zs[-1]
+        st, _ = jax.lax.scan(body, st, None, length=n)
+        z = jnp.real(local_expectations(spec, st, op)[center])
+        return st, z
 
-    state, z = run_n(state)  # compile + warm
-    jax.block_until_ready((state, z))
+    compiled = jax.jit(run_n).lower(state).compile()  # no device execution
+
     t0 = time.perf_counter()
-    state, z = run_n(state)
-    jax.block_until_ready((state, z))
-    per_layer = (time.perf_counter() - t0) / nl_bench
-    # some axon-runtime programs produce buffers whose host transfer is
-    # UNIMPLEMENTED; timing only needs block_until_ready, so tolerate it
+    st2 = state
+    for _ in range(k):
+        st2, z = compiled(st2)
+    z_val = None
     try:
-        z_val = float(z)
+        z_val = float(z)  # blocks until the device finishes; may then fail
     except Exception:
-        z_val = float("nan")
-    return per_layer, z_val
+        z_val = None
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {"config": config, "n": n, "k": k, "wall_seconds": wall, "z": z_val}
+        )
+    )
 
 
-def run_heavyhex():
-    """Config 2: IBM-Eagle 127-qubit heavy-hex kicked Ising, chi=8
-    (the reference's `heavyhexIsing_dynamics.jl` workload at utility
-    scale)."""
-    from tensornetworkquantumsimulator_tpu.utils.lattices import ibm_eagle_lattice
-
-    gh = ibm_eagle_lattice()
-    layer_h = [("Rx", [v], 0.4) for v in gh.vertices()]
-    for group in edge_color(gh, 3):
-        layer_h += [("Rzz", pair, 2 * (3.14159 / 4)) for pair in group]
-    per_layer_h, _zh = _bench_workload(gh, layer_h, chi=8, nl_bench=10)
-    print(json.dumps({"heavyhex_per_layer": per_layer_h}))
-
-
-def main():
-    dt, hx, hz, J = 0.25, 1.0, 0.8, 0.5
-
-    # config 1 (headline): 5x5 TFIM, chi=10
-    g = named_grid((5, 5))
-    layer = []
-    layer += [("Rx", [v], 2 * hx * dt) for v in g.vertices()]
-    layer += [("Rz", [v], 2 * hz * dt) for v in g.vertices()]
-    for colored_edges in edge_color(g, 4):
-        layer += [("Rzz", pair, 2 * J * dt) for pair in colored_edges]
-    per_layer, z_center = _bench_workload(g, layer, chi=10)
-
-    # config 2 runs in a fresh process: the axon runtime rejects new
-    # device_puts after a large unrelated program ran in the same process
-    import subprocess
-    import sys
-
-    hh_layers_per_sec = float("nan")
+def _sample(config: str, n: int, k: int) -> tuple:
+    """Run one probe subprocess; returns (wall_seconds, z) or (nan, None)."""
     try:
         proc = subprocess.run(
-            [sys.executable, __file__, "--heavyhex"],
+            [sys.executable, __file__, "--probe", config, str(n), str(k)],
             capture_output=True,
             text=True,
             timeout=3600,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
-                hh_layers_per_sec = 1.0 / json.loads(line)["heavyhex_per_layer"]
+                rec = json.loads(line)
+                return rec["wall_seconds"], rec.get("z")
     except Exception:
         pass
+    return float("nan"), None
 
-    layers_per_sec = 1.0 / per_layer
-    vs_baseline = BASELINE_SECONDS_PER_LAYER / per_layer
+
+def _measure(config: str) -> tuple:
+    """Min-filtered slope between the two dispatch counts -> (sec/layer, z)."""
+    n, k_lo, k_hi = CONFIGS[config]
+    lo, hi, z_seen = [], [], None
+    for _ in range(REPEATS):
+        w, z = _sample(config, n, k_lo)
+        if w == w:
+            lo.append(w)
+        if z is not None:
+            z_seen = z
+        w, z = _sample(config, n, k_hi)
+        if w == w:
+            hi.append(w)
+        if z is not None:
+            z_seen = z
+    if not lo or not hi:
+        return float("nan"), z_seen
+    per_layer = (min(hi) - min(lo)) / ((k_hi - k_lo) * n)
+    return max(per_layer, 0.0), z_seen
+
+
+def main() -> None:
+    per_layer, z_center = _measure("chi10")
+    hh_per_layer, _ = _measure("heavyhex")
+    c32_per_layer, _ = _measure("chi32")
+
+    def _inv(x):
+        return 1.0 / x if x == x and x > 0 else float("nan")
 
     def _num(x, nd):
         return round(x, nd) if x == x else None  # NaN -> null (strict JSON)
@@ -136,20 +187,24 @@ def main():
         json.dumps(
             {
                 "metric": "tfim_5x5_chi10_layers_per_sec",
-                "value": round(layers_per_sec, 3),
+                "value": _num(_inv(per_layer), 3),
                 "unit": "layers/s",
-                "vs_baseline": round(vs_baseline, 2),
-                "z_center_after_layers": _num(z_center, 6),
-                "heavyhex127q_chi8_layers_per_sec": _num(hh_layers_per_sec, 3),
+                "vs_baseline": _num(
+                    BASELINE_SECONDS_PER_LAYER * _inv(per_layer), 2
+                ),
+                "z_center_after_layers": _num(z_center, 6) if z_center is not None else None,
+                "heavyhex127q_chi8_layers_per_sec": _num(_inv(hh_per_layer), 3),
+                "tfim_5x5_chi32_layers_per_sec": _num(_inv(c32_per_layer), 3),
+                "sync": "download-forced slope, min over repeats (see docstring)",
             }
         )
     )
 
 
 if __name__ == "__main__":
-    import sys
-
-    if "--heavyhex" in sys.argv:
-        run_heavyhex()
+    if "--probe" in sys.argv:
+        i = sys.argv.index("--probe")
+        k = int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 1
+        run_probe(sys.argv[i + 1], int(sys.argv[i + 2]), k)
     else:
         main()

@@ -63,25 +63,44 @@ def _absorb(t, m, axis):
 # ---------------------------------------------------------------------------
 
 
+def _all_except_one(t, messages, slots):
+    """[t with every slot's message absorbed except slot j, for j in slots].
+
+    Absorbs on distinct legs commute, so a binary split reuses the shared
+    half: cost D·log₂D absorbs instead of the naive D·(D−1) (8 vs 12 at
+    D=4; 16 vs 30 at D=6 for 3D lattices)."""
+    if len(slots) == 1:
+        return [t]
+    mid = len(slots) // 2
+    left, right = slots[:mid], slots[mid:]
+    t_right_absorbed = t
+    for k in right:
+        t_right_absorbed = _absorb(t_right_absorbed, messages[:, k], 1 + k)
+    t_left_absorbed = t
+    for k in left:
+        t_left_absorbed = _absorb(t_left_absorbed, messages[:, k], 1 + k)
+    return _all_except_one(t_right_absorbed, messages, left) + _all_except_one(
+        t_left_absorbed, messages, right
+    )
+
+
 def _outgoing_messages(spec: BatchedGraphSpec, state: BatchedState) -> jax.Array:
     """m_out[u, j]: message u sends through slot j — contract the local norm
     factors with all incoming messages except slot j
     (`abstractbeliefpropagationcache.jl:144-177`, batched)."""
     D = spec.degree
     t = state.tensors  # [V, b0..b_{D-1}, s]
+    accs = _all_except_one(t, state.messages, list(range(D)))
+    tconj = jnp.conj(t)
     outs = []
-    for j in range(D):
-        acc = t
-        for k in range(D):
-            if k != j:
-                acc = _absorb(acc, state.messages[:, k], 1 + k)
+    for j, acc in zip(range(D), accs):
         lab = [_LETTERS[k] for k in range(D)]
         acc_lab = list(lab)
         acc_lab[j] = "p"  # outgoing ket leg
         conj_lab = list(lab)
         conj_lab[j] = "q"  # outgoing bra leg
         eq = f"v{''.join(acc_lab)}s,v{''.join(conj_lab)}s->vpq"
-        outs.append(jnp.einsum(eq, acc, jnp.conj(t), precision=_PRECISION))
+        outs.append(jnp.einsum(eq, acc, tconj, precision=_PRECISION))
     return jnp.stack(outs, axis=1)  # [V, D, χ, χ]
 
 

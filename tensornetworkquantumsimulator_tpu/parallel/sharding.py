@@ -138,13 +138,13 @@ def shard_spec(
 
 
 def _local_outgoing(tensors, messages, D):
-    """Per-shard m_out[u, j] (same contraction as engine._outgoing_messages)."""
+    """Per-shard m_out[u, j] (same contraction — and same float
+    reassociation — as engine._outgoing_messages)."""
+    from .engine import _all_except_one
+
+    accs = _all_except_one(tensors, messages, list(range(D)))
     outs = []
-    for j in range(D):
-        acc = tensors
-        for k in range(D):
-            if k != j:
-                acc = _absorb(acc, messages[:, k], 1 + k)
+    for j, acc in zip(range(D), accs):
         lab = [_LETTERS[k] for k in range(D)]
         acc_lab = list(lab)
         acc_lab[j] = "p"
