@@ -18,6 +18,7 @@ entirely under ``jax.jit`` — one XLA program per Trotter layer.
 
 from __future__ import annotations
 
+import os
 import string
 from typing import NamedTuple
 
@@ -26,6 +27,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from .structure import BatchedGraphSpec
+
+# Truncated-SVD backend for the simple-update kernel, switchable via
+# TNQS_SVD_ALG ∈ {default, jacobi, qr, polar} for A/B measurement.
+# Measured round 1: this jax/libtpu only implements POLAR (=QDWH, the
+# default) on TPU — JACOBI raises NotImplementedError — and only
+# DEFAULT/QR on CPU, so the knob is future-proofing for runtimes that ship
+# the small-batch Jacobi variant.
+_SVD_ALG = os.environ.get("TNQS_SVD_ALG", "default")
+
+
+def _svd(mat):
+    if _SVD_ALG == "default":
+        return jnp.linalg.svd(mat, full_matrices=False)
+    import jax.lax.linalg as lla
+
+    alg = {
+        "jacobi": lla.SvdAlgorithm.JACOBI,
+        "qr": lla.SvdAlgorithm.QR,
+        "polar": lla.SvdAlgorithm.POLAR,
+    }[_SVD_ALG]
+    return lla.svd(mat, full_matrices=False, compute_uv=True, algorithm=alg)
 
 _LETTERS = string.ascii_lowercase
 _PRECISION = jax.lax.Precision.HIGHEST
@@ -259,7 +281,7 @@ def _gate_bucket_update(
         )
     B, r1, _, r2, _ = theta.shape
     mat = theta.reshape(B, r1 * d, r2 * d)
-    uu, s, vh = jnp.linalg.svd(mat, full_matrices=False)
+    uu, s, vh = _svd(mat)
 
     # reference truncation semantics (relative discarded Σσ² ≤ cutoff, then
     # cap at χ) inside a static buffer
