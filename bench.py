@@ -45,9 +45,10 @@ CONFIGS = {
     # same compiled n-layer program k times (chained), so the two k points
     # share identical HLO (same remote-compile distribution) and the slope
     # (k_hi-k_lo)·n amplifies the compute signal over the noise floor
-    "chi10": (2005, 1, 9),
-    "heavyhex": (255, 1, 9),
-    "chi32": (255, 1, 9),
+    # (k_hi sized so the slope signal is ≳100 s ≫ the ~20 s noise floor)
+    "chi10": (2005, 1, 17),
+    "heavyhex": (255, 1, 33),
+    "chi32": (255, 1, 17),
 }
 
 
@@ -155,17 +156,24 @@ def _measure(config: str) -> tuple:
     """Min-filtered slope between the two dispatch counts -> (sec/layer, z)."""
     n, k_lo, k_hi = CONFIGS[config]
     lo, hi, z_seen = [], [], None
+
+    def _round():
+        nonlocal z_seen
+        for k, acc in ((k_lo, lo), (k_hi, hi)):
+            w, z = _sample(config, n, k)
+            print(f"# {config} n={n} k={k}: {w:.1f}s", file=sys.stderr)
+            if w == w:
+                acc.append(w)
+            if z is not None:
+                z_seen = z
+
     for _ in range(REPEATS):
-        w, z = _sample(config, n, k_lo)
-        if w == w:
-            lo.append(w)
-        if z is not None:
-            z_seen = z
-        w, z = _sample(config, n, k_hi)
-        if w == w:
-            hi.append(w)
-        if z is not None:
-            z_seen = z
+        _round()
+    # queue noise can make min(hi) < min(lo); one extra round usually fixes it
+    for _ in range(2):
+        if lo and hi and min(hi) > min(lo):
+            break
+        _round()
     if not lo or not hi:
         return float("nan"), z_seen
     per_layer = (min(hi) - min(lo)) / ((k_hi - k_lo) * n)

@@ -56,12 +56,24 @@ def symmetric_gauge_inplace(bp_cache: BeliefPropagationCache, regularization=Non
         rootX, inv_rootX = eig_roots(bp_cache.message(e))
         rootY, inv_rootY = eig_roots(bp_cache.message(e.reverse()))
 
-        # absorb inverse roots into the site tensors
+        # For complex hermitian messages the outgoing message transforms as
+        # m' = Aᵀ m Ā under a bond transform A, so the root/inverse-root
+        # factors must enter CONJUGATED for the new messages to land exactly
+        # on diag(s): A_u = conj(X^{-1/2}) U √s, A_v = conj(Y^{-1/2}) Vᵀh √s
+        # with U s Vh = svd(conj(√X)·√Y).  (Real messages reduce to the
+        # textbook √X·√Yᵀ form; with the unconjugated form the post-gauge
+        # messages are NOT the BP fixed point and ⟨O⟩ shifts — measured 0.24
+        # on a complex 3×3 random state.)
+        xp0 = np if isinstance(rootX, np.ndarray) else jnp
+        inv_rootX = xp0.conj(inv_rootX)
+        inv_rootY = xp0.conj(inv_rootY)
+
+        # absorb (conjugated) inverse roots into the site tensors
         psis = contract_pair(psis, Tensor(inv_rootX, (l, lp))).noprime()
         psid = contract_pair(psid, Tensor(inv_rootY, (l, lp))).noprime()
 
-        # Ce = √X · √Y^T over the bond; Ce = U diag(s) Vh
-        ce = rootX @ rootY.T
+        # Ce = conj(√X) · √Y over the bond; Ce = U diag(s) Vh
+        ce = xp0.conj(rootX) @ rootY
         xp = np if isinstance(ce, np.ndarray) else jnp
         uu, ss, vvh = xp.linalg.svd(ce, full_matrices=False)
         k = ss.shape[0]

@@ -23,10 +23,12 @@ from .engine import (
 )
 from .boundarymps import make_grid_bmps
 from .certified_sampling import make_grid_certified_sampler
+from .gauge import batched_symmetric_gauge
 from .loopcorrection import (
     batched_partitionfunction,
     find_plaquettes,
     loopcorrected_partitionfunction as batched_loopcorrected_partitionfunction,
 )
+from .truncate import batched_truncate
 from .structure import BatchedGraphSpec, SlotPairBucket, compile_graph
 from .trotter import BatchedCircuit, make_expectation_fn, make_layer_fn
