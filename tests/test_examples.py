@@ -42,3 +42,7 @@ def test_loopcorrections_example():
 @pytest.mark.slow
 def test_boundarymps_example():
     _load("boundarymps_convergence").main()
+
+
+def test_batched_gauge_loopcorrections_example():
+    _load("batched_gauge_loopcorrections").main(nl=2, nx=3, ny=3, chi=3)
