@@ -21,11 +21,11 @@ SAME compiled n-layer program k times (chained through the state):
 
   wall(k) = remote_compile + k * n * t_layer + RTT + download_latency
 
-with remote_compile/RTT noise of seconds-to-minutes (shared service).  The
-per-layer time is the min-filtered slope between two dispatch counts of
-identical HLO (so both sides share the same compile-noise distribution):
-
-  t_layer = (min_r wall(k_hi) - min_r wall(k_lo)) / ((k_hi - k_lo) * n)
+with remote_compile/RTT/queue noise of seconds-to-minutes (shared service),
+which dwarfs any slope signal.  The reported number is therefore the BEST
+sample's k*n/wall — a throughput the device provably sustained during that
+window (all overheads inflate wall, so the estimate is conservative); each
+sample gets unique input bytes to defeat the service's result cache.
 
 vs_baseline compares against the Julia-reference CPU per-layer wall-clock
 (~1 s/layer for config 1; the reference publishes no numbers, BASELINE.md).
@@ -52,7 +52,7 @@ CONFIGS = {
 }
 
 
-def _build(config: str):
+def _build(config: str, seed: int = 0):
     import jax
 
     jax.config.update(
@@ -83,7 +83,15 @@ def _build(config: str):
         for colored_edges in edge_color(g, 4):
             layer += [("Rzz", pair, 2 * J * dt) for pair in colored_edges]
 
-    spec, state = batched_product_state(g, chi=chi, dtype=np.complex64)
+    # unique input bytes per sample (the axon service caches RESULTS for
+    # identical (program, input) pairs — measured 0.6 s for a repeated
+    # identical 2005-layer dispatch vs ~3 s real compute), folded into the
+    # host-side state build so no extra upload is needed (a separate scalar
+    # device_put poisons the dispatch chain on this runtime)
+    state_fn = (lambda v: np.array([1.0 + 1.0e-6 * seed, 0.0])) if seed else None
+    spec, state = batched_product_state(
+        g, chi=chi, dtype=np.complex64, state_fn=state_fn
+    )
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(
         circuit, chi=chi, cutoff=1e-10, normalize_tensors=True,
@@ -92,9 +100,13 @@ def _build(config: str):
     return spec, state, layer_fn
 
 
-def run_probe(config: str, n: int, k: int = 1) -> None:
+def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
     """One timing sample: AOT-compile the n-layer scan, dispatch it k times
-    chained, force sync via a download attempt, print {"wall_seconds": ...}."""
+    chained, force sync via a download attempt, print {"wall_seconds": ...}.
+
+    ``seed`` perturbs the initial product state host-side by (1 + 1e-6·seed)
+    so every sample has unique input bytes while sharing the compiled
+    program (see _build for why)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -102,7 +114,7 @@ def run_probe(config: str, n: int, k: int = 1) -> None:
     from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
     from tensornetworkquantumsimulator_tpu.parallel import local_expectations
 
-    spec, state, layer_fn = _build(config)
+    spec, state, layer_fn = _build(config, seed)
     op = np.asarray(op_matrix("Z", 2))
     center = len(spec.vertices) // 2
 
@@ -134,11 +146,18 @@ def run_probe(config: str, n: int, k: int = 1) -> None:
     )
 
 
+_SAMPLE_COUNTER = [0]
+
+
 def _sample(config: str, n: int, k: int) -> tuple:
     """Run one probe subprocess; returns (wall_seconds, z) or (nan, None)."""
+    _SAMPLE_COUNTER[0] += 1
     try:
         proc = subprocess.run(
-            [sys.executable, __file__, "--probe", config, str(n), str(k)],
+            [
+                sys.executable, __file__, "--probe", config, str(n), str(k),
+                str(_SAMPLE_COUNTER[0]),
+            ],
             capture_output=True,
             text=True,
             timeout=3600,
@@ -153,31 +172,28 @@ def _sample(config: str, n: int, k: int) -> tuple:
 
 
 def _measure(config: str) -> tuple:
-    """Min-filtered slope between the two dispatch counts -> (sec/layer, z)."""
-    n, k_lo, k_hi = CONFIGS[config]
-    lo, hi, z_seen = [], [], None
+    """-> (best-sample sec/layer upper bound, z).
 
-    def _round():
-        nonlocal z_seen
-        for k, acc in ((k_lo, lo), (k_hi, hi)):
+    Each sample's wall-clock covers k·n layers PLUS nonnegative overhead
+    (queue, compile, RTT, download-failure latency), so k·n/wall is a
+    throughput the device provably sustained — a conservative estimate that
+    shared-tunnel noise can only lower, never inflate.  The best sample over
+    repeats (wall ≥ 2 s sanity cutoff: sub-second walls mean the dispatch
+    chain was poisoned and nothing ran) is reported.  A two-point slope is
+    unusable here: queue delays of ±300 s dwarf the ~30 s signal."""
+    n, k_lo, k_hi = CONFIGS[config]
+    best, z_seen = float("inf"), None
+    for _ in range(REPEATS):
+        for k in (k_lo, k_hi):
             w, z = _sample(config, n, k)
             print(f"# {config} n={n} k={k}: {w:.1f}s", file=sys.stderr)
-            if w == w:
-                acc.append(w)
             if z is not None:
                 z_seen = z
-
-    for _ in range(REPEATS):
-        _round()
-    # queue noise can make min(hi) < min(lo); one extra round usually fixes it
-    for _ in range(2):
-        if lo and hi and min(hi) > min(lo):
-            break
-        _round()
-    if not lo or not hi:
+            if w == w and w >= 2.0:
+                best = min(best, w / (k * n))
+    if best == float("inf"):
         return float("nan"), z_seen
-    per_layer = (min(hi) - min(lo)) / ((k_hi - k_lo) * n)
-    return max(per_layer, 0.0), z_seen
+    return best, z_seen
 
 
 def main() -> None:
@@ -203,7 +219,7 @@ def main() -> None:
                 "z_center_after_layers": _num(z_center, 6) if z_center is not None else None,
                 "heavyhex127q_chi8_layers_per_sec": _num(_inv(hh_per_layer), 3),
                 "tfim_5x5_chi32_layers_per_sec": _num(_inv(c32_per_layer), 3),
-                "sync": "download-forced slope, min over repeats (see docstring)",
+                "sync": "download-forced sync; best-sample k*n/wall lower bound (see docstring)",
             }
         )
     )
@@ -213,6 +229,7 @@ if __name__ == "__main__":
     if "--probe" in sys.argv:
         i = sys.argv.index("--probe")
         k = int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 1
-        run_probe(sys.argv[i + 1], int(sys.argv[i + 2]), k)
+        seed = int(sys.argv[i + 4]) if len(sys.argv) > i + 4 else 0
+        run_probe(sys.argv[i + 1], int(sys.argv[i + 2]), k, seed)
     else:
         main()
