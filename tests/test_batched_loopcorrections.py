@@ -61,3 +61,22 @@ def test_batched_loopcorrection_improves_on_bp():
     z_bp = complex(np.asarray(blc.batched_partitionfunction(spec, state)))
     z_lc = complex(np.asarray(blc.loopcorrected_partitionfunction(spec, state, g)))
     assert abs(z_lc - n_exact) < abs(z_bp - n_exact)
+
+
+def test_batched_loopcorrection_3d_cube():
+    """Plaquette machinery generalizes beyond 2D grids: the open 2x2x2 cube
+    has six 4-cycle faces and degree-3..6 slot tables."""
+    g = named_grid((2, 2, 2))
+    tnqs.seed(3)
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=2)
+    cache = BeliefPropagationCache(psi).update(**default_bp_update_kwargs(psi))
+    spec, state = batched_from_tns(psi, chi=2, messages=cache.messages())
+
+    plaquettes = blc.find_plaquettes(spec, g)
+    assert sum(b[1].shape[0] for b in plaquettes) == 6  # six cube faces
+
+    z_gen = lc_generic(cache, 4)
+    z_b = complex(
+        np.asarray(blc.loopcorrected_partitionfunction(spec, state, g, plaquettes))
+    )
+    np.testing.assert_allclose(z_b, z_gen, rtol=1e-8)
