@@ -248,24 +248,36 @@ def _gate_bucket_update(
     mu = state.messages[u_idx]
     mv = state.messages[v_idx]
 
-    def prep(t, m, slot):
-        inv_roots = []
-        for k in range(D):
-            if k == slot:
-                continue
-            root, inv_root = _pseudo_roots(m[:, k])
-            t = _absorb(t, root, 1 + k)
-            inv_roots.append(inv_root)
+    # ONE batched eigh for every environment root of both sites, and ONE
+    # batched QR for both reduced tensors: the per-layer cost at small χ is
+    # dominated by these factorization kernels (BASELINE.md), so launching
+    # 2(D−1) eighs + 2 QRs as 2 stacked calls is the cheap win.
+    slots_u = [k for k in range(D) if k != slot_u]
+    slots_v = [k for k in range(D) if k != slot_v]
+    env = jnp.stack(
+        [mu[:, k] for k in slots_u] + [mv[:, k] for k in slots_v], axis=0
+    )  # [2(D-1), B, χ, χ]
+    roots, inv_roots = _pseudo_roots(env)
+
+    def prep(t, slot, roots_slice):
+        for i, k in enumerate(k for k in range(D) if k != slot):
+            t = _absorb(t, roots_slice[i], 1 + k)
         # [B, b0..b_{D-1}, s] -> [B, others..., b_slot, s] -> [B, M, χ*d]
         perm = [0] + [1 + k for k in range(D) if k != slot] + [1 + slot, D + 1]
         tp = jnp.transpose(t, perm)
         B = tp.shape[0]
         M = int(np.prod(tp.shape[1:D]))
-        q, r = jnp.linalg.qr(tp.reshape(B, M, chi * d))
-        return q, r.reshape(B, -1, chi, d), inv_roots
+        return tp.reshape(B, M, chi * d)
 
-    qu, ru, inv_u = prep(tu, mu, slot_u)
-    qv, rv, inv_v = prep(tv, mv, slot_v)
+    tp_u = prep(tu, slot_u, roots[: D - 1])
+    tp_v = prep(tv, slot_v, roots[D - 1 :])
+    B0 = tp_u.shape[0]
+    q_all, r_all = jnp.linalg.qr(jnp.concatenate([tp_u, tp_v], axis=0))
+    qu, qv = q_all[:B0], q_all[B0:]
+    ru = r_all[:B0].reshape(B0, -1, chi, d)
+    rv = r_all[B0:].reshape(B0, -1, chi, d)
+    inv_u = [inv_roots[i] for i in range(D - 1)]
+    inv_v = [inv_roots[D - 1 + i] for i in range(D - 1)]
 
     # θ = gate · (Rᵤ Rᵥ) over the shared bond l
     theta = jnp.einsum("bxlc,bylz->bxcyz", ru, rv, precision=_PRECISION)
