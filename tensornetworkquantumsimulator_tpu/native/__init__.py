@@ -43,7 +43,12 @@ def get_pathopt():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_HERE, "pathopt.cpp")
+        stale = not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if stale:
             if not _build():
                 _build_failed = True
                 return None

@@ -12,6 +12,7 @@ flavors get simple on-disk checkpoints:
 
 from __future__ import annotations
 
+import ast
 import json
 
 import jax.numpy as jnp
@@ -23,9 +24,15 @@ from ..ops.tensor import Tensor
 from ..utils.graphs import NamedEdge, NamedGraph
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' to extension-less paths; normalize so the
+    same path string round-trips through save and load."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_batched_state(path: str, state) -> None:
     np.savez(
-        path,
+        _npz_path(path),
         tensors=np.asarray(state.tensors),
         messages=np.asarray(state.messages),
     )
@@ -34,7 +41,7 @@ def save_batched_state(path: str, state) -> None:
 def load_batched_state(path: str):
     from ..parallel.engine import BatchedState
 
-    with np.load(path) as data:
+    with np.load(_npz_path(path)) as data:
         return BatchedState(
             jnp.asarray(data["tensors"]), jnp.asarray(data["messages"])
         )
@@ -65,23 +72,34 @@ def save_state(path: str, tns: TensorNetworkState) -> None:
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
-    np.savez(path, **arrays)
+    np.savez(_npz_path(path), **arrays)
 
 
 def load_state(path: str) -> TensorNetworkState:
-    with np.load(path) as data:
+    with np.load(_npz_path(path)) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
+        # One fresh base Index per *saved id*, plev variants derived via
+        # setprime, so a saved index and its primed copy reload sharing a
+        # single new id and prime/noprime still map between them.
+        base_by_saved_id: dict = {}
         table = {}
         for key, info in meta["index_table"].items():
-            table[key] = Index(
-                dim=info["dim"], tags=tuple(info["tags"]), plev=info["plev"]
-            )
-        vertices = [eval(v) for v in meta["vertices"]]  # coordinate tuples
+            base = base_by_saved_id.get(info["id"])
+            if base is None:
+                base = Index(dim=info["dim"], tags=tuple(info["tags"]))
+                base_by_saved_id[info["id"]] = base
+            table[key] = base.setprime(info["plev"])
+        # Vertices are coordinate tuples / ints / strings; literal_eval only
+        # (a checkpoint is data, not code).
+        vertices = [ast.literal_eval(v) for v in meta["vertices"]]
         tensors = {}
         siteinds = {}
         for k, v in enumerate(vertices):
             inds = tuple(table[key] for key in meta["inds"][f"t{k}"])
-            tensors[v] = Tensor(jnp.asarray(data[f"t{k}"]), inds)
+            # generic-engine tensor data stays numpy-backed (CLAUDE.md):
+            # eager jnp wrapping would trigger per-op XLA compiles as bond
+            # shapes evolve
+            tensors[v] = Tensor(np.asarray(data[f"t{k}"]), inds)
             siteinds[v] = [table[key] for key in meta["siteinds"][k]]
         g = NamedGraph(vertices)
         for (i, j) in meta["edges"]:
