@@ -4,28 +4,44 @@ Configs (BASELINE.md):
   1. 5x5 grid TFIM, chi=10  — headline metric
   2. IBM-Eagle 127q heavy-hex kicked Ising, chi=8
   3. 5x5 grid TFIM, chi=32  — large-bond regime (SVD dominated)
+  4. IBM-Eagle 127q heavy-hex, chi=64 — MXU regime (degree <= 3 keeps the
+     vertex tensors at 64^3 * d; a degree-4 grid at chi=64 would need
+     64^4-sized tensors, ~6.7 GB for the state alone)
 
-Prints ONE JSON line {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}.
+Prints a cumulative JSON result line after EVERY config (and a final one at
+the end) so that a driver-side timeout still leaves a parseable record —
+the LAST JSON line on stdout is the result.  Progress goes to stderr.
 
 Measurement methodology (IMPORTANT — see CLAUDE.md "axon runtime"):
 `jax.block_until_ready` does NOT synchronize on the axon TPU runtime — it
 returns in ~0.2 ms regardless of how much device work is queued, so naive
-timing measures dispatch latency, not compute (measured: a 105-layer and a
-5-layer program both "complete" in 0.15-0.19 ms, while a forced sync shows
-the real work takes seconds).  The only working synchronization is to
-*attempt* a host download of a result scalar: the attempt blocks until the
-device finishes the dependency chain, then (usually) fails with
-UNIMPLEMENTED, which also poisons the process for further dispatches.
-Therefore each timing sample runs in its own subprocess, dispatching the
-SAME compiled n-layer program k times (chained through the state):
+timing measures dispatch latency, not compute.  The only working
+synchronization is to *attempt* a host download of a result scalar: the
+attempt blocks until the device finishes the dependency chain, then
+(usually) fails with UNIMPLEMENTED, which also poisons the process for
+further dispatches.  Therefore each timing sample runs in its own
+subprocess, dispatching the SAME compiled n-layer program k times (chained
+through the state, unique input bytes per sample to defeat the service's
+result cache):
 
   wall(k) = remote_compile + k * n * t_layer + RTT + download_latency
 
-with remote_compile/RTT/queue noise of seconds-to-minutes (shared service),
-which dwarfs any slope signal.  The reported number is therefore the BEST
-sample's k*n/wall — a throughput the device provably sustained during that
-window (all overheads inflate wall, so the estimate is conservative); each
-sample gets unique input bytes to defeat the service's result cache.
+The reported number is the best VALID sample's k*n/wall — a throughput the
+device provably sustained during that window (all overheads inflate wall,
+so the estimate is conservative).
+
+Validity filter (round-1 post-mortem: a poisoned dispatch chain returns
+sub-second "walls" without executing, and one 9.1 s poisoned sample beat
+the old >=2 s cutoff by 6x):
+  1. wall >= 2 s, AND
+  2. the sync phase is real: the z-download either returned a value or
+     *blocked* >= 1 s before failing (a poisoned chain fails instantly), AND
+  3. the implied per-layer time does not beat the config's physical floor
+     (each Trotter layer executes hundreds of data-dependent kernels;
+     sub-floor implies nothing ran).
+Fallback tier if no sample passes (2): accept the k_hi sample only if walls
+are k-monotone (wall(k_hi) > wall(k_lo)) — a poisoned k_hi sample finishes
+*faster* than k_lo, which is physically impossible for real execution.
 
 vs_baseline compares against the Julia-reference CPU per-layer wall-clock
 (~1 s/layer for config 1; the reference publishes no numbers, BASELINE.md).
@@ -38,22 +54,37 @@ import sys
 import time
 
 BASELINE_SECONDS_PER_LAYER = 1.0
-REPEATS = int(os.environ.get("TNQS_BENCH_REPEATS", "2"))
+REPEATS = int(os.environ.get("TNQS_BENCH_REPEATS", "1"))
+BUDGET_S = float(os.environ.get("TNQS_BENCH_BUDGET_S", "2400"))
+_T_START = time.perf_counter()
 
 CONFIGS = {
-    # name: (n_layers_per_dispatch, k_lo, k_hi) — the probe dispatches the
-    # same compiled n-layer program k times (chained), so the two k points
-    # share identical HLO (same remote-compile distribution) and the slope
-    # (k_hi-k_lo)·n amplifies the compute signal over the noise floor
-    # (k_hi sized so the slope signal is ≳100 s ≫ the ~20 s noise floor)
-    "chi10": (2005, 1, 17),
-    "heavyhex": (255, 1, 33),
-    "chi32": (255, 1, 17),
+    # name: (n_layers_per_dispatch, k_lo, k_hi, per_layer_floor_seconds)
+    # The probe dispatches the same compiled n-layer program k times
+    # (chained) so both k points share one HLO (one remote-compile
+    # distribution); k_hi sized so the compute signal is >> the noise
+    # floor.  Floors: each layer runs >=100 sequential kernels (BP
+    # while_loop + per-bucket factorization chains) at >=1 us launch
+    # latency each — per-layer times below these mean nothing executed.
+    "chi10": (2005, 1, 17, 5e-5),
+    "heavyhex": (255, 1, 33, 1e-4),
+    "chi32": (255, 1, 17, 5e-4),
+    "chi64": (63, 1, 9, 1e-3),
 }
 
 
-def _build(config: str, seed: int = 0):
+def _configure_jax():
+    """The axon plugin overrides the JAX_PLATFORMS env var (CLAUDE.md);
+    forcing CPU for offline smoke tests needs the config call."""
     import jax
+
+    if os.environ.get("TNQS_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def _build(config: str, seed: int = 0):
+    jax = _configure_jax()
 
     jax.config.update(
         "jax_compilation_cache_dir", f"/tmp/tnqs_jax_cache_{jax.default_backend()}"
@@ -66,11 +97,11 @@ def _build(config: str, seed: int = 0):
     from tensornetworkquantumsimulator_tpu.parallel import BatchedCircuit, make_layer_fn
     from tensornetworkquantumsimulator_tpu.parallel.convert import batched_product_state
 
-    if config == "heavyhex":
+    if config in ("heavyhex", "chi64"):
         from tensornetworkquantumsimulator_tpu.utils.lattices import ibm_eagle_lattice
 
         g = ibm_eagle_lattice()
-        chi = 8
+        chi = {"heavyhex": 8, "chi64": 64}[config]
         layer = [("Rx", [v], 0.4) for v in g.vertices()]
         for group in edge_color(g, 3):
             layer += [("Rzz", pair, 2 * (3.14159 / 4)) for pair in group]
@@ -102,12 +133,13 @@ def _build(config: str, seed: int = 0):
 
 def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
     """One timing sample: AOT-compile the n-layer scan, dispatch it k times
-    chained, force sync via a download attempt, print {"wall_seconds": ...}.
+    chained, force sync via a download attempt, print a JSON record with
+    per-phase timings.
 
-    ``seed`` perturbs the initial product state host-side by (1 + 1e-6·seed)
+    ``seed`` perturbs the initial product state host-side by (1 + 1e-6*seed)
     so every sample has unique input bytes while sharing the compiled
     program (see _build for why)."""
-    import jax
+    jax = _configure_jax()
     import jax.numpy as jnp
     import numpy as np
 
@@ -131,17 +163,32 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
 
     t0 = time.perf_counter()
     st2 = state
-    for _ in range(k):
+    z = None
+    for i in range(k):
         st2, z = compiled(st2)
+        if i == 0:
+            t_first = time.perf_counter() - t0  # includes remote compile
+    t_dispatch = time.perf_counter() - t0
     z_val = None
+    t1 = time.perf_counter()
     try:
         z_val = float(z)  # blocks until the device finishes; may then fail
     except Exception:
         z_val = None
+    t_sync = time.perf_counter() - t1
     wall = time.perf_counter() - t0
     print(
         json.dumps(
-            {"config": config, "n": n, "k": k, "wall_seconds": wall, "z": z_val}
+            {
+                "config": config,
+                "n": n,
+                "k": k,
+                "wall_seconds": wall,
+                "first_dispatch_seconds": t_first,
+                "dispatch_seconds": t_dispatch,
+                "sync_seconds": t_sync,
+                "z": z_val,
+            }
         )
     )
 
@@ -149,9 +196,14 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
 _SAMPLE_COUNTER = [0]
 
 
-def _sample(config: str, n: int, k: int) -> tuple:
-    """Run one probe subprocess; returns (wall_seconds, z) or (nan, None)."""
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - _T_START)
+
+
+def _sample(config: str, n: int, k: int) -> dict | None:
+    """Run one probe subprocess; returns the probe record or None."""
     _SAMPLE_COUNTER[0] += 1
+    timeout = max(60.0, min(_remaining(), 1200.0))
     try:
         proc = subprocess.run(
             [
@@ -160,69 +212,135 @@ def _sample(config: str, n: int, k: int) -> tuple:
             ],
             capture_output=True,
             text=True,
-            timeout=3600,
+            timeout=timeout,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
-                rec = json.loads(line)
-                return rec["wall_seconds"], rec.get("z")
+                return json.loads(line)
     except Exception:
         pass
-    return float("nan"), None
+    return None
 
 
-def _measure(config: str) -> tuple:
-    """-> (best-sample sec/layer upper bound, z).
+def _measure(config: str) -> dict:
+    """-> {"per_layer": best valid sec/layer (or None), "z": ..., "quality"}.
 
-    Each sample's wall-clock covers k·n layers PLUS nonnegative overhead
-    (queue, compile, RTT, download-failure latency), so k·n/wall is a
-    throughput the device provably sustained — a conservative estimate that
-    shared-tunnel noise can only lower, never inflate.  The best sample over
-    repeats (wall ≥ 2 s sanity cutoff: sub-second walls mean the dispatch
-    chain was poisoned and nothing ran) is reported.  A two-point slope is
-    unusable here: queue delays of ±300 s dwarf the ~30 s signal."""
-    n, k_lo, k_hi = CONFIGS[config]
-    best, z_seen = float("inf"), None
+    Validity per the module docstring: real wall, real (blocking) sync or a
+    downloaded z, and per-layer >= the config's physical floor.  Fallback:
+    k-monotone pair.  All overheads inflate wall, so k*n/wall is a
+    throughput the device provably sustained — conservative, and the
+    poisoned-chain signatures (instant sync failure, k_hi faster than k_lo,
+    sub-floor per-layer) are each rejected."""
+    n, k_lo, k_hi, floor = CONFIGS[config]
+    samples = []
     for _ in range(REPEATS):
         for k in (k_lo, k_hi):
-            w, z = _sample(config, n, k)
-            print(f"# {config} n={n} k={k}: {w:.1f}s", file=sys.stderr)
-            if z is not None:
-                z_seen = z
-            if w == w and w >= 2.0:
-                best = min(best, w / (k * n))
-    if best == float("inf"):
-        return float("nan"), z_seen
-    return best, z_seen
+            if _remaining() < 90.0:
+                print(f"# budget exhausted before {config} k={k}", file=sys.stderr)
+                break
+            rec = _sample(config, n, k)
+            if rec is None:
+                print(f"# {config} n={n} k={k}: probe failed/timeout", file=sys.stderr)
+                continue
+            print(
+                "# {config} n={n} k={k}: wall={w:.1f}s sync={s:.1f}s z={z}".format(
+                    config=config, n=n, k=k, w=rec["wall_seconds"],
+                    s=rec.get("sync_seconds", -1.0), z=rec.get("z"),
+                ),
+                file=sys.stderr,
+            )
+            samples.append(rec)
+
+    z_seen = next((r["z"] for r in samples if r.get("z") is not None), None)
+    best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
+    return {"per_layer": best, "z": z_seen, "quality": quality}
+
+
+def select_per_layer(samples, n, k_lo, k_hi, floor):
+    """Anti-inflation filter (pure; unit-tested in tests/test_bench.py).
+
+    -> (best valid sec/layer or None, quality tier or None)."""
+
+    def per_layer(r):
+        return r["wall_seconds"] / (r["k"] * n)
+
+    valid = [
+        r
+        for r in samples
+        if r["wall_seconds"] >= 2.0
+        and (r.get("z") is not None or r.get("sync_seconds", 0.0) >= 1.0)
+        and per_layer(r) >= floor
+    ]
+    quality = "sync"
+    if not valid:
+        # fallback: k-monotone (k_lo, k_hi) pair — poisoned k_hi chains
+        # finish FASTER than k_lo, which real execution cannot do
+        quality = "monotone"
+        lo = [r for r in samples if r["k"] == k_lo and r["wall_seconds"] >= 2.0]
+        hi = [r for r in samples if r["k"] == k_hi and r["wall_seconds"] >= 2.0]
+        valid = [
+            h
+            for h in hi
+            if per_layer(h) >= floor
+            and any(h["wall_seconds"] > l["wall_seconds"] for l in lo)
+        ]
+    if not valid:
+        return None, None
+    return min(per_layer(r) for r in valid), quality
+
+
+def _emit(results: dict) -> None:
+    """Print the cumulative result line (the LAST such line is the record)."""
+
+    def _inv(x):
+        return 1.0 / x if x else None
+
+    def _num(x, nd):
+        return round(x, nd) if x is not None and x == x else None
+
+    chi10 = results.get("chi10", {})
+    per_layer = chi10.get("per_layer")
+    z = chi10.get("z")
+    out = {
+        "metric": "tfim_5x5_chi10_layers_per_sec",
+        "value": _num(_inv(per_layer), 3),
+        "unit": "layers/s",
+        "vs_baseline": _num(
+            BASELINE_SECONDS_PER_LAYER * (_inv(per_layer) or 0.0), 2
+        )
+        if per_layer
+        else None,
+        "z_center_after_layers": _num(z, 6) if z is not None else None,
+        "heavyhex127q_chi8_layers_per_sec": _num(
+            _inv(results.get("heavyhex", {}).get("per_layer")), 3
+        ),
+        "tfim_5x5_chi32_layers_per_sec": _num(
+            _inv(results.get("chi32", {}).get("per_layer")), 3
+        ),
+        "heavyhex127q_chi64_layers_per_sec": _num(
+            _inv(results.get("chi64", {}).get("per_layer")), 3
+        ),
+        "quality": {c: r.get("quality") for c, r in results.items()},
+        "sync": "download-forced sync; best valid sample k*n/wall lower "
+        "bound (validity: blocking sync or downloaded z, physical floor, "
+        "k-monotonicity fallback — see docstring)",
+    }
+    print(json.dumps(out), flush=True)
 
 
 def main() -> None:
-    per_layer, z_center = _measure("chi10")
-    hh_per_layer, _ = _measure("heavyhex")
-    c32_per_layer, _ = _measure("chi32")
-
-    def _inv(x):
-        return 1.0 / x if x == x and x > 0 else float("nan")
-
-    def _num(x, nd):
-        return round(x, nd) if x == x else None  # NaN -> null (strict JSON)
-
-    print(
-        json.dumps(
-            {
-                "metric": "tfim_5x5_chi10_layers_per_sec",
-                "value": _num(_inv(per_layer), 3),
-                "unit": "layers/s",
-                "vs_baseline": _num(
-                    BASELINE_SECONDS_PER_LAYER * _inv(per_layer), 2
-                ),
-                "z_center_after_layers": _num(z_center, 6) if z_center is not None else None,
-                "heavyhex127q_chi8_layers_per_sec": _num(_inv(hh_per_layer), 3),
-                "tfim_5x5_chi32_layers_per_sec": _num(_inv(c32_per_layer), 3),
-                "sync": "download-forced sync; best-sample k*n/wall lower bound (see docstring)",
-            }
-        )
-    )
+    results: dict = {}
+    _emit(results)  # a parseable record exists from second zero
+    for config in ("chi10", "heavyhex", "chi32", "chi64"):
+        if _remaining() < 90.0:
+            print(f"# budget exhausted before {config}", file=sys.stderr)
+            break
+        try:
+            results[config] = _measure(config)
+        except Exception as exc:  # never die without a record
+            print(f"# {config} failed: {exc!r}", file=sys.stderr)
+            results[config] = {"per_layer": None, "z": None, "quality": None}
+        _emit(results)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,93 @@
+"""bench.py anti-inflation filter (VERDICT round 1, weak #2).
+
+The round-1 filter (wall >= 2 s) accepted a poisoned chi32 sample implying
+6x-inflated throughput.  These tests replay the actual round-1 sample tails
+against the new filter and assert each poisoning signature is rejected.
+"""
+
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "tnqs_bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+)
+bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench)
+
+
+def _rec(k, wall, sync=None, z=None):
+    out = {"k": k, "wall_seconds": wall, "z": z}
+    if sync is not None:
+        out["sync_seconds"] = sync
+    return out
+
+
+def test_rejects_round1_poisoned_chi32_tail():
+    """chi32 k=1: 62.3s then k=17: 9.1s — 17x the work 7x faster is
+    impossible; the instant sync failure marks the poisoned chain."""
+    n, k_lo, k_hi, floor = bench.CONFIGS["chi32"]
+    samples = [
+        _rec(1, 62.3, sync=0.01),
+        _rec(17, 9.1, sync=0.005),  # poisoned: dispatch chain died
+    ]
+    per_layer, quality = bench.select_per_layer(samples, n, k_lo, k_hi, floor)
+    assert per_layer is None and quality is None
+
+
+def test_rejects_subsecond_poisoned_wall():
+    """heavyhex k=33: 0.6s from round 1 — below the 2 s wall floor."""
+    n, k_lo, k_hi, floor = bench.CONFIGS["heavyhex"]
+    samples = [_rec(33, 0.6, sync=0.001)]
+    assert bench.select_per_layer(samples, n, k_lo, k_hi, floor) == (None, None)
+
+
+def test_accepts_blocking_sync_sample():
+    n, k_lo, k_hi, floor = bench.CONFIGS["chi10"]
+    samples = [
+        _rec(1, 72.1, sync=1.2),
+        _rec(17, 149.0, sync=20.5),
+    ]
+    per_layer, quality = bench.select_per_layer(samples, n, k_lo, k_hi, floor)
+    assert quality == "sync"
+    assert abs(per_layer - 149.0 / (17 * n)) < 1e-12
+
+
+def test_accepts_downloaded_z_even_with_fast_sync():
+    """A successfully downloaded z is the gold-standard execution proof."""
+    n, k_lo, k_hi, floor = bench.CONFIGS["chi10"]
+    samples = [_rec(17, 40.0, sync=0.2, z=0.93)]
+    per_layer, quality = bench.select_per_layer(samples, n, k_lo, k_hi, floor)
+    assert quality == "sync" and per_layer is not None
+
+
+def test_monotone_fallback_requires_khi_slower_than_klo():
+    """If no sample has a blocking sync, accept k_hi only when walls are
+    k-monotone; the poisoned pattern (k_hi faster) stays rejected."""
+    n, k_lo, k_hi, floor = bench.CONFIGS["chi10"]
+    good = [_rec(1, 72.1, sync=0.1), _rec(17, 149.0, sync=0.1)]
+    per_layer, quality = bench.select_per_layer(good, n, k_lo, k_hi, floor)
+    assert quality == "monotone"
+    assert abs(per_layer - 149.0 / (17 * n)) < 1e-12
+
+    bad = [_rec(1, 62.3, sync=0.1), _rec(17, 9.1, sync=0.1)]
+    assert bench.select_per_layer(bad, n, k_lo, k_hi, floor) == (None, None)
+
+
+def test_rejects_sub_floor_per_layer():
+    """Implied per-layer below the physical floor => nothing executed."""
+    n, k_lo, k_hi, floor = bench.CONFIGS["chi32"]
+    # 2.0 s wall over 17*255 layers = 4.6e-4 s/layer, under the 5e-4 floor,
+    # despite a blocking sync
+    samples = [_rec(17, 2.0, sync=5.0)]
+    assert bench.select_per_layer(samples, n, k_lo, k_hi, floor) == (None, None)
+
+
+def test_emit_is_parseable_with_no_results(capsys):
+    """A driver timeout before any config must still leave a JSON record."""
+    import json
+
+    bench._emit({})
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "tfim_5x5_chi10_layers_per_sec"
+    assert rec["value"] is None
