@@ -21,8 +21,11 @@ from .engine import (
     local_expectations,
     local_rdms,
 )
-from .boundarymps import make_grid_bmps
-from .certified_sampling import make_grid_certified_sampler
+from .boundarymps import PlanarBMPSSpec, make_grid_bmps, make_planar_bmps
+from .certified_sampling import (
+    make_grid_certified_sampler,
+    make_planar_certified_sampler,
+)
 from .gauge import batched_symmetric_gauge
 from .loopcorrection import (
     batched_partitionfunction,

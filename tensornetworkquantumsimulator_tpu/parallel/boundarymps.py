@@ -8,9 +8,13 @@ static shapes — strand tensors live in a fixed ``[W, K, χ, χ, K]`` buffer
 bonds) and every local update is a chain of small einsums, so the whole
 partition function / expectation sweep compiles to one XLA program.
 
-Scope: full rectangular grids (`named_grid((nx, ny))`) in row-major vertex
-order; general planar graphs use the generic engine
-(`engines/boundarymps.py`).
+Scope: rectangular grids via :class:`GridBMPSSpec`, and any column-aligned
+planar lattice (heavy-hex, Lieb, comb trees — every lattice the reference's
+`partition_by="row"` handles, `boundarympscache.jl:139-167`) via
+:class:`PlanarBMPSSpec`, which realizes the reference's pseudo-planar
+bond-1 fill-in edges (`boundarympscache.jl:554-569`) as identity *wire*
+tensors on a global column grid.  Non-column-aligned planar graphs fall
+back to the generic engine (`engines/boundarymps.py`).
 
 Conventions: rows are indexed by the first coordinate; a strand flowing
 into row r carries the (ket, bra) pair of the bonds between r-1 and r.
@@ -89,6 +93,124 @@ def identity_strand(W: int, K: int, chi: int, dtype) -> jax.Array:
     m = np.zeros((W, K, chi, chi, K), dtype=dtype)
     m[:, 0, :, :, 0] = np.eye(chi, dtype=dtype)
     return jnp.asarray(m)
+
+
+class PlanarBMPSSpec:
+    """Column-aligned path-partition spec: batched boundary MPS beyond grids.
+
+    The reference's :class:`BoundaryMPSCache` partitions any planar network
+    into rows by one coordinate and fills non-adjacent within-row vertices
+    with *pseudo planar edges* of bond dimension 1
+    (`boundarympscache.jl:139-167`, `pseudo_planar_edges` `:554-569`) so each
+    partition becomes a path.  The TPU-native equivalent here: vertices are
+    placed on a global (row, column) grid — rows sorted by ``float(v[0])``,
+    columns by ``float(v[1])`` — and every empty grid position is filled
+    with an identity *wire* tensor δ(left, right) (support pinned to index 0
+    on its up/down/site legs).  A wire is exactly a bond-dimension-1
+    pseudo-planar vertex: it transports whatever within-row bond passes
+    through and is invisible to the inter-row strands, so the grid fitting
+    machinery (`_fit_strand`, `_row_scalar`, `_edge_scalar`) runs unchanged
+    on heavy-hex, Lieb, comb-tree, … lattices.
+
+    Requirements (checked): every inter-row edge joins *adjacent* rows at
+    *equal* column (true for all shipped lattices, where bridge vertices sit
+    at the midpoint column), and within-row edges only cross empty
+    positions.  Memory note: row tensors are materialized at the 4-role
+    layout [χ,χ,χ,χ,d] regardless of vertex degree, so χ is bounded by HBM
+    the same way the grid engine's χ is.
+    """
+
+    def __init__(self, spec: BatchedGraphSpec, row_of=None, col_of=None):
+        if row_of is None:
+            row_of = lambda v: float(v[0])
+        if col_of is None:
+            col_of = lambda v: float(v[1])
+        self.spec = spec
+        rows = sorted({row_of(v) for v in spec.vertices})
+        cols = sorted({col_of(v) for v in spec.vertices})
+        self.nrows, self.W = len(rows), len(cols)
+        r_pos = {r: i for i, r in enumerate(rows)}
+        c_pos = {c: i for i, c in enumerate(cols)}
+        # vid[r][c] = vertex position in spec.vertices, or -1 for a wire
+        self.vid = -np.ones((self.nrows, self.W), dtype=np.int64)
+        self.rowcol = {}  # vertex position -> (r, c)
+        for i, v in enumerate(spec.vertices):
+            r, c = r_pos[row_of(v)], c_pos[col_of(v)]
+            if self.vid[r, c] != -1:
+                raise ValueError(f"two vertices at grid position {(r, c)}")
+            self.vid[r, c] = i
+            self.rowcol[i] = (r, c)
+        # role_slot[i] = {role: tensor slot} for roles with real bonds;
+        # roles: 0=up, 1=down, 2=left, 3=right
+        self.role_slot = [dict() for _ in spec.vertices]
+        for (iu, iv, su, sv) in spec.edges:
+            (ru, cu), (rv, cv) = self.rowcol[iu], self.rowcol[iv]
+            if ru == rv:
+                if cu == cv:
+                    raise ValueError("self-column edge")
+                lo, hi = (iu, iv) if cu < cv else (iv, iu)
+                slo, shi = (su, sv) if cu < cv else (sv, su)
+                for c in range(min(cu, cv) + 1, max(cu, cv)):
+                    if self.vid[ru, c] != -1:
+                        raise ValueError(
+                            "within-row edge crosses a real vertex: not a "
+                            "path partition under this column ordering"
+                        )
+                roles = ((lo, 3, slo), (hi, 2, shi))
+            elif abs(ru - rv) == 1 and cu == cv:
+                up, dn = (iu, iv) if ru < rv else (iv, iu)
+                sup, sdn = (su, sv) if ru < rv else (sv, su)
+                roles = ((up, 1, sup), (dn, 0, sdn))
+            else:
+                raise ValueError(
+                    f"edge {spec.vertices[iu]}–{spec.vertices[iv]} is not "
+                    "row-adjacent and column-aligned; use the generic engine"
+                )
+            for (i, role, slot) in roles:
+                if role in self.role_slot[i]:
+                    raise ValueError("vertex has two bonds in one direction")
+                self.role_slot[i][role] = slot
+
+    def _vertex_block(self, tensors: jax.Array, i: int) -> jax.Array:
+        """tensors[i] rearranged to the [u, d, l, r, s] role layout, missing
+        roles carried by free dummy slots or size-1 axes padded to χ."""
+        spec = self.spec
+        D = spec.degree
+        chi = tensors.shape[1]
+        mask = spec.mask_array()
+        used = set(self.role_slot[i].values())
+        free = [k for k in range(D) if k not in used and not mask[i, k]]
+        axes, missing = [], []
+        for role in range(4):
+            if role in self.role_slot[i]:
+                axes.append(self.role_slot[i][role])
+            elif free:
+                axes.append(free.pop())
+            else:
+                missing.append(role)
+        t = jnp.transpose(tensors[i], axes + [k for k in range(D) if k not in axes] + [D])
+        # drop leftover dummy slots (support is at index 0 by construction)
+        for _ in range(D - len(axes)):
+            t = t[..., 0, :]
+        for role in missing:
+            t = jnp.expand_dims(t, axis=role)
+            pad = [(0, 0)] * t.ndim
+            pad[role] = (0, chi - 1)
+            t = jnp.pad(t, pad)
+        return t  # [χ, χ, χ, χ, d]
+
+    def row_tensors(self, tensors: jax.Array, r: int) -> jax.Array:
+        """[W, u, d, l, rt, s] for row r, wires at empty positions."""
+        chi = tensors.shape[1]
+        d = tensors.shape[-1]
+        wire = np.zeros((chi,) * 4 + (d,), dtype=tensors.dtype)
+        wire[0, 0, :, :, 0] = np.eye(chi)
+        wire = jnp.asarray(wire)
+        out = []
+        for c in range(self.W):
+            i = int(self.vid[r, c])
+            out.append(wire if i < 0 else self._vertex_block(tensors, i))
+        return jnp.stack(out)
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +366,69 @@ def _row_scalar(psi_row, m_up, m_dn, op=None, op_col=None):
 # ---------------------------------------------------------------------------
 
 
+def _strand_builder(row_tensors_fn, nrows: int, W: int, kmps: int, niters: int):
+    """Shared bottom-up/top-down strand fitting over any row provider."""
+
+    def _strands(tensors):
+        chi = tensors.shape[1]
+        dtype = tensors.dtype
+        rows = [row_tensors_fn(tensors, r) for r in range(nrows)]
+        # upward pass: message into row r from r-1 (m_up[r])
+        m_up = [identity_strand(W, kmps, chi, dtype)]
+        for r in range(nrows - 1):
+            m_up.append(_fit_strand(rows[r], m_up[-1], m_up[-1], niters))
+        # downward pass: message into row r from r+1 (m_dn[r]); the row
+        # tensors need up/down swapped for the sweep direction
+        def flip(row):
+            return jnp.transpose(row, (0, 2, 1, 3, 4, 5))
+
+        m_dn = [None] * nrows
+        m_dn[nrows - 1] = identity_strand(W, kmps, chi, dtype)
+        cur = m_dn[nrows - 1]
+        for r in range(nrows - 1, 0, -1):
+            cur = _fit_strand(flip(rows[r]), cur, cur, niters)
+            m_dn[r - 1] = cur
+        return rows, m_up, m_dn
+
+    return _strands
+
+
+def _make_bmps_fns(row_tensors_fn, nrows, W, out_positions, kmps, niters):
+    """Jitted (norm_sqr_fn, expect_fn) over any row provider;
+    ``out_positions`` lists the (row, col) of each output vertex."""
+    _strands = _strand_builder(row_tensors_fn, nrows, W, kmps, niters)
+
+    @jax.jit
+    def norm_sqr_fn(tensors):
+        rows, m_up, m_dn = _strands(tensors)
+        rdt = jnp.zeros((), tensors.dtype).real.dtype
+        log_z = jnp.zeros((), rdt)
+        phase = jnp.zeros_like(log_z)
+        for r in range(nrows):
+            v = _row_scalar(rows[r], m_up[r], m_dn[r])
+            log_z += jnp.log(jnp.abs(v))
+            phase += jnp.angle(v)
+        for r in range(nrows - 1):
+            e = _edge_scalar(m_up[r + 1], m_dn[r])
+            log_z -= jnp.log(jnp.abs(e))
+            phase -= jnp.angle(e)
+        return log_z, phase
+
+    @jax.jit
+    def expect_fn(tensors, op):
+        rows, m_up, m_dn = _strands(tensors)
+        denoms = {}
+        out = []
+        for (r, c) in out_positions:
+            if r not in denoms:
+                denoms[r] = _row_scalar(rows[r], m_up[r], m_dn[r])
+            numer = _row_scalar(rows[r], m_up[r], m_dn[r], op=op, op_col=c)
+            out.append(jnp.real(numer / denoms[r]))
+        return jnp.stack(out)
+
+    return norm_sqr_fn, expect_fn
+
+
 def make_grid_bmps(
     spec: BatchedGraphSpec,
     nx: int,
@@ -259,56 +444,25 @@ def make_grid_bmps(
     ``tensors`` is the BatchedState tensor array.
     """
     gspec = GridBMPSSpec(spec, nx, ny)
-    W = ny
+    positions = [(r, c) for r in range(nx) for c in range(ny)]
+    return _make_bmps_fns(gspec.row_tensors, nx, ny, positions, kmps, niters)
 
-    def _strands(tensors):
-        chi = tensors.shape[1]
-        dtype = tensors.dtype
-        rows = [gspec.row_tensors(tensors, r) for r in range(nx)]
-        # upward pass: message into row r from r-1 (m_up[r])
-        m_up = [identity_strand(W, kmps, chi, dtype)]
-        for r in range(nx - 1):
-            m_up.append(_fit_strand(rows[r], m_up[-1], m_up[-1], niters))
-        # downward pass: message into row r from r+1 (m_dn[r]); the row
-        # tensors need up/down swapped for the sweep direction
-        def flip(row):
-            return jnp.transpose(row, (0, 2, 1, 3, 4, 5))
 
-        m_dn = [None] * nx
-        m_dn[nx - 1] = identity_strand(W, kmps, chi, dtype)
-        cur = m_dn[nx - 1]
-        for r in range(nx - 1, 0, -1):
-            cur = _fit_strand(flip(rows[r]), cur, cur, niters)
-            m_dn[r - 1] = cur
-        return rows, m_up, m_dn
+def make_planar_bmps(
+    spec: BatchedGraphSpec,
+    kmps: int,
+    niters: int = 15,
+    row_of=None,
+    col_of=None,
+):
+    """Boundary-MPS evaluators for any column-aligned planar lattice
+    (heavy-hex, Lieb, comb, …): the batched counterpart of the reference's
+    general `BoundaryMPSCache` (`boundarympscache.jl:139-194`).
 
-    @jax.jit
-    def norm_sqr_fn(tensors):
-        rows, m_up, m_dn = _strands(tensors)
-        rdt = jnp.zeros((), tensors.dtype).real.dtype
-        log_z = jnp.zeros((), rdt)
-        phase = jnp.zeros_like(log_z)
-        for r in range(nx):
-            v = _row_scalar(rows[r], m_up[r], m_dn[r])
-            log_z += jnp.log(jnp.abs(v))
-            phase += jnp.angle(v)
-        for r in range(nx - 1):
-            e = _edge_scalar(m_up[r + 1], m_dn[r])
-            log_z -= jnp.log(jnp.abs(e))
-            phase -= jnp.angle(e)
-        return log_z, phase
-
-    @jax.jit
-    def expect_fn(tensors, op):
-        rows, m_up, m_dn = _strands(tensors)
-        out = []
-        for r in range(nx):
-            denom = _row_scalar(rows[r], m_up[r], m_dn[r])
-            for c in range(W):
-                numer = _row_scalar(
-                    rows[r], m_up[r], m_dn[r], op=op, op_col=c
-                )
-                out.append(jnp.real(numer / denom))
-        return jnp.stack(out)
-
-    return norm_sqr_fn, expect_fn
+    Returns ``(norm_sqr_fn, expect_fn)`` with ``expect_fn`` output in
+    ``spec.vertices`` order."""
+    pspec = PlanarBMPSSpec(spec, row_of=row_of, col_of=col_of)
+    positions = [pspec.rowcol[i] for i in range(spec.num_vertices)]
+    return _make_bmps_fns(
+        pspec.row_tensors, pspec.nrows, pspec.W, positions, kmps, niters
+    )

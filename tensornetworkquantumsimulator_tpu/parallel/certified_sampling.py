@@ -31,7 +31,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .boundarymps import GridBMPSSpec, _fit_strand, identity_strand
+from .boundarymps import (
+    GridBMPSSpec,
+    PlanarBMPSSpec,
+    _fit_strand,
+    identity_strand,
+)
 from .structure import BatchedGraphSpec
 
 _PRECISION = jax.lax.Precision.HIGHEST
@@ -194,10 +199,57 @@ def make_grid_certified_sampler(
     sampling distribution q is exact, so its spread certifies sample quality
     (`sampling.jl:300-332`)."""
     gspec = GridBMPSSpec(spec, nx, ny)
+    return _make_certified_sampler(
+        gspec.row_tensors, nx, ny, norm_rank, projected_rank, niters
+    )
+
+
+def make_planar_certified_sampler(
+    spec: BatchedGraphSpec,
+    norm_rank: int,
+    projected_rank: int,
+    niters: int = 12,
+    row_of=None,
+    col_of=None,
+):
+    """Certified sampler for any column-aligned planar lattice (heavy-hex,
+    Lieb, comb, …) — the batched counterpart of the reference's
+    `sample_certified` on general partitions (`sampling.jl:202-207,
+    300-332`).
+
+    Returns ``sampler(tensors, keys) -> (bits [n, V], logq [n],
+    log_poverq [n])`` with bits in ``spec.vertices`` order.  Wire (padding)
+    positions sample bit 0 with probability 1 and contribute nothing to
+    log q or the certificate."""
+    pspec = PlanarBMPSSpec(spec, row_of=row_of, col_of=col_of)
+    grid_sampler = _make_certified_sampler(
+        pspec.row_tensors, pspec.nrows, pspec.W, norm_rank, projected_rank,
+        niters, jit=False,
+    )
+    rows_idx = np.asarray([pspec.rowcol[i][0] for i in range(spec.num_vertices)])
+    cols_idx = np.asarray([pspec.rowcol[i][1] for i in range(spec.num_vertices)])
+
+    @jax.jit
+    def sampler(tensors, keys):
+        bits, logq, log_poverq = grid_sampler(tensors, keys)
+        return bits[:, rows_idx, cols_idx], logq, log_poverq
+
+    return sampler
+
+
+def _make_certified_sampler(
+    row_tensors_fn,
+    nx: int,
+    ny: int,
+    norm_rank: int,
+    projected_rank: int,
+    niters: int = 12,
+    jit: bool = True,
+):
     W = ny
 
     def norm_strands(tensors):
-        rows = [gspec.row_tensors(tensors, r) for r in range(nx)]
+        rows = [row_tensors_fn(tensors, r) for r in range(nx)]
         chi = tensors.shape[1]
         dtype = tensors.dtype
 
@@ -259,7 +311,7 @@ def make_grid_certified_sampler(
         strand = _e0_strand(W, kc, chi, tensors.dtype)
         log_amp = jnp.zeros((), jnp.float32)
         for r in range(nx):
-            row = gspec.row_tensors(tensors, r)  # [W,u,d,l,rr,s]
+            row = row_tensors_fn(tensors, r)  # [W,u,d,l,rr,s]
             sel = jnp.take_along_axis(
                 row,
                 bits[r][:, None, None, None, None, None],
@@ -300,4 +352,4 @@ def make_grid_certified_sampler(
 
         return jax.vmap(one)(keys)
 
-    return jax.jit(sampler)
+    return jax.jit(sampler) if jit else sampler

@@ -238,15 +238,46 @@ def _gate_bucket_update(
     normalize_tensors: bool,
 ):
     """Simple update vmapped over all edges of one (slot_u, slot_v) bucket
-    (`simple_update.jl:17-68`): absorb √env → QR-reduce → gate → truncated
-    SVD into the static χ buffer → restore with 1/√env; the kept spectrum
-    becomes the new edge message (`apply_gates.jl:108-115`)."""
-    D = state.degree
-    d = state.tensors.shape[-1]
+    (`simple_update.jl:17-68`): gather endpoints, run the update core,
+    scatter back; the kept spectrum becomes the new edge message
+    (`apply_gates.jl:108-115`)."""
     tu = state.tensors[u_idx]
     tv = state.tensors[v_idx]
     mu = state.messages[u_idx]
     mv = state.messages[v_idx]
+    tu_new, tv_new, msg, err = _simple_update_core(
+        tu, tv, mu, mv, gate, slot_u, slot_v, chi, cutoff, normalize_tensors
+    )
+    tensors = state.tensors.at[u_idx].set(tu_new.astype(state.tensors.dtype))
+    tensors = tensors.at[v_idx].set(tv_new.astype(state.tensors.dtype))
+    messages = state.messages.at[u_idx, slot_u].set(
+        msg.astype(state.messages.dtype)
+    )
+    messages = messages.at[v_idx, slot_v].set(
+        msg.astype(state.messages.dtype)
+    )
+    return BatchedState(tensors, messages), err
+
+
+def _simple_update_core(
+    tu: jax.Array,  # [B, χ.., d] gathered u tensors
+    tv: jax.Array,
+    mu: jax.Array,  # [B, D, χ, χ] gathered incoming messages at u
+    mv: jax.Array,
+    gate: jax.Array,
+    slot_u: int,
+    slot_v: int,
+    chi: int,
+    cutoff: float,
+    normalize_tensors: bool,
+):
+    """The batched simple-update kernel on gathered endpoint data
+    (`simple_update.jl:17-68`): absorb √env → QR-reduce → gate → truncated
+    SVD into the static χ buffer → restore with 1/√env.  Returns
+    ``(tu_new, tv_new, message, err)`` — scatter-free so the SPMD layer can
+    run it on halo-exchanged partners."""
+    D = tu.ndim - 2
+    d = tu.shape[-1]
 
     # ONE batched eigh for every environment root of both sites, and ONE
     # batched QR for both reduced tensors: the per-layer cost at small χ is
@@ -349,7 +380,7 @@ def _gate_bucket_update(
         s_msg = s_kept / jnp.where(s_norm == 0, 1.0, s_norm)
     else:
         s_msg = s_kept
-    msg = jax.vmap(jnp.diag)(s_msg).astype(state.messages.dtype)
+    msg = jax.vmap(jnp.diag)(s_msg).astype(mat.dtype)
 
     if normalize_tensors:
         def _nrm(t):
@@ -359,11 +390,7 @@ def _gate_bucket_update(
 
         tu_new, tv_new = _nrm(tu_new), _nrm(tv_new)
 
-    tensors = state.tensors.at[u_idx].set(tu_new.astype(state.tensors.dtype))
-    tensors = tensors.at[v_idx].set(tv_new.astype(state.tensors.dtype))
-    messages = state.messages.at[u_idx, slot_u].set(msg)
-    messages = messages.at[v_idx, slot_v].set(msg)
-    return BatchedState(tensors, messages), err
+    return tu_new, tv_new, msg, err
 
 
 def apply_one_site(state: BatchedState, gate: jax.Array, idx=None) -> BatchedState:

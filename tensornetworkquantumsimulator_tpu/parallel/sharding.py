@@ -184,13 +184,48 @@ def make_sharded_bp_update(
 
     def body(tensors, messages, snv, sns, spv, sps, src, mask):
         # per-shard blocks: tensors [Vl, ...], tables [1, ...] -> squeeze
-        snv, sns = snv[0], sns[0]
-        spv, sps = spv[0], sps[0]
-        src, mask = src[0], mask[0]
-        Vl = tensors.shape[0]
-        chi = tensors.shape[1]
-        rdt = jnp.zeros((), tensors.dtype).real.dtype
+        return _bp_fixed_point(
+            tensors, messages, snv[0], sns[0], spv[0], sps[0], src[0],
+            mask[0], D, S, axis, maxiter, tolerance,
+        )
 
+    spec_v = P(axis)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec_v,) * 8,
+        out_specs=spec_v,
+    )
+
+    @jax.jit
+    def update(state: BatchedState) -> BatchedState:
+        m = fn(
+            state.tensors,
+            state.messages,
+            tables["snv"],
+            tables["sns"],
+            tables["spv"],
+            tables["sps"],
+            tables["src"],
+            tables["mask"],
+        )
+        return state._replace(messages=m)
+
+    return update
+
+
+def _bp_fixed_point(
+    tensors, messages, snv, sns, spv, sps, src, mask, D, S, axis,
+    maxiter, tolerance,
+):
+    """Per-shard flooding-BP fixed point with ppermute halo exchange —
+    callable from inside any shard_map body (same fixed-point semantics as
+    `engine.bp_update` / `abstractbeliefpropagationcache.jl:198-222`)."""
+    Vl = tensors.shape[0]
+    chi = tensors.shape[1]
+    rdt = jnp.zeros((), tensors.dtype).real.dtype
+
+    if True:  # keep the original body indentation
         def one_iteration(m):
             m_out = _local_outgoing(tensors, m, D)  # [Vl, D, χ, χ]
             send_next = m_out[snv, sns]  # [H, χ, χ]
@@ -233,27 +268,3 @@ def make_sharded_bp_update(
             cond, loop, (messages, jnp.int32(0), jnp.asarray(jnp.inf, rdt))
         )
         return m
-
-    spec_v = P(axis)
-    fn = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(spec_v,) * 8,
-        out_specs=spec_v,
-    )
-
-    @jax.jit
-    def update(state: BatchedState) -> BatchedState:
-        m = fn(
-            state.tensors,
-            state.messages,
-            tables["snv"],
-            tables["sns"],
-            tables["spv"],
-            tables["sps"],
-            tables["src"],
-            tables["mask"],
-        )
-        return state._replace(messages=m)
-
-    return update
