@@ -33,5 +33,7 @@ from .loopcorrection import (
     loopcorrected_partitionfunction as batched_loopcorrected_partitionfunction,
 )
 from .truncate import batched_truncate
+from .sharded_layer import build_layer_groups, make_sharded_layer
+from .sharding import ShardedBPSpec, make_sharded_bp_update, shard_spec
 from .structure import BatchedGraphSpec, SlotPairBucket, compile_graph
 from .trotter import BatchedCircuit, make_expectation_fn, make_layer_fn

@@ -1,0 +1,98 @@
+"""Sharded-vs-single-device FULL Trotter layer equivalence (VERDICT item:
+state transformation sharded explicitly, not just BP messages)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import tensornetworkquantumsimulator_tpu as tnqs
+from tensornetworkquantumsimulator_tpu import named_grid, random_tensornetworkstate
+from tensornetworkquantumsimulator_tpu.models.gates import gate_matrix
+from tensornetworkquantumsimulator_tpu.parallel import (
+    BatchedState,
+    apply_color_group,
+    apply_one_site,
+    batched_from_tns,
+    bp_update,
+)
+from tensornetworkquantumsimulator_tpu.parallel.sharded_layer import (
+    build_layer_groups,
+    make_sharded_layer,
+)
+from tensornetworkquantumsimulator_tpu.parallel.sharding import shard_spec
+
+
+def _unsharded_layer(spec, state, gate2, gate1, chi, cutoff, tol):
+    """Reference semantics: 1-site gate, then per color group BP refresh +
+    batched simple update, then a final BP update (= make_layer_fn on the
+    kicked-Ising layer)."""
+    state = apply_one_site(state, jnp.asarray(gate1))
+    errs = []
+    for group in spec.color_groups:
+        state = bp_update(spec, state, maxiter=30, tolerance=tol)
+        state, err = apply_color_group(
+            state, group, jnp.asarray(gate2), chi, cutoff, True
+        )
+        errs.append(err)
+    state = bp_update(spec, state, maxiter=30, tolerance=tol)
+    return state, jnp.concatenate(errs)
+
+
+def test_sharded_full_layer_matches_unsharded():
+    nx, ny, chi = 8, 4, 3
+    S = 8
+    g = named_grid((nx, ny))
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+
+    gate2 = np.asarray(gate_matrix("Rzz", 0.35)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 0.8))
+    tol = 1e-10
+
+    ref_state, ref_errs = _unsharded_layer(
+        spec, state, gate2, gate1, chi, 1e-12, tol
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    layer = make_sharded_layer(
+        sspec, mesh, gate2, gate1, chi, cutoff=1e-12,
+        bp_tolerance=tol, one_site_first=True,
+    )
+    sh = NamedSharding(mesh, P("v"))
+    sharded_state = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    out_state, out_errs = layer(sharded_state)
+
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.messages), np.asarray(ref_state.messages),
+        atol=1e-9,
+    )
+    # same truncation-error multiset (ordering differs across the split)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out_errs)[np.asarray(out_errs) > 1e-14]),
+        np.sort(np.asarray(ref_errs)[np.asarray(ref_errs) > 1e-14]),
+        rtol=1e-6,
+    )
+
+
+def test_sharded_layer_cross_bucket_tables():
+    # every edge lands in exactly one bucket; cross tables align order
+    g = named_grid((8, 4))
+    sspec = shard_spec(g, 8)
+    groups = build_layer_groups(sspec)
+    n_edges = sum(
+        int(b.valid.sum()) for group in groups for b in group
+    )
+    assert n_edges == len(sspec.spec.edges)
