@@ -216,6 +216,7 @@ def full_update(
     symmetrize: bool = False,
     maxdim=None,
     cutoff=None,
+    solver: str = "auto",
 ):
     """Two-site full update: QR-split both sites, ALS-optimize the reduced
     factors against the environment, recombine (`full_update.jl:8-55`)."""
@@ -237,6 +238,7 @@ def full_update(
         nfullupdatesweeps=nfullupdatesweeps,
         maxdim=maxdim,
         cutoff=cutoff,
+        solver=solver,
     )
     if symmetrize:
         x, y, s_values, err, _ = svd_truncated(
@@ -302,10 +304,18 @@ def fidelity(envs, p_cur, q_cur, p_prev, q_prev, gate):
     return f * np.conj(f)
 
 
-def _optimise_p_q(p, q, envs, o, nfullupdatesweeps=10, maxdim=None, cutoff=None):
-    """ALS sweeps solving M x = b per site (`full_update.jl:102-163`), with
-    the Krylov solve replaced by a dense solve on the matricized normal
-    operator (the reduced factors are small)."""
+def _optimise_p_q(
+    p, q, envs, o, nfullupdatesweeps=10, maxdim=None, cutoff=None,
+    solver="auto",
+):
+    """ALS sweeps solving M x = b per site (`full_update.jl:102-163`).
+
+    ``solver``: "dense" matricizes the normal operator and solves by
+    least squares (exact, O(n³) — fine for small reduced factors);
+    "cg" runs matrix-free conjugate gradient on the hermitian-PSD
+    environment operator, the analogue of the reference's KrylovKit
+    `linsolve` (`full_update.jl:129-140`) that scales to large χ;
+    "auto" switches to CG once the unknown exceeds 64 entries."""
     opq = apply_op(o, contract_pair(p, q))
     x, y, _s, _err, _bond = svd_truncated(
         opq, list(p.inds), maxdim=maxdim, cutoff=cutoff, ortho="left"
@@ -321,15 +331,42 @@ def _optimise_p_q(p, q, envs, o, nfullupdatesweeps=10, maxdim=None, cutoff=None)
         other_dag = other.dag().prime().replaceinds(
             [i.prime() for i in s_other], s_other
         )
+        rhs = b_vec(other)
+        xin = list(rhs.inds)
+        xout = [i.prime() for i in xin]
+        dsz = int(np.prod([i.dim for i in xin]))
+        bvec = np.asarray(rhs.array(tuple(xin))).reshape(dsz)
+        from .ops.tensor import delta as _delta
+
+        use_cg = solver == "cg" or (solver == "auto" and dsz > 64)
+        if use_cg:
+            # matrix-free CG on the hermitian-PSD environment operator —
+            # never materializes the dsz×dsz matrix (KrylovKit-linsolve
+            # parity, `full_update.jl:129-140`)
+            op_factors = [other, other_dag] + list(envs)
+            touched = set().union(*(f.inds for f in op_factors))
+            deltas = [
+                _delta((i, i.prime()), dtype=rhs.dtype)
+                for i in xin
+                if i not in touched
+            ]
+
+            def matvec(vec):
+                xt = Tensor(
+                    vec.reshape(tuple(i.dim for i in xin)), tuple(xin)
+                )
+                out = contract([xt] + op_factors + deltas)
+                return np.asarray(out.array(tuple(xout))).reshape(dsz)
+
+            sol = _cg_hermitian(matvec, bvec, x0=np.asarray(
+                x_cur.array(tuple(xin))
+            ).reshape(dsz) if set(x_cur.inds) == set(xin) else None)
+            return Tensor(sol.reshape(tuple(i.dim for i in xin)), tuple(xin))
+
         m_tensor = contract([other, other_dag] + list(envs))
         # m_tensor has x's inds (unprimed) and their primes, except legs of x
         # that touch nothing else (its site leg) — the operator is the
         # identity there, so extend with δ(i, i')
-        rhs = b_vec(other)
-        xin = list(rhs.inds)
-        xout = [i.prime() for i in xin]
-        from .ops.tensor import delta as _delta
-
         present = set(m_tensor.inds)
         for i in xin:
             if i not in present:
@@ -337,9 +374,7 @@ def _optimise_p_q(p, q, envs, o, nfullupdatesweeps=10, maxdim=None, cutoff=None)
                     m_tensor, _delta((i, i.prime()), dtype=m_tensor.dtype)
                 )
         mat = np.asarray(m_tensor.array(tuple(xout) + tuple(xin)))
-        dsz = int(np.prod([i.dim for i in xin]))
         mat = mat.reshape(dsz, dsz)
-        bvec = np.asarray(rhs.array(tuple(xin))).reshape(dsz)
         sol = np.linalg.lstsq(mat, bvec, rcond=None)[0].astype(mat.dtype)
         return Tensor(sol.reshape(tuple(i.dim for i in xin)), tuple(xin))
 
@@ -347,6 +382,36 @@ def _optimise_p_q(p, q, envs, o, nfullupdatesweeps=10, maxdim=None, cutoff=None)
         p_cur = solve_for(p_cur, q_cur)
         q_cur = solve_for(q_cur, p_cur)
     return p_cur, q_cur
+
+
+def _cg_hermitian(matvec, b, x0=None, tol=1e-12, maxiter=None):
+    """Conjugate gradient for hermitian-PSD operators (possibly singular:
+    iterates stay in the Krylov space of b, i.e. range(M), so the
+    pseudo-solution is reached without regularization)."""
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = 4 * n
+    x = np.zeros_like(b) if x0 is None else x0.astype(b.dtype).copy()
+    r = b - matvec(x)
+    p = r.copy()
+    rs = np.vdot(r, r)
+    bnorm = np.linalg.norm(b)
+    if bnorm == 0:
+        return x * 0
+    for _ in range(maxiter):
+        if np.sqrt(abs(rs)) <= tol * bnorm:
+            break
+        mp = matvec(p)
+        denom = np.vdot(p, mp)
+        if abs(denom) <= 1e-300:
+            break
+        alpha = rs / denom
+        x = x + alpha * p
+        r = r - alpha * mp
+        rs_new = np.vdot(r, r)
+        p = r + (rs_new / rs) * p
+        rs = rs_new
+    return x
 
 
 def _is_dangling(ind, envs, x_cur):

@@ -218,10 +218,15 @@ class PlanarBMPSSpec:
 # ---------------------------------------------------------------------------
 
 
-def _fit_strand(psi_row, m_in, n0, niters: int):
+def _fit_strand(psi_row, m_in, n0, niters: int, tolerance: float | None = None):
     """One-site ALS fitting of the outgoing strand N ≈ (row ∘ M_in)
     (`boundarympscache.jl:321-360`).  Returns the fitted strand,
-    left-canonical with a normalized final tensor."""
+    left-canonical with a normalized final tensor.
+
+    With ``tolerance`` set, sweeps stop early once the mean extracted
+    one-site norm stabilizes — the reference's cost-function criterion
+    (|cf − prev_cf| < tolerance, `boundarympscache.jl:346-357`) — with
+    ``niters`` as the cap; ``None`` keeps the fixed-sweep schedule."""
     W, K = n0.shape[0], n0.shape[1]
     chi = psi_row.shape[1]
     d_out = n0.shape[2]
@@ -258,7 +263,7 @@ def _fit_strand(psi_row, m_in, n0, niters: int):
     def flip_strand(m):
         return jnp.flip(m, 0).transpose(0, 4, 2, 3, 1)
 
-    def half_sweep(psi_r, m_r, n, _):
+    def half_sweep(psi_r, m_r, n):
         # right envs from the current (conjugated) strand
         def renv_step(r_env, inputs):
             psi, m_c, n_c = inputs
@@ -290,21 +295,44 @@ def _fit_strand(psi_row, m_in, n0, niters: int):
         norm = jnp.linalg.norm(last.reshape(-1))
         last = last / jnp.where(norm == 0, 1.0, norm)
         n_out = qs.at[-1].set(last)
-        return n_out, None
+        # cf: mean one-site extracted norm (the reference's cost function)
+        cf = jnp.mean(
+            jnp.linalg.norm(raws.reshape(raws.shape[0], -1), axis=-1)
+        )
+        return n_out, jnp.real(cf)
 
-    psi_f = None
-    m_f = None
-
-    def sweep(n, _):
+    def sweep(n):
         # proper ALS: alternate L→R and R→L one-site sweeps so the
         # environments on both sides of the update are isometric
         # (`boundarympscache.jl:321-360` gauge walk)
-        n, _ = half_sweep(psi_row, m_in, n, None)
+        n, _ = half_sweep(psi_row, m_in, n)
         nf = flip_strand(n)
-        nf, _ = half_sweep(flip_psi(psi_row), flip_strand(m_in), nf, None)
-        return flip_strand(nf), None
+        nf, cf = half_sweep(flip_psi(psi_row), flip_strand(m_in), nf)
+        return flip_strand(nf), cf
 
-    n, _ = jax.lax.scan(sweep, n0, None, length=niters)
+    if tolerance is None:
+        n, _ = jax.lax.scan(lambda n, _: sweep(n), n0, None, length=niters)
+        return n
+
+    rdt = jnp.zeros((), n0.dtype).real.dtype
+    if tolerance == "auto":
+        # the reference's per-dtype default (`utils.jl:77-91` convention:
+        # 1e-8 for 64-bit scalars, 1e-5 for 32-bit)
+        tolerance = 1e-8 if rdt == jnp.dtype("float64") else 1e-5
+
+    def cond(carry):
+        _, _, it, eps = carry
+        return jnp.logical_and(it < niters, eps > tolerance)
+
+    def body(carry):
+        n, prev_cf, it, _ = carry
+        n, cf = sweep(n)
+        return (n, cf, it + 1, jnp.abs(cf - prev_cf))
+
+    n, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (n0, jnp.zeros((), rdt), jnp.int32(0), jnp.asarray(jnp.inf, rdt)),
+    )
     return n
 
 
@@ -366,7 +394,10 @@ def _row_scalar(psi_row, m_up, m_dn, op=None, op_col=None):
 # ---------------------------------------------------------------------------
 
 
-def _strand_builder(row_tensors_fn, nrows: int, W: int, kmps: int, niters: int):
+def _strand_builder(
+    row_tensors_fn, nrows: int, W: int, kmps: int, niters: int,
+    tolerance="auto",
+):
     """Shared bottom-up/top-down strand fitting over any row provider."""
 
     def _strands(tensors):
@@ -376,7 +407,9 @@ def _strand_builder(row_tensors_fn, nrows: int, W: int, kmps: int, niters: int):
         # upward pass: message into row r from r-1 (m_up[r])
         m_up = [identity_strand(W, kmps, chi, dtype)]
         for r in range(nrows - 1):
-            m_up.append(_fit_strand(rows[r], m_up[-1], m_up[-1], niters))
+            m_up.append(
+                _fit_strand(rows[r], m_up[-1], m_up[-1], niters, tolerance)
+            )
         # downward pass: message into row r from r+1 (m_dn[r]); the row
         # tensors need up/down swapped for the sweep direction
         def flip(row):
@@ -386,17 +419,21 @@ def _strand_builder(row_tensors_fn, nrows: int, W: int, kmps: int, niters: int):
         m_dn[nrows - 1] = identity_strand(W, kmps, chi, dtype)
         cur = m_dn[nrows - 1]
         for r in range(nrows - 1, 0, -1):
-            cur = _fit_strand(flip(rows[r]), cur, cur, niters)
+            cur = _fit_strand(flip(rows[r]), cur, cur, niters, tolerance)
             m_dn[r - 1] = cur
         return rows, m_up, m_dn
 
     return _strands
 
 
-def _make_bmps_fns(row_tensors_fn, nrows, W, out_positions, kmps, niters):
+def _make_bmps_fns(
+    row_tensors_fn, nrows, W, out_positions, kmps, niters, tolerance="auto"
+):
     """Jitted (norm_sqr_fn, expect_fn) over any row provider;
     ``out_positions`` lists the (row, col) of each output vertex."""
-    _strands = _strand_builder(row_tensors_fn, nrows, W, kmps, niters)
+    _strands = _strand_builder(
+        row_tensors_fn, nrows, W, kmps, niters, tolerance
+    )
 
     @jax.jit
     def norm_sqr_fn(tensors):
@@ -435,6 +472,7 @@ def make_grid_bmps(
     ny: int,
     kmps: int,
     niters: int = 15,
+    tolerance="auto",
 ):
     """Build jitted boundary-MPS evaluators for an nx×ny grid state.
 
@@ -445,7 +483,9 @@ def make_grid_bmps(
     """
     gspec = GridBMPSSpec(spec, nx, ny)
     positions = [(r, c) for r in range(nx) for c in range(ny)]
-    return _make_bmps_fns(gspec.row_tensors, nx, ny, positions, kmps, niters)
+    return _make_bmps_fns(
+        gspec.row_tensors, nx, ny, positions, kmps, niters, tolerance
+    )
 
 
 def make_planar_bmps(
@@ -454,6 +494,7 @@ def make_planar_bmps(
     niters: int = 15,
     row_of=None,
     col_of=None,
+    tolerance="auto",
 ):
     """Boundary-MPS evaluators for any column-aligned planar lattice
     (heavy-hex, Lieb, comb, …): the batched counterpart of the reference's
@@ -464,5 +505,6 @@ def make_planar_bmps(
     pspec = PlanarBMPSSpec(spec, row_of=row_of, col_of=col_of)
     positions = [pspec.rowcol[i] for i in range(spec.num_vertices)]
     return _make_bmps_fns(
-        pspec.row_tensors, pspec.nrows, pspec.W, positions, kmps, niters
+        pspec.row_tensors, pspec.nrows, pspec.W, positions, kmps, niters,
+        tolerance,
     )

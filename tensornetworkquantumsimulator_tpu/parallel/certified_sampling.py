@@ -260,7 +260,7 @@ def _make_certified_sampler(
         m_dn[nx - 1] = identity_strand(W, norm_rank, chi, dtype)
         cur = m_dn[nx - 1]
         for r in range(nx - 1, 0, -1):
-            cur = _fit_strand(flip(rows[r]), cur, cur, niters)
+            cur = _fit_strand(flip(rows[r]), cur, cur, niters, "auto")
             m_dn[r - 1] = cur
         return rows, m_dn
 

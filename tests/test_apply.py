@@ -132,3 +132,37 @@ def test_full_update_matches_simple_update_on_tree():
     n2 = tnqs.norm_sqr(psi_su, alg="exact")
     f = abs(ip) ** 2 / abs(n1 * n2)
     np.testing.assert_allclose(f, 1.0, rtol=1e-8)
+
+
+def test_full_update_cg_matches_dense():
+    """Matrix-free CG ALS (KrylovKit-linsolve parity, `full_update.jl:102-163`)
+    reaches the same optimum as the dense least-squares solve."""
+    import tensornetworkquantumsimulator_tpu as tnqs
+    from tensornetworkquantumsimulator_tpu import (
+        BeliefPropagationCache,
+        random_tensornetworkstate,
+    )
+    from tensornetworkquantumsimulator_tpu.apply import full_update
+    from tensornetworkquantumsimulator_tpu.models.gates import to_tensor
+
+    g = named_grid((2, 2))
+    psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=3)
+    psi = tnqs.normalize(psi, alg="bp")
+    cache = BeliefPropagationCache(psi).update(maxiter=50, tolerance=1e-14)
+    gate, verts = to_tensor(("Rzz", [(1, 1), (1, 2)], 0.4), psi.siteinds())
+    envs = cache.incoming_messages(verts)
+
+    out = {}
+    for solver in ("dense", "cg"):
+        ts = full_update(
+            gate, psi, verts, envs=envs, nfullupdatesweeps=6, solver=solver
+        )
+        p = psi.copy()
+        for t, v in zip(ts, verts):
+            p.tensornetwork().setindex_preserve(t, v)
+        out[solver] = p
+    ip = tnqs.inner(out["dense"], out["cg"], alg="exact")
+    n1 = tnqs.norm_sqr(out["dense"], alg="exact")
+    n2 = tnqs.norm_sqr(out["cg"], alg="exact")
+    f = abs(ip) ** 2 / abs(n1 * n2)
+    np.testing.assert_allclose(f, 1.0, rtol=1e-9)
