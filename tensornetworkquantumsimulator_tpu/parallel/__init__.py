@@ -28,6 +28,7 @@ from .certified_sampling import (
 )
 from .gauge import batched_symmetric_gauge
 from .loopcorrection import (
+    LoopConfigurations,
     batched_partitionfunction,
     find_plaquettes,
     loopcorrected_partitionfunction as batched_loopcorrected_partitionfunction,

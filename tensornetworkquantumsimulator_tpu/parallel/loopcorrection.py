@@ -160,21 +160,23 @@ def _pair_transfer(state: BatchedState, idx, slot_prev: int, slot_next: int):
 
 
 def _bucket_weights(spec: BatchedGraphSpec, state: BatchedState, idx, slots):
-    """w for all plaquettes of one slot signature: Tr Π_i (E_i · A_{i,i+1}).
+    """w for all length-L cycles of one slot signature:
+    Tr Π_i (E_i · A_{i,i+1}).
 
     The antiprojector on loop edge v_i → v_{i+1} is
     A[(a,b),(a',b')] = δ_{aa'} δ_{bb'} − m̄[a,b] · m[a',b'] with
     m = message arriving at v_{i+1} (kept, "row") and m̄ = message arriving
     at v_i (sim'd side, "column") — `loopcorrection.jl:19-63`."""
     chi = state.chi
+    L = idx.shape[1]
     es = []  # transfer matrices per loop position
-    for i in range(4):
+    for i in range(L):
         es.append(_pair_transfer(state, idx[:, i], slots[i][0], slots[i][1]))
 
     eye = jnp.eye(chi * chi, dtype=state.tensors.dtype)
 
     def anti(i):
-        j = (i + 1) % 4
+        j = (i + 1) % L
         # slot on v_j pointing back to v_i:
         slot_back = slots[j][0]
         m_fwd = state.messages[idx[:, j], slot_back]  # arrives at v_{i+1}
@@ -185,9 +187,9 @@ def _bucket_weights(spec: BatchedGraphSpec, state: BatchedState, idx, slots):
         return eye[None] - outer
 
     w = es[0]
-    for i in range(4):
+    for i in range(L):
         w = jnp.einsum("Pij,Pjk->Pik", w, anti(i), precision=_PRECISION)
-        if i < 3:
+        if i < L - 1:
             w = jnp.einsum("Pij,Pjk->Pik", w, es[i + 1], precision=_PRECISION)
     return jnp.trace(w, axis1=-2, axis2=-1)
 
@@ -202,16 +204,154 @@ def loop_weights(spec: BatchedGraphSpec, state: BatchedState, plaquettes) -> jax
     return jnp.concatenate(ws)
 
 
-def loopcorrected_partitionfunction(
-    spec: BatchedGraphSpec, state: BatchedState, g, plaquettes=None
-):
-    """Z ≈ Z_BP · (1 + Σ_plaquettes w) (`loopcorrection.jl:3-16`), batched.
+# ---------------------------------------------------------------------------
+# general loop configurations (cycles of any length + disjoint unions)
+# ---------------------------------------------------------------------------
 
-    `g` is the NamedGraph the spec was compiled from (plaquette discovery
-    is host-side; pass `plaquettes=find_plaquettes(spec, g)` to amortize)."""
-    if plaquettes is None:
-        plaquettes = find_plaquettes(spec, g)
+
+class LoopConfigurations:
+    """Host-compiled loop-correction structure up to ``max_size`` edges.
+
+    Mirrors `loopcorrection.jl:3-16`'s `edgeinduced_subgraphs_no_leaves`
+    enumeration, restricted to configurations whose connected components
+    are *simple cycles* (every component vertex of degree 2): single cycles
+    of any length (grid plaquettes/dominoes, heavy-hex 12-cycles) and
+    vertex-disjoint unions, whose weight factorizes into the product of the
+    component weights.  Configurations containing a vertex of loop-degree
+    ≥ 3 (theta-shaped subgraphs; first appear at 7 edges on grids) are
+    counted in ``n_skipped`` and left to the generic engine.
+
+    ``buckets``: [(idx [P, L], slots (L, 2))] per (length, slot-signature);
+    ``groups``: {n_components: [n_configs, n_components] indices into the
+    flat weight vector (bucket concatenation order)}.
+    """
+
+    def __init__(self, spec: BatchedGraphSpec, g, max_size: int):
+        import networkx as nx
+
+        from ..utils.graphs import edgeinduced_subgraphs_no_leaves
+
+        pos = {v: i for i, v in enumerate(spec.vertices)}
+        nbr = spec.nbr_array()
+        mask = spec.mask_array()
+
+        cycle_of_key: dict = {}  # frozenset(edges) -> cycle id
+        cycle_ivs: list = []  # cycle id -> vertex-position sequence
+        configs: list = []
+        n_skipped = 0
+        for sub in edgeinduced_subgraphs_no_leaves(g, max_size):
+            nxg = sub.nx()
+            comp_ids = []
+            ok = True
+            for comp in nx.connected_components(nxg):
+                comp = list(comp)
+                if any(nxg.degree(v) != 2 for v in comp):
+                    ok = False
+                    break
+                # walk the cycle
+                start = comp[0]
+                seq = [start]
+                prev, cur = None, start
+                while True:
+                    nxts = [w for w in nxg.neighbors(cur) if w != prev]
+                    nxt = nxts[0]
+                    if nxt == start:
+                        break
+                    seq.append(nxt)
+                    prev, cur = cur, nxt
+                key = frozenset(
+                    frozenset((seq[i], seq[(i + 1) % len(seq)]))
+                    for i in range(len(seq))
+                )
+                if key not in cycle_of_key:
+                    cycle_of_key[key] = len(cycle_ivs)
+                    cycle_ivs.append([pos[v] for v in seq])
+                comp_ids.append(cycle_of_key[key])
+            if ok:
+                configs.append(tuple(sorted(comp_ids)))
+            else:
+                n_skipped += 1
+
+        # bucket unique cycles by (length, slot signature)
+        buckets: dict = {}
+        members: dict = {}  # sig -> list of cycle ids, aligned with idx rows
+        for cid, ivs in enumerate(cycle_ivs):
+            L = len(ivs)
+            slots = []
+            for i in range(L):
+                slots.append(
+                    (
+                        _slot_between(nbr, mask, ivs[i], ivs[(i - 1) % L]),
+                        _slot_between(nbr, mask, ivs[i], ivs[(i + 1) % L]),
+                    )
+                )
+            sig = (L, tuple(slots))
+            buckets.setdefault(sig, []).append(ivs)
+            members.setdefault(sig, []).append(cid)
+
+        flat_pos = {}
+        self.buckets = []
+        k = 0
+        for sig in sorted(buckets):
+            ivs_list = buckets[sig]
+            self.buckets.append(
+                (np.asarray(ivs_list, dtype=np.int32), sig[1])
+            )
+            for cid in members[sig]:
+                flat_pos[cid] = k
+                k += 1
+
+        self.groups = {}
+        for cfg in configs:
+            self.groups.setdefault(len(cfg), []).append(
+                [flat_pos[c] for c in cfg]
+            )
+        self.groups = {
+            n: np.asarray(lst, dtype=np.int32)
+            for n, lst in sorted(self.groups.items())
+        }
+        self.n_configurations = len(configs)
+        self.n_skipped = n_skipped
+
+    def correction_sum(self, weights: jax.Array) -> jax.Array:
+        """Σ_configs Π_components w — the loop series' correction term."""
+        total = jnp.zeros((), weights.dtype)
+        for _n, idx in self.groups.items():
+            total = total + jnp.sum(jnp.prod(weights[idx], axis=1))
+        return total
+
+
+def loopcorrected_partitionfunction(
+    spec: BatchedGraphSpec,
+    state: BatchedState,
+    g,
+    plaquettes=None,
+    max_configuration_size: int | None = None,
+    configurations: LoopConfigurations | None = None,
+):
+    """Z ≈ Z_BP · (1 + Σ_configurations Π_cycles w) (`loopcorrection.jl:3-16`),
+    batched.
+
+    Default: plaquette (4-cycle) corrections only.  Pass
+    ``max_configuration_size`` (or a precompiled
+    ``configurations=LoopConfigurations(spec, g, n)`` to amortize the
+    host-side enumeration) for the reference's full series over cycle-type
+    configurations up to that edge count — grid dominoes, heavy-hex
+    12-cycles, disjoint plaquette pairs, ….  ``g`` is the NamedGraph the
+    spec was compiled from."""
     zbp = batched_partitionfunction(spec, state)
     rescaled = rescale(spec, state)
+    if configurations is None and max_configuration_size is not None:
+        configurations = LoopConfigurations(spec, g, max_configuration_size)
+    if configurations is not None:
+        ws = []
+        for idx, slots in configurations.buckets:
+            ws.append(_bucket_weights(spec, rescaled, idx, slots))
+        if not ws:
+            return zbp
+        weights = jnp.concatenate(ws)
+        return zbp * (1 + configurations.correction_sum(weights))
+    if plaquettes is None:
+        plaquettes = find_plaquettes(spec, g)
     ws = loop_weights(spec, rescaled, plaquettes)
     return zbp * (1 + jnp.sum(ws))

@@ -80,3 +80,88 @@ def test_batched_loopcorrection_3d_cube():
         np.asarray(blc.loopcorrected_partitionfunction(spec, state, g, plaquettes))
     )
     np.testing.assert_allclose(z_b, z_gen, rtol=1e-8)
+
+
+def test_batched_configurations_match_generic_size6():
+    """The VERDICT cross-check: full cycle-configuration series at
+    max_configuration_size=6 (plaquettes + dominoes) on a 4x4 grid matches
+    the generic engine exactly."""
+    g = named_grid((4, 4))
+    tnqs.seed(5)
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=2)
+    cache = BeliefPropagationCache(psi).update(**default_bp_update_kwargs(psi))
+    spec, state = batched_from_tns(psi, chi=2, messages=cache.messages())
+
+    cfgs = blc.LoopConfigurations(spec, g, 6)
+    # 4x4 grid: nine plaquettes + twelve 6-cycle dominoes, no skips
+    assert cfgs.n_skipped == 0
+    assert cfgs.n_configurations == 21
+
+    z_gen = lc_generic(cache, 6)
+    z_b = complex(
+        np.asarray(
+            blc.loopcorrected_partitionfunction(
+                spec, state, g, configurations=cfgs
+            )
+        )
+    )
+    np.testing.assert_allclose(z_b, z_gen, rtol=1e-8)
+
+
+def test_batched_configurations_disjoint_pairs():
+    """At size 8 the series gains 8-cycles and vertex-disjoint plaquette
+    pairs whose weights factorize into products; configurations with a
+    loop-degree ≥ 3 vertex (thetas, vertex-sharing figure-eights) are the
+    documented exclusion (counted in n_skipped, generic engine covers
+    them)."""
+    g = named_grid((4, 4))
+    tnqs.seed(9)
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=2)
+    cache = BeliefPropagationCache(psi).update(**default_bp_update_kwargs(psi))
+    spec, state = batched_from_tns(psi, chi=2, messages=cache.messages())
+
+    cfgs = blc.LoopConfigurations(spec, g, 8)
+    assert 2 in cfgs.groups  # disjoint plaquette pairs present
+    assert cfgs.n_skipped > 0  # thetas/figure-eights at 7-8 edges skipped
+
+    # internal consistency: the jit-side correction_sum equals the manual
+    # sum over single weights + products over pair groups
+    rescaled = blc.rescale(spec, state)
+    ws = np.concatenate(
+        [
+            np.asarray(blc._bucket_weights(spec, rescaled, idx, slots))
+            for idx, slots in cfgs.buckets
+        ]
+    )
+    manual = sum(
+        np.prod(ws[row]) for idx in cfgs.groups.values() for row in idx
+    )
+    got = complex(np.asarray(cfgs.correction_sum(jnp.asarray(ws))))
+    np.testing.assert_allclose(got, manual, rtol=1e-12)
+
+
+def test_batched_configurations_heavyhex_12cycles():
+    """Heavy-hex minimal loops are 12-cycles: the batched series at size 12
+    matches the generic engine (the flagship lattice's loop corrections run
+    on the TPU path end to end)."""
+    from tensornetworkquantumsimulator_tpu import heavy_hexagonal_lattice
+
+    g = heavy_hexagonal_lattice(2, 1)
+    tnqs.seed(13)
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=2)
+    cache = BeliefPropagationCache(psi).update(**default_bp_update_kwargs(psi))
+    spec, state = batched_from_tns(psi, chi=2, messages=cache.messages())
+
+    cfgs = blc.LoopConfigurations(spec, g, 12)
+    assert cfgs.n_configurations == 2  # two heavy hexagons
+    assert cfgs.n_skipped == 0
+
+    z_gen = lc_generic(cache, 12)
+    z_b = complex(
+        np.asarray(
+            blc.loopcorrected_partitionfunction(
+                spec, state, g, configurations=cfgs
+            )
+        )
+    )
+    np.testing.assert_allclose(z_b, z_gen, rtol=1e-8)
