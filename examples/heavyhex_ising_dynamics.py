@@ -56,17 +56,33 @@ def main(hx=5, hy=5, no_trotter_steps=20, chi=8, nsamples=10):
     sz_bp = np.asarray(z_fn(state))[spec.vertex_position(central)]
     print(f"BP magnetisation on {central}: {sz_bp:.6f}")
 
-    from tensornetworkquantumsimulator_tpu import siteinds as _siteinds
-
-    psi = batched_to_tns(spec, state, g, _siteinds("S=1/2", g))
-    bitstrings = tnqs.sample_directly_certified(
-        psi, nsamples, alg="boundarymps", norm_mps_bond_dimension=10
+    # boundary-MPS measurement + certified sampling run entirely in the
+    # batched engine (heavy-hex rows are path partitions with pseudo-planar
+    # fill-in, `boundarympscache.jl:139-167`; wires handle them here)
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        batched_symmetric_gauge,
+        make_planar_bmps,
+        make_planar_certified_sampler,
     )
-    pq = [b["poverq"] for b in bitstrings]
-    print(f"Std of p(x)/q(x): {statistics.pstdev([abs(p) for p in pq]):.4f}")
-    sampled_sz = sum(
-        abs(b["poverq"]) * (-2 * b["bitstring"][central] + 1) for b in bitstrings
-    ) / sum(abs(b["poverq"]) for b in bitstrings)
+
+    gauged, _spectra = batched_symmetric_gauge(spec, state)
+    _, z_bmps_fn = make_planar_bmps(spec, kmps=10, niters=20)
+    sz_bmps = np.asarray(z_bmps_fn(gauged.tensors, jnp.asarray(op_matrix("Z", 2))))
+    print(
+        f"Boundary-MPS magnetisation on {central}: "
+        f"{sz_bmps[spec.vertex_position(central)]:.6f}"
+    )
+
+    sampler = make_planar_certified_sampler(
+        spec, norm_rank=10, projected_rank=10, niters=12
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), nsamples)
+    bits, logq, log_poverq = sampler(gauged.tensors, keys)
+    pq = np.exp(np.asarray(log_poverq, dtype=np.float64))
+    print(f"Std of p(x)/q(x): {float(pq.std()):.4f}")
+    c = spec.vertex_position(central)
+    zbits = 1.0 - 2.0 * np.asarray(bits, float)[:, c]
+    sampled_sz = float((pq * zbits).sum() / pq.sum())
     print(f"Importance sampled magnetisation: {sampled_sz:.6f}")
 
 

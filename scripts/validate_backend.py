@@ -1,35 +1,61 @@
-"""Backend physics validation: print the per-layer ⟨Z⟩(center) trajectory of
-the headline 5×5 χ=10 TFIM workload on whatever backend JAX selects.
+"""On-TPU physics validation: ⟨Z⟩(center) trajectory of the headline
+5×5 χ=10 TFIM workload, TPU vs CPU-x64.
 
-Run on CPU (`JAX_PLATFORMS=cpu python scripts/validate_backend.py`) and on
-the TPU (default backend) and diff the trajectories — they agree to f32
-rounding because both execute the same XLA program. Downloads are scalar
-(the axon TPU runtime cannot transfer arrays to host).
+The axon TPU runtime allows ONE scalar download per process (the download
+blocks until the device drains, then poisons further dispatches), so the
+TPU trajectory is collected one point per subprocess:
+
+  python scripts/validate_backend.py --point L     # run L layers, print z_L
+  python scripts/validate_backend.py --trajectory N  # all points (CPU only)
+  python scripts/validate_backend.py --collect N   # full TPU-vs-CPU table
+
+``--collect`` runs N TPU point-subprocesses plus one CPU-x64 trajectory
+subprocess and prints a markdown table (the BASELINE.md artifact).  Each
+TPU subprocess pays its own remote compile (15–280 s on the shared
+tunnel); the compiled per-layer program is identical across points.
 """
 
-import jax
+import json
+import os
+import subprocess
+import sys
+import time
 
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir", f"/tmp/tnqs_jax_cache_{jax.default_backend()}"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _setup(x64: bool):
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            f"/tmp/tnqs_jax_cache_{jax.default_backend()}",
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return jax
+
+
+def _build(chi=10, x64=False):
+    jax = _setup(x64)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        BatchedCircuit,
+        batched_product_state,
+        local_expectations,
+        make_layer_fn,
     )
-except Exception:
-    pass
+    from tensornetworkquantumsimulator_tpu.utils import edge_color, named_grid
 
-import jax.numpy as jnp
-import numpy as np
-
-from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
-from tensornetworkquantumsimulator_tpu.parallel import (
-    BatchedCircuit,
-    batched_product_state,
-    local_expectations,
-    make_layer_fn,
-)
-from tensornetworkquantumsimulator_tpu.utils import edge_color, named_grid
-
-
-def main(nl=20, chi=10):
     g = named_grid((5, 5))
     dt, hx, hz, J = 0.25, 1.0, 0.8, 0.5
     layer = []
@@ -37,7 +63,8 @@ def main(nl=20, chi=10):
     layer += [("Rz", [v], 2 * hz * dt) for v in g.vertices()]
     for ce in edge_color(g, 4):
         layer += [("Rzz", pair, 2 * J * dt) for pair in ce]
-    spec, state = batched_product_state(g, chi=chi, dtype=np.complex64)
+    dtype = np.complex128 if x64 else np.complex64
+    spec, state = batched_product_state(g, chi=chi, dtype=dtype)
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(circuit, chi=chi, cutoff=1e-10, bp_maxiter=25)
     op = np.asarray(op_matrix("Z", 2))
@@ -47,14 +74,104 @@ def main(nl=20, chi=10):
     def z_center(st):
         return jnp.real(local_expectations(spec, st, op)[center])
 
-    print(f"backend: {jax.default_backend()}")
-    for l in range(1, nl + 1):
+    return jax, state, layer_fn, z_center
+
+
+def point(n_layers: int, x64: bool = False) -> None:
+    """Run n_layers, download the one scalar, print a JSON record."""
+    jax, state, layer_fn, z_center = _build(x64=x64)
+    for _ in range(n_layers):
         state, _ = layer_fn(state)
+    z = z_center(state)
+    try:
+        z_val = float(z)
+    except Exception as e:
+        z_val = None
+    print(
+        json.dumps(
+            {
+                "backend": jax.default_backend(),
+                "x64": bool(x64),
+                "layer": n_layers,
+                "z": z_val,
+            }
+        ),
+        flush=True,
+    )
+
+
+def trajectory(n_layers: int, x64: bool = False) -> None:
+    """All points in one process (CPU: downloads are unrestricted)."""
+    jax, state, layer_fn, z_center = _build(x64=x64)
+    out = []
+    for l in range(1, n_layers + 1):
+        state, _ = layer_fn(state)
+        out.append(float(z_center(state)))
+    print(
+        json.dumps(
+            {
+                "backend": jax.default_backend(),
+                "x64": bool(x64),
+                "trajectory": out,
+            }
+        ),
+        flush=True,
+    )
+
+
+def collect(n_layers: int) -> None:
+    env_cpu = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, __file__, "--trajectory", str(n_layers), "--x64"],
+        capture_output=True, text=True, env=env_cpu, timeout=1800,
+    )
+    cpu = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )["trajectory"]
+
+    rows = []
+    for l in range(1, n_layers + 1):
+        t0 = time.perf_counter()
+        rec = None
         try:
-            print(f"layer {l:3d}: Z(3,3) = {float(z_center(state)):+.6f}")
-        except Exception as e:  # scalar download can be flaky on axon
-            print(f"layer {l:3d}: <download failed: {type(e).__name__}>")
+            proc = subprocess.run(
+                [sys.executable, __file__, "--point", str(l)],
+                capture_output=True, text=True, timeout=1500,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    rec = json.loads(line)
+        except Exception:
+            pass
+        z_tpu = rec.get("z") if rec else None
+        backend = rec.get("backend") if rec else "?"
+        dt = time.perf_counter() - t0
+        delta = abs(z_tpu - cpu[l - 1]) if z_tpu is not None else None
+        rows.append((l, z_tpu, cpu[l - 1], delta))
+        print(
+            f"# layer {l}: tpu({backend})={z_tpu} cpu-x64={cpu[l-1]:.8f} "
+            f"|Δ|={delta} ({dt:.0f}s)",
+            file=sys.stderr,
+        )
+
+    print("| layer | ⟨Z⟩ TPU (c64) | ⟨Z⟩ CPU (c128) | abs diff |")
+    print("|---|---|---|---|")
+    for (l, zt, zc, d) in rows:
+        zt_s = f"{zt:+.6f}" if zt is not None else "download failed"
+        d_s = f"{d:.2e}" if d is not None else "—"
+        print(f"| {l} | {zt_s} | {zc:+.6f} | {d_s} |")
+    deltas = [d for (_, _, _, d) in rows if d is not None]
+    if deltas:
+        print(f"\nmax |Δ| over {len(deltas)} points: {max(deltas):.2e}")
 
 
 if __name__ == "__main__":
-    main()
+    x64 = "--x64" in sys.argv
+    if "--point" in sys.argv:
+        point(int(sys.argv[sys.argv.index("--point") + 1]), x64)
+    elif "--trajectory" in sys.argv:
+        trajectory(int(sys.argv[sys.argv.index("--trajectory") + 1]), x64)
+    elif "--collect" in sys.argv:
+        collect(int(sys.argv[sys.argv.index("--collect") + 1]))
+    else:
+        trajectory(20)

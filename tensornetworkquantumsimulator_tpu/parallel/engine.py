@@ -29,16 +29,26 @@ import numpy as np
 from .structure import BatchedGraphSpec
 
 # Truncated-SVD backend for the simple-update kernel, switchable via
-# TNQS_SVD_ALG ∈ {default, jacobi, qr, polar} for A/B measurement.
+# TNQS_SVD_ALG ∈ {default, gram, jacobi, qr, polar} for A/B measurement
+# (read at trace time, so tests/bench can flip it per process).
+# - default: jnp.linalg.svd (QDWH polar + eigh on TPU)
+# - gram: one hermitian eigh of the smaller Gram matrix θ†θ / θθ† — skips
+#   the QDWH polar stage entirely (the dominant cost at small χ,
+#   BASELINE.md).  Squares the condition number: singular values below
+#   √eps·σ_max lose relative accuracy, which only affects weights ≤ eps —
+#   fine for simple-update truncation, NOT a general-purpose SVD.
 # Measured round 1: this jax/libtpu only implements POLAR (=QDWH, the
 # default) on TPU — JACOBI raises NotImplementedError — and only
-# DEFAULT/QR on CPU, so the knob is future-proofing for runtimes that ship
-# the small-batch Jacobi variant.
-_SVD_ALG = os.environ.get("TNQS_SVD_ALG", "default")
+# DEFAULT/QR on CPU.
+
+
+def _svd_alg() -> str:
+    return os.environ.get("TNQS_SVD_ALG", "default")
 
 
 def _svd(mat):
-    if _SVD_ALG == "default":
+    alg_name = _svd_alg()
+    if alg_name in ("default", "gram"):
         return jnp.linalg.svd(mat, full_matrices=False)
     import jax.lax.linalg as lla
 
@@ -46,8 +56,35 @@ def _svd(mat):
         "jacobi": lla.SvdAlgorithm.JACOBI,
         "qr": lla.SvdAlgorithm.QR,
         "polar": lla.SvdAlgorithm.POLAR,
-    }[_SVD_ALG]
+    }[alg_name]
     return lla.svd(mat, full_matrices=False, compute_uv=True, algorithm=alg)
+
+
+def _gram_split(mat):
+    """(U, s, V†) via one eigh of the smaller Gram matrix (see note above).
+
+    Columns of U (rows of V†) for zero singular values are zeroed, not
+    orthonormalized — the truncation path multiplies them by √s = 0."""
+    n1, n2 = mat.shape[-2], mat.shape[-1]
+    h = jnp.conj(jnp.swapaxes(mat, -1, -2))
+    if n2 <= n1:
+        gram = h @ mat  # [B, n2, n2]
+        w, v = jnp.linalg.eigh(gram)
+        w, v = w[..., ::-1], v[..., ::-1]  # descending
+        s = jnp.sqrt(jnp.clip(w, 0.0, None))
+        us = mat @ v  # = U diag(s)
+        safe = jnp.where(s > 0, s, 1.0)[..., None, :]
+        uu = jnp.where(s[..., None, :] > 0, us / safe, 0.0)
+        vh = jnp.conj(jnp.swapaxes(v, -1, -2))
+        return uu, s, vh
+    gram = mat @ h  # [B, n1, n1]
+    w, u = jnp.linalg.eigh(gram)
+    w, u = w[..., ::-1], u[..., ::-1]
+    s = jnp.sqrt(jnp.clip(w, 0.0, None))
+    sv = jnp.conj(jnp.swapaxes(u, -1, -2)) @ mat  # = diag(s) V†
+    safe = jnp.where(s > 0, s, 1.0)[..., :, None]
+    vh = jnp.where(s[..., :, None] > 0, sv / safe, 0.0)
+    return u, s, vh
 
 _LETTERS = string.ascii_lowercase
 _PRECISION = jax.lax.Precision.HIGHEST
@@ -324,7 +361,10 @@ def _simple_update_core(
         )
     B, r1, _, r2, _ = theta.shape
     mat = theta.reshape(B, r1 * d, r2 * d)
-    uu, s, vh = _svd(mat)
+    if _svd_alg() == "gram":
+        uu, s, vh = _gram_split(mat)
+    else:
+        uu, s, vh = _svd(mat)
 
     # reference truncation semantics (relative discarded Σσ² ≤ cutoff, then
     # cap at χ) inside a static buffer
