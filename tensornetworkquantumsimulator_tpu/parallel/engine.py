@@ -327,18 +327,8 @@ def _simple_update_core(
     )  # [2(D-1), B, χ, χ]
     roots, inv_roots = _pseudo_roots(env)
 
-    def prep(t, slot, roots_slice):
-        for i, k in enumerate(k for k in range(D) if k != slot):
-            t = _absorb(t, roots_slice[i], 1 + k)
-        # [B, b0..b_{D-1}, s] -> [B, others..., b_slot, s] -> [B, M, χ*d]
-        perm = [0] + [1 + k for k in range(D) if k != slot] + [1 + slot, D + 1]
-        tp = jnp.transpose(t, perm)
-        B = tp.shape[0]
-        M = int(np.prod(tp.shape[1:D]))
-        return tp.reshape(B, M, chi * d)
-
-    tp_u = prep(tu, slot_u, roots[: D - 1])
-    tp_v = prep(tv, slot_v, roots[D - 1 :])
+    tp_u = _su_prep(tu, slot_u, roots[: D - 1], chi, d)
+    tp_v = _su_prep(tv, slot_v, roots[D - 1 :], chi, d)
     B0 = tp_u.shape[0]
     q_all, r_all = jnp.linalg.qr(jnp.concatenate([tp_u, tp_v], axis=0))
     qu, qv = q_all[:B0], q_all[B0:]
@@ -361,58 +351,12 @@ def _simple_update_core(
         )
     B, r1, _, r2, _ = theta.shape
     mat = theta.reshape(B, r1 * d, r2 * d)
-    if _svd_alg() == "gram":
-        uu, s, vh = _gram_split(mat)
-    else:
-        uu, s, vh = _svd(mat)
+    x, y, s_kept, err = _su_split(mat, chi, d, cutoff)
 
-    # reference truncation semantics (relative discarded Σσ² ≤ cutoff, then
-    # cap at χ) inside a static buffer
-    p = s * s
-    total = jnp.sum(p, axis=-1, keepdims=True)
-    tail = jnp.cumsum(p[..., ::-1], axis=-1)[..., ::-1]
-    rel_tail = tail / jnp.where(total == 0, 1.0, total)
-    keep = rel_tail > cutoff
-    keep = keep.at[..., 0].set(True)
-    keep &= jnp.arange(s.shape[-1])[None, :] < chi
-    err = jnp.sum(jnp.where(keep, 0.0, p), axis=-1) / jnp.squeeze(
-        jnp.where(total == 0, 1.0, total), -1
-    )
-
-    k = min(chi, s.shape[-1])
-    s_kept = jnp.where(keep, s, 0.0)[..., :k]
-    uu = uu[..., :k]
-    vh = vh[..., :k, :]
-    if k < chi:  # bond smaller than the buffer: zero-pad
-        padn = chi - k
-        s_kept = jnp.pad(s_kept, ((0, 0), (0, padn)))
-        uu = jnp.pad(uu, ((0, 0), (0, 0), (0, padn)))
-        vh = jnp.pad(vh, ((0, 0), (0, padn), (0, 0)))
-    sqrt_s = jnp.sqrt(s_kept).astype(mat.dtype)
-    x = uu * sqrt_s[:, None, :]  # [B, r1*d, χ]
-    y = sqrt_s[:, :, None] * vh  # [B, χ, r2*d]
-
-    def finish(q, fac, inv_roots, slot, t_ref):
-        # fac: [B, r, d, χ]; q: [B, M, r] -> [B, M, d, χ]
-        t = jnp.einsum("bmr,brdc->bmdc", q, fac, precision=_PRECISION)
-        other = [t_ref.shape[1 + kk] for kk in range(D) if kk != slot]
-        t = t.reshape((t.shape[0],) + tuple(other) + (d, chi))
-        t = jnp.moveaxis(t, -1, -2)  # [..., χ(slot), d]
-        order = [kk for kk in range(D) if kk != slot] + [slot]
-        inv_perm = [0] + [1 + order.index(kk) for kk in range(D)] + [D + 1]
-        t = jnp.transpose(t, inv_perm)
-        it = iter(inv_roots)
-        for kk in range(D):
-            if kk == slot:
-                continue
-            # inv_root is hermitian: contracting the bra leg with it equals
-            # the reference's dag(inv_sqrt_env) contraction
-            t = _absorb(t, next(it), 1 + kk)
-        return t
-
-    tu_new = finish(qu, x.reshape(B, r1, d, chi), inv_u, slot_u, tu)
-    tv_new = finish(
-        qv, jnp.swapaxes(y, 1, 2).reshape(B, r2, d, chi), inv_v, slot_v, tv
+    tu_new = _su_finish(qu, x.reshape(B, r1, d, chi), inv_u, slot_u, tu, chi, d)
+    tv_new = _su_finish(
+        qv, jnp.swapaxes(y, 1, 2).reshape(B, r2, d, chi), inv_v, slot_v, tv,
+        chi, d,
     )
 
     s_norm = jnp.linalg.norm(s_kept, axis=-1, keepdims=True)
@@ -460,17 +404,204 @@ def apply_color_group(
     normalize_tensors: bool = True,
 ):
     """Apply one 2-site gate to every edge of a color group (the batched
-    analogue of the reference's per-color loop, `2dIsing_dynamics.jl:25-28`)."""
-    errs = []
+    analogue of the reference's per-color loop, `2dIsing_dynamics.jl:25-28`).
+
+    All slot-pair buckets of the group share ONE stacked eigh, ONE stacked
+    QR, and ONE stacked SVD: per-matrix results are batch-composition
+    independent, and factorization kernel count is what dominates the
+    per-layer wall at small χ (BASELINE.md).  Set TNQS_FUSE_BUCKETS=0 to
+    fall back to per-bucket kernels."""
+    buckets = list(buckets)
+    if not buckets:
+        return state, jnp.zeros((0,))
+    if (
+        os.environ.get("TNQS_FUSE_BUCKETS", "1") == "0"
+        or len(buckets) == 1
+    ):
+        errs = []
+        for b in buckets:
+            u_idx = jnp.asarray(b.u_idx, dtype=jnp.int32)
+            v_idx = jnp.asarray(b.v_idx, dtype=jnp.int32)
+            state, err = _gate_bucket_update(
+                state, gate, u_idx, v_idx, b.slot_u, b.slot_v, chi, cutoff,
+                normalize_tensors,
+            )
+            errs.append(err)
+        return state, jnp.concatenate(errs) if errs else jnp.zeros((0,))
+    return _fused_color_group(
+        state, buckets, gate, chi, cutoff, normalize_tensors
+    )
+
+
+def _su_prep(t, slot, roots_slice, chi, d):
+    """Absorb √env on the non-gate legs and matricize to [B, M, χ·d]."""
+    D = t.ndim - 2
+    for i, k in enumerate(k for k in range(D) if k != slot):
+        t = _absorb(t, roots_slice[i], 1 + k)
+    perm = [0] + [1 + k for k in range(D) if k != slot] + [1 + slot, D + 1]
+    tp = jnp.transpose(t, perm)
+    B = tp.shape[0]
+    M = int(np.prod(tp.shape[1:D]))
+    return tp.reshape(B, M, chi * d)
+
+
+def _su_split(mat, chi, d, cutoff):
+    """Truncated split of the gated two-site matrix [B, r1·d, r2·d]:
+    reference truncation semantics (relative discarded Σσ² ≤ cutoff, cap χ)
+    inside the static buffer.  Returns (x [B, r1·d, χ], y [B, χ, r2·d],
+    s_kept [B, χ], err [B])."""
+    if _svd_alg() == "gram":
+        uu, s, vh = _gram_split(mat)
+    else:
+        uu, s, vh = _svd(mat)
+    p = s * s
+    total = jnp.sum(p, axis=-1, keepdims=True)
+    tail = jnp.cumsum(p[..., ::-1], axis=-1)[..., ::-1]
+    rel_tail = tail / jnp.where(total == 0, 1.0, total)
+    keep = rel_tail > cutoff
+    keep = keep.at[..., 0].set(True)
+    keep &= jnp.arange(s.shape[-1])[None, :] < chi
+    err = jnp.sum(jnp.where(keep, 0.0, p), axis=-1) / jnp.squeeze(
+        jnp.where(total == 0, 1.0, total), -1
+    )
+    k = min(chi, s.shape[-1])
+    s_kept = jnp.where(keep, s, 0.0)[..., :k]
+    uu = uu[..., :k]
+    vh = vh[..., :k, :]
+    if k < chi:  # bond smaller than the buffer: zero-pad
+        padn = chi - k
+        s_kept = jnp.pad(s_kept, ((0, 0), (0, padn)))
+        uu = jnp.pad(uu, ((0, 0), (0, 0), (0, padn)))
+        vh = jnp.pad(vh, ((0, 0), (0, padn), (0, 0)))
+    sqrt_s = jnp.sqrt(s_kept).astype(mat.dtype)
+    x = uu * sqrt_s[:, None, :]
+    y = sqrt_s[:, :, None] * vh
+    return x, y, s_kept, err
+
+
+def _su_finish(q, fac, inv_roots, slot, t_ref, chi, d):
+    """Rebuild the site tensor: Q·factor, undo the transpose, absorb 1/√env."""
+    D = t_ref.ndim - 2
+    t = jnp.einsum("bmr,brdc->bmdc", q, fac, precision=_PRECISION)
+    other = [t_ref.shape[1 + kk] for kk in range(D) if kk != slot]
+    t = t.reshape((t.shape[0],) + tuple(other) + (d, chi))
+    t = jnp.moveaxis(t, -1, -2)  # [..., χ(slot), d]
+    order = [kk for kk in range(D) if kk != slot] + [slot]
+    inv_perm = [0] + [1 + order.index(kk) for kk in range(D)] + [D + 1]
+    t = jnp.transpose(t, inv_perm)
+    it = iter(inv_roots)
+    for kk in range(D):
+        if kk == slot:
+            continue
+        # inv_root is hermitian: contracting the bra leg with it equals
+        # the reference's dag(inv_sqrt_env) contraction
+        t = _absorb(t, next(it), 1 + kk)
+    return t
+
+
+def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
+    """One stacked eigh/QR/SVD across every bucket of the color group."""
+    D = state.degree
+    d = state.tensors.shape[-1]
+    gathered = []
     for b in buckets:
         u_idx = jnp.asarray(b.u_idx, dtype=jnp.int32)
         v_idx = jnp.asarray(b.v_idx, dtype=jnp.int32)
-        state, err = _gate_bucket_update(
-            state, gate, u_idx, v_idx, b.slot_u, b.slot_v, chi, cutoff,
-            normalize_tensors,
+        tu, tv = state.tensors[u_idx], state.tensors[v_idx]
+        mu, mv = state.messages[u_idx], state.messages[v_idx]
+        env = jnp.stack(
+            [mu[:, k] for k in range(D) if k != b.slot_u]
+            + [mv[:, k] for k in range(D) if k != b.slot_v],
+            axis=0,
+        )  # [2(D-1), B_b, χ, χ]
+        gathered.append((b, u_idx, v_idx, tu, tv, env))
+
+    sizes = [g[5].shape[1] for g in gathered]
+    env_all = jnp.concatenate([g[5] for g in gathered], axis=1)
+    roots_all, inv_roots_all = _pseudo_roots(env_all)
+
+    tps = []
+    offs = np.cumsum([0] + sizes)
+    per_bucket = []
+    for i, (b, u_idx, v_idx, tu, tv, _env) in enumerate(gathered):
+        roots = roots_all[:, offs[i] : offs[i + 1]]
+        inv_roots = inv_roots_all[:, offs[i] : offs[i + 1]]
+        tp_u = _su_prep(tu, b.slot_u, roots[: D - 1], chi, d)
+        tp_v = _su_prep(tv, b.slot_v, roots[D - 1 :], chi, d)
+        tps += [tp_u, tp_v]
+        per_bucket.append((b, u_idx, v_idx, tu, tv, inv_roots))
+
+    q_all, r_all = jnp.linalg.qr(jnp.concatenate(tps, axis=0))
+    qs, rs = [], []
+    off = 0
+    for i, B in enumerate(sizes):
+        qs.append((q_all[off : off + B], q_all[off + B : off + 2 * B]))
+        rs.append(
+            (
+                r_all[off : off + B].reshape(B, -1, chi, d),
+                r_all[off + B : off + 2 * B].reshape(B, -1, chi, d),
+            )
         )
+        off += 2 * B
+
+    mats = []
+    for i, (b, *_rest) in enumerate(per_bucket):
+        ru, rv = rs[i]
+        theta = jnp.einsum("bxlc,bylz->bxcyz", ru, rv, precision=_PRECISION)
+        g = gate.astype(theta.dtype)
+        if g.ndim == 4:
+            theta = jnp.einsum("bxcyz,pqcz->bxpyq", theta, g, precision=_PRECISION)
+        else:
+            theta = jnp.einsum("bxcyz,bpqcz->bxpyq", theta, g, precision=_PRECISION)
+        B, r1, _, r2, _ = theta.shape
+        mats.append(theta.reshape(B, r1 * d, r2 * d))
+
+    x_all, y_all, s_all, err_all = _su_split(
+        jnp.concatenate(mats, axis=0), chi, d, cutoff
+    )
+
+    tensors, messages = state.tensors, state.messages
+    errs = []
+    off = 0
+    for i, (b, u_idx, v_idx, tu, tv, inv_roots) in enumerate(per_bucket):
+        B = sizes[i]
+        x = x_all[off : off + B]
+        y = y_all[off : off + B]
+        s_kept = s_all[off : off + B]
+        err = err_all[off : off + B]
+        off += B
+        qu, qv = qs[i]
+        r1 = rs[i][0].shape[1]
+        r2 = rs[i][1].shape[1]
+        inv_u = [inv_roots[j] for j in range(D - 1)]
+        inv_v = [inv_roots[D - 1 + j] for j in range(D - 1)]
+        tu_new = _su_finish(
+            qu, x.reshape(B, r1, d, chi), inv_u, b.slot_u, tu, chi, d
+        )
+        tv_new = _su_finish(
+            qv, jnp.swapaxes(y, 1, 2).reshape(B, r2, d, chi), inv_v,
+            b.slot_v, tv, chi, d,
+        )
+        s_norm = jnp.linalg.norm(s_kept, axis=-1, keepdims=True)
+        s_msg = (
+            s_kept / jnp.where(s_norm == 0, 1.0, s_norm)
+            if normalize_tensors
+            else s_kept
+        )
+        msg = jax.vmap(jnp.diag)(s_msg).astype(messages.dtype)
+        if normalize_tensors:
+            def _nrm(t):
+                n = jnp.linalg.norm(t.reshape(t.shape[0], -1), axis=-1)
+                n = jnp.where(n == 0, 1.0, n)
+                return t / n.reshape((-1,) + (1,) * (t.ndim - 1))
+
+            tu_new, tv_new = _nrm(tu_new), _nrm(tv_new)
+        tensors = tensors.at[u_idx].set(tu_new.astype(tensors.dtype))
+        tensors = tensors.at[v_idx].set(tv_new.astype(tensors.dtype))
+        messages = messages.at[u_idx, b.slot_u].set(msg)
+        messages = messages.at[v_idx, b.slot_v].set(msg)
         errs.append(err)
-    return state, jnp.concatenate(errs) if errs else jnp.zeros((0,))
+    return BatchedState(tensors, messages), jnp.concatenate(errs)
 
 
 # ---------------------------------------------------------------------------
