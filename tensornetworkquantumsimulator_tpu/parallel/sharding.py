@@ -225,46 +225,45 @@ def _bp_fixed_point(
     chi = tensors.shape[1]
     rdt = jnp.zeros((), tensors.dtype).real.dtype
 
-    if True:  # keep the original body indentation
-        def one_iteration(m):
-            m_out = _local_outgoing(tensors, m, D)  # [Vl, D, χ, χ]
-            send_next = m_out[snv, sns]  # [H, χ, χ]
-            send_prev = m_out[spv, sps]
-            right = [(i, (i + 1) % S) for i in range(S)]
-            left = [(i, (i - 1) % S) for i in range(S)]
-            recv_prev = jax.lax.ppermute(send_next, axis, right)
-            recv_next = jax.lax.ppermute(send_prev, axis, left)
-            table = jnp.concatenate(
-                [m_out.reshape(Vl * D, chi, chi), recv_prev, recv_next], axis=0
-            )
-            new = table[src]  # [Vl, D, χ, χ]
-            # normalize (entry sum) + hermitize + pin dummy slots
-            new = 0.5 * (new + jnp.conj(jnp.swapaxes(new, -1, -2)))
-            ssum = jnp.sum(new, axis=(-2, -1), keepdims=True)
-            new = new / jnp.where(jnp.abs(ssum) == 0, 1.0, ssum)
-            eye = jnp.eye(chi, dtype=new.dtype)
-            return jnp.where(mask[..., None, None], new, eye)
-
-        def distance(a, b):
-            dot = jnp.sum(jnp.conj(a) * b, axis=(-2, -1))
-            na = jnp.linalg.norm(a.reshape(a.shape[:-2] + (-1,)), axis=-1)
-            nb = jnp.linalg.norm(b.reshape(b.shape[:-2] + (-1,)), axis=-1)
-            den = jnp.where(na * nb == 0, 1.0, na * nb)
-            d = jnp.where(mask, 1.0 - jnp.abs(dot / den) ** 2, 0.0)
-            num = jax.lax.psum(jnp.sum(d), axis)
-            cnt = jax.lax.psum(jnp.sum(mask), axis)
-            return num / jnp.maximum(cnt, 1)
-
-        def cond(carry):
-            _, it, diff = carry
-            return jnp.logical_and(it < maxiter, diff > tolerance)
-
-        def loop(carry):
-            m, it, _ = carry
-            new = one_iteration(m)
-            return (new, it + 1, distance(m, new).astype(rdt))
-
-        m, _, _ = jax.lax.while_loop(
-            cond, loop, (messages, jnp.int32(0), jnp.asarray(jnp.inf, rdt))
+    def one_iteration(m):
+        m_out = _local_outgoing(tensors, m, D)  # [Vl, D, χ, χ]
+        send_next = m_out[snv, sns]  # [H, χ, χ]
+        send_prev = m_out[spv, sps]
+        right = [(i, (i + 1) % S) for i in range(S)]
+        left = [(i, (i - 1) % S) for i in range(S)]
+        recv_prev = jax.lax.ppermute(send_next, axis, right)
+        recv_next = jax.lax.ppermute(send_prev, axis, left)
+        table = jnp.concatenate(
+            [m_out.reshape(Vl * D, chi, chi), recv_prev, recv_next], axis=0
         )
-        return m
+        new = table[src]  # [Vl, D, χ, χ]
+        # normalize (entry sum) + hermitize + pin dummy slots
+        new = 0.5 * (new + jnp.conj(jnp.swapaxes(new, -1, -2)))
+        ssum = jnp.sum(new, axis=(-2, -1), keepdims=True)
+        new = new / jnp.where(jnp.abs(ssum) == 0, 1.0, ssum)
+        eye = jnp.eye(chi, dtype=new.dtype)
+        return jnp.where(mask[..., None, None], new, eye)
+
+    def distance(a, b):
+        dot = jnp.sum(jnp.conj(a) * b, axis=(-2, -1))
+        na = jnp.linalg.norm(a.reshape(a.shape[:-2] + (-1,)), axis=-1)
+        nb = jnp.linalg.norm(b.reshape(b.shape[:-2] + (-1,)), axis=-1)
+        den = jnp.where(na * nb == 0, 1.0, na * nb)
+        d = jnp.where(mask, 1.0 - jnp.abs(dot / den) ** 2, 0.0)
+        num = jax.lax.psum(jnp.sum(d), axis)
+        cnt = jax.lax.psum(jnp.sum(mask), axis)
+        return num / jnp.maximum(cnt, 1)
+
+    def cond(carry):
+        _, it, diff = carry
+        return jnp.logical_and(it < maxiter, diff > tolerance)
+
+    def loop(carry):
+        m, it, _ = carry
+        new = one_iteration(m)
+        return (new, it + 1, distance(m, new).astype(rdt))
+
+    m, _, _ = jax.lax.while_loop(
+        cond, loop, (messages, jnp.int32(0), jnp.asarray(jnp.inf, rdt))
+    )
+    return m
