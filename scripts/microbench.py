@@ -73,12 +73,18 @@ def run(op: str, b: int, n: int, m: int, seed: int = 0) -> None:
     compiled = jax.jit(chain).lower(jnp.asarray(a0)).compile()
     t0 = time.perf_counter()
     z = compiled(jnp.asarray(a0))
+    t_disp = time.perf_counter() - t0
     z_val = None
+    t1 = time.perf_counter()
     try:
         z_val = float(z)
     except Exception:
         z_val = None
+    t_sync = time.perf_counter() - t1
     wall = time.perf_counter() - t0
+    # a poisoned dispatch chain "finishes" instantly with a failing sync —
+    # same signature bench.py rejects (round-1 post-mortem)
+    valid = z_val is not None or t_sync >= 1.0
     print(
         json.dumps(
             {
@@ -88,38 +94,52 @@ def run(op: str, b: int, n: int, m: int, seed: int = 0) -> None:
                 "N": n,
                 "M": m,
                 "wall_seconds": wall,
+                "dispatch_seconds": t_disp,
+                "sync_seconds": t_sync,
                 "per_op_us_upper": 1e6 * wall / m,
                 "z": z_val,
+                "valid": valid,
             }
         ),
         flush=True,
     )
 
 
-def sweep(shapes, ops, m_points=(400, 4000)) -> None:
-    """Sequential subprocess per sample; prints per-op slope estimates."""
-    seed = 0
+def sweep(shapes, ops, m_points=(400, 4000), tries=3) -> None:
+    """Sequential subprocess per sample (retrying poisoned samples);
+    prints per-op slope estimates."""
+    seed = [0]
+
+    def one(op, b, n, m):
+        for _ in range(tries):
+            seed[0] += 1
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__, op, str(b), str(n),
+                     str(m), str(seed[0])],
+                    capture_output=True, text=True, timeout=1500,
+                )
+                rec = json.loads(
+                    [l for l in proc.stdout.splitlines()
+                     if l.startswith("{")][-1]
+                )
+                tag = "ok" if rec["valid"] else "POISONED, retrying"
+                print(
+                    f"# {op} [{b},{n},{n}] M={m}: wall={rec['wall_seconds']:.1f}s "
+                    f"sync={rec['sync_seconds']:.1f}s ({tag})",
+                    file=sys.stderr, flush=True,
+                )
+                if rec["valid"]:
+                    return rec["wall_seconds"]
+            except Exception as e:
+                print(f"# {op} [{b},{n},{n}] M={m}: FAILED {e!r}",
+                      file=sys.stderr, flush=True)
+        return None
+
     for (b, n) in shapes:
         for op in ops:
-            walls = {}
-            for m in m_points:
-                seed += 1
-                try:
-                    proc = subprocess.run(
-                        [sys.executable, __file__, op, str(b), str(n),
-                         str(m), str(seed)],
-                        capture_output=True, text=True, timeout=1500,
-                    )
-                    rec = json.loads(
-                        [l for l in proc.stdout.splitlines()
-                         if l.startswith("{")][-1]
-                    )
-                    walls[m] = rec["wall_seconds"]
-                    print(f"# {op} [{b},{n},{n}] M={m}: {walls[m]:.1f}s",
-                          file=sys.stderr, flush=True)
-                except Exception as e:
-                    print(f"# {op} [{b},{n},{n}] M={m}: FAILED {e!r}",
-                          file=sys.stderr, flush=True)
+            walls = {m: one(op, b, n, m) for m in m_points}
+            walls = {m: w for m, w in walls.items() if w is not None}
             if len(walls) == 2:
                 m_lo, m_hi = sorted(walls)
                 slope = (walls[m_hi] - walls[m_lo]) / (m_hi - m_lo)

@@ -96,3 +96,76 @@ def test_sharded_layer_cross_bucket_tables():
         int(b.valid.sum()) for group in groups for b in group
     )
     assert n_edges == len(sspec.spec.edges)
+
+
+def test_sharded_layer_reversed_strips():
+    """Reversed strip order: tables rebuild against the new shard layout.
+    (Edge orientation is normalized to vertex insertion order by the graph
+    substrate, so cross edges always point at the next shard — the dir=-1
+    branch in sharded_layer is defensive only.)"""
+    nx, ny, chi = 8, 4, 2
+    S = 8
+    g = named_grid((nx, ny))
+    sspec = shard_spec(g, S, strip_key=lambda v: (-v[0], v[1]))
+    spec = sspec.spec
+    groups = build_layer_groups(sspec)
+    dirs = {b.dir for group in groups for b in group if hasattr(b, "dir")}
+    assert dirs == {+1}
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+    gate2 = np.asarray(gate_matrix("Rzz", 0.35)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 0.8))
+    tol = 1e-10
+    ref_state, _ = _unsharded_layer(spec, state, gate2, gate1, chi, 1e-12, tol)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    layer = make_sharded_layer(
+        sspec, mesh, gate2, gate1, chi, cutoff=1e-12, bp_tolerance=tol
+    )
+    sh = NamedSharding(mesh, P("v"))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    out_state, _ = layer(sharded)
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-9,
+    )
+
+
+def test_sharded_layer_periodic_ring_wrap():
+    """Periodic lattice: the wrap edge rides the ring ppermute (shard S-1 ↔
+    shard 0) without special-casing."""
+    nx, ny, chi = 8, 2, 2
+    S = 4
+    g = named_grid((nx, ny), periodic=True)
+    sspec = shard_spec(g, S, strip_key=lambda v: v)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+    gate2 = np.asarray(gate_matrix("Rzz", 0.3)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 0.6))
+    tol = 1e-10
+    ref_state, _ = _unsharded_layer(spec, state, gate2, gate1, chi, 1e-12, tol)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    layer = make_sharded_layer(
+        sspec, mesh, gate2, gate1, chi, cutoff=1e-12, bp_tolerance=tol
+    )
+    sh = NamedSharding(mesh, P("v"))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    out_state, _ = layer(sharded)
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-9,
+    )
