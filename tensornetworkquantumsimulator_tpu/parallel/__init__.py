@@ -36,5 +36,6 @@ from .loopcorrection import (
 from .truncate import batched_truncate
 from .sharded_layer import build_layer_groups, make_sharded_layer
 from .sharding import ShardedBPSpec, make_sharded_bp_update, shard_spec
+from .sharding2d import Sharded2DSpec, make_sharded_layer_2d, shard2d_spec
 from .structure import BatchedGraphSpec, SlotPairBucket, compile_graph
 from .trotter import BatchedCircuit, make_expectation_fn, make_layer_fn

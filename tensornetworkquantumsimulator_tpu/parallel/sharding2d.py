@@ -1,0 +1,485 @@
+"""2-D block-sharded SPMD: BP + full Trotter layer over a (Sx, Sy) mesh.
+
+The 1-D strip layer (`sharding.py`, `sharded_layer.py`) scales until a
+strip no longer fits one chip's HBM or the boundary/compute ratio stalls;
+pod-scale lattices want 2-D blocks with halo exchange along BOTH mesh axes
+(the scaling-book recipe: collectives ride the ICI torus).  Vertices sort
+into (block_x, block_y) tiles of equal size; every cross-shard edge joins
+axis-adjacent blocks, so
+
+- flooding BP exchanges 4 halo message packets per iteration
+  (``ppermute`` along "x" for row-neighbors, along "y" for column
+  neighbors — inside a 2-D ``shard_map`` each acts per-ring);
+- the Trotter layer's cross-shard gate buckets carry an (axis, dir) tag
+  and halo-exchange partner rows along that axis, with the same
+  exact-scatter padding as the 1-D layer (bitwise-faithful results).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .engine import (
+    BatchedState,
+    _PRECISION,
+    _simple_update_core,
+    default_batched_tolerance,
+)
+from .sharded_layer import _masked_pick
+from .sharding import _local_outgoing
+from .structure import BatchedGraphSpec, compile_graph
+
+_DIRS = ("xprev", "xnext", "yprev", "ynext")
+
+
+@dataclasses.dataclass(frozen=True)
+class Sharded2DSpec:
+    """Static tables for halo-exchange over an Sx × Sy block mesh."""
+
+    spec: BatchedGraphSpec  # block-contiguous vertex order
+    sx: int
+    sy: int
+    halo: int  # H = padded halo size (shared by the 4 directions)
+    send_v: dict  # dir -> [S, H] local vertex positions to send
+    send_slot: dict  # dir -> [S, H]
+    src_index: np.ndarray  # [S, Vl, D] into concat(local, recv per _DIRS)
+    mask: np.ndarray  # [S, Vl, D]
+
+    @property
+    def num_shards(self) -> int:
+        return self.sx * self.sy
+
+
+def shard2d_spec(g, sx: int, sy: int) -> Sharded2DSpec:
+    """Compile a coordinate lattice into equal (sx × sy) blocks.
+
+    Blocks slab the sorted unique first coordinates into sx groups and the
+    second into sy groups; requires equal block populations and cross-block
+    edges only between axis-adjacent blocks (grids/tori qualify)."""
+    xs = sorted({float(v[0]) for v in g.vertices()})
+    ys = sorted({float(v[1]) for v in g.vertices()})
+    if len(xs) % sx or len(ys) % sy:
+        raise ValueError("coordinate counts must divide the mesh shape")
+    bx = {x: i * sx // len(xs) for i, x in enumerate(xs)}
+    by = {y: j * sy // len(ys) for j, y in enumerate(ys)}
+
+    def block(v):
+        return (bx[float(v[0])], by[float(v[1])])
+
+    vertices = sorted(g.vertices(), key=lambda v: (block(v), v))
+    V = len(vertices)
+    S = sx * sy
+    if V % S:
+        raise ValueError(f"{V} vertices not divisible by {S} blocks")
+    Vl = V // S
+    reordered = type(g)(vertices)
+    for e in g.edges():
+        reordered.add_edge_inplace(e)
+    spec = compile_graph(reordered)
+    assert list(spec.vertices) == vertices
+    counts: dict = {}
+    for v in vertices:
+        counts[block(v)] = counts.get(block(v), 0) + 1
+    if len(set(counts.values())) != 1:
+        raise ValueError("blocks are not equally populated")
+
+    def shard_of(pos):
+        b = block(vertices[pos])
+        return b[0] * sy + b[1]
+
+    nbr = spec.nbr_array()
+    nbr_slot = spec.nbr_slot_array()
+    mask = spec.mask_array()
+    D = spec.degree
+
+    send: dict = {d: [[] for _ in range(S)] for d in _DIRS}
+    src: list = [[[None] * D for _ in range(Vl)] for _ in range(S)]
+
+    def delta_dir(b_from, b_to):
+        """Direction tag for a message traveling b_from -> b_to."""
+        dx = (b_from[0] - b_to[0]) % sx
+        dy = (b_from[1] - b_to[1]) % sy
+        if (dx, dy) == (0, 0):
+            return None
+        if dy == 0 and dx == sx - 1:
+            return "xprev"  # sender is the previous x-block
+        if dy == 0 and dx == 1:
+            return "xnext"
+        if dx == 0 and dy == sy - 1:
+            return "yprev"
+        if dx == 0 and dy == 1:
+            return "ynext"
+        raise ValueError("cross-shard edge between non-adjacent blocks")
+
+    for v in range(V):
+        s, lv = shard_of(v), v % Vl
+        for k in range(D):
+            if not mask[v, k]:
+                src[s][lv][k] = ("local", 0)
+                continue
+            sender = int(nbr[v, k])
+            j = int(nbr_slot[v, k])
+            d = delta_dir(block(vertices[sender]), block(vertices[v]))
+            if d is None:
+                src[s][lv][k] = ("local", (sender % Vl) * D + j)
+            else:
+                lst = send[d][shard_of(sender)]
+                entry = (sender % Vl, j)
+                if entry not in lst:
+                    lst.append(entry)
+                src[s][lv][k] = (d, lst.index(entry))
+
+    H = max([1] + [len(l) for d in _DIRS for l in send[d]])
+
+    def pad(lists, field):
+        out = np.zeros((S, H), np.int32)
+        for s, lst in enumerate(lists):
+            for i, e in enumerate(lst):
+                out[s, i] = e[field]
+        return out
+
+    base = {"local": 0}
+    for i, d in enumerate(_DIRS):
+        base[d] = Vl * D + i * H
+    src_index = np.zeros((S, Vl, D), np.int32)
+    for s in range(S):
+        for lv in range(Vl):
+            for k in range(D):
+                kind, p = src[s][lv][k]
+                src_index[s, lv, k] = base[kind] + p
+
+    return Sharded2DSpec(
+        spec=spec,
+        sx=sx,
+        sy=sy,
+        halo=H,
+        send_v={d: pad(send[d], 0) for d in _DIRS},
+        send_slot={d: pad(send[d], 1) for d in _DIRS},
+        src_index=src_index,
+        mask=spec.mask_array().reshape(S, Vl, D),
+    )
+
+
+def _perms(sx: int, sy: int):
+    """ppermute pairs: receiving FROM the prev/next block along each axis."""
+    return {
+        # "recv from xprev" = every x-ring member sends to the next one
+        "xprev": ("x", [(i, (i + 1) % sx) for i in range(sx)]),
+        "xnext": ("x", [(i, (i - 1) % sx) for i in range(sx)]),
+        "yprev": ("y", [(i, (i + 1) % sy) for i in range(sy)]),
+        "ynext": ("y", [(i, (i - 1) % sy) for i in range(sy)]),
+    }
+
+
+def _bp2d_fixed_point(
+    tensors, messages, tabs, D, sx, sy, maxiter, tolerance
+):
+    """Per-shard flooding BP with 4-direction halo exchange."""
+    Vl = tensors.shape[0]
+    chi = tensors.shape[1]
+    rdt = jnp.zeros((), tensors.dtype).real.dtype
+    perms = _perms(sx, sy)
+    mask = tabs["mask"]
+
+    def one_iteration(m):
+        m_out = _local_outgoing(tensors, m, D)
+        recvs = []
+        for d in _DIRS:
+            payload = m_out[tabs["sv_" + d], tabs["ss_" + d]]
+            ax, perm = perms[d]
+            recvs.append(jax.lax.ppermute(payload, ax, perm))
+        table = jnp.concatenate(
+            [m_out.reshape(Vl * D, chi, chi)] + recvs, axis=0
+        )
+        new = table[tabs["src"]]
+        new = 0.5 * (new + jnp.conj(jnp.swapaxes(new, -1, -2)))
+        ssum = jnp.sum(new, axis=(-2, -1), keepdims=True)
+        new = new / jnp.where(jnp.abs(ssum) == 0, 1.0, ssum)
+        eye = jnp.eye(chi, dtype=new.dtype)
+        return jnp.where(mask[..., None, None], new, eye)
+
+    def distance(a, b):
+        dot = jnp.sum(jnp.conj(a) * b, axis=(-2, -1))
+        na = jnp.linalg.norm(a.reshape(a.shape[:-2] + (-1,)), axis=-1)
+        nb = jnp.linalg.norm(b.reshape(b.shape[:-2] + (-1,)), axis=-1)
+        den = jnp.where(na * nb == 0, 1.0, na * nb)
+        d = jnp.where(mask, 1.0 - jnp.abs(dot / den) ** 2, 0.0)
+        num = jax.lax.psum(jax.lax.psum(jnp.sum(d), "x"), "y")
+        cnt = jax.lax.psum(jax.lax.psum(jnp.sum(mask), "x"), "y")
+        return num / jnp.maximum(cnt, 1)
+
+    def cond(c):
+        _, it, diff = c
+        return jnp.logical_and(it < maxiter, diff > tolerance)
+
+    def loop(c):
+        m, it, _ = c
+        new = one_iteration(m)
+        return (new, it + 1, distance(m, new).astype(rdt))
+
+    m, _, _ = jax.lax.while_loop(
+        cond, loop, (messages, jnp.int32(0), jnp.asarray(jnp.inf, rdt))
+    )
+    return m
+
+
+@dataclasses.dataclass(frozen=True)
+class _Intra2D:
+    slot_u: int
+    slot_v: int
+    u_tab: np.ndarray
+    v_tab: np.ndarray
+    valid: np.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class _Cross2D:
+    slot_u: int
+    slot_v: int
+    dir: str  # _DIRS entry: where the PARTNER (v) lives
+    u_tab: np.ndarray
+    vsend_tab: np.ndarray
+    valid: np.ndarray
+
+
+def build_layer_groups_2d(sspec: Sharded2DSpec):
+    """Intra/cross bucket tables per color group for the 2-D block mesh."""
+    spec = sspec.spec
+    sx, sy = sspec.sx, sspec.sy
+    S = sx * sy
+    Vl = spec.num_vertices // S
+
+    def shard_xy(s):
+        return (s // sy, s % sy)
+
+    def neighbor(s, d):
+        x, y = shard_xy(s)
+        if d == "xnext":
+            return ((x + 1) % sx) * sy + y
+        if d == "xprev":
+            return ((x - 1) % sx) * sy + y
+        if d == "ynext":
+            return x * sy + (y + 1) % sy
+        return x * sy + (y - 1) % sy
+
+    groups = []
+    for group in spec.color_groups:
+        intra: dict = {}
+        cross: dict = {}
+        for b in group:
+            for iu, iv in zip(b.u_idx, b.v_idx):
+                su_s, sv_s = iu // Vl, iv // Vl
+                if su_s == sv_s:
+                    intra.setdefault((b.slot_u, b.slot_v), []).append(
+                        (su_s, iu % Vl, iv % Vl)
+                    )
+                    continue
+                d = next(
+                    (d for d in _DIRS if neighbor(su_s, d) == sv_s), None
+                )
+                if d is None:
+                    raise ValueError("non-adjacent cross-block edge")
+                cross.setdefault((b.slot_u, b.slot_v, d), []).append(
+                    (su_s, iu % Vl, iv % Vl)
+                )
+
+        def pad_index(used):
+            p = 0
+            while p in used:
+                p += 1
+            if p >= Vl:
+                raise AssertionError("no free pad index")
+            return p
+
+        buckets = []
+        for (su, sv), entries in sorted(intra.items()):
+            per = [[] for _ in range(S)]
+            for (s, lu, lv) in entries:
+                per[s].append((lu, lv))
+            B = max(1, max(len(l) for l in per))
+            u_tab = np.zeros((S, B), np.int32)
+            v_tab = np.zeros((S, B), np.int32)
+            valid = np.zeros((S, B), bool)
+            for s, lst in enumerate(per):
+                if len(lst) < B:
+                    p = pad_index(
+                        {lu for lu, _ in lst} | {lv for _, lv in lst}
+                    )
+                    u_tab[s, :] = p
+                    v_tab[s, :] = p
+                for i, (lu, lv) in enumerate(lst):
+                    u_tab[s, i], v_tab[s, i], valid[s, i] = lu, lv, True
+            buckets.append(_Intra2D(su, sv, u_tab, v_tab, valid))
+        for (su, sv, d), entries in sorted(cross.items()):
+            per = [[] for _ in range(S)]
+            for (s, lu, lv) in entries:
+                per[s].append((lu, lv))
+            B = max(1, max(len(l) for l in per))
+            u_tab = np.zeros((S, B), np.int32)
+            vsend = np.zeros((S, B), np.int32)
+            valid = np.zeros((S, B), bool)
+            for s, lst in enumerate(per):
+                if len(lst) < B:
+                    u_tab[s, :] = pad_index({lu for lu, _ in lst})
+                for i, (lu, lv) in enumerate(lst):
+                    u_tab[s, i], valid[s, i] = lu, True
+            for s in range(S):
+                sender = neighbor(s, d)
+                lst = per[s]
+                if len(lst) < B:
+                    used = {lv for _, lv in lst} | {
+                        lu for lu, _ in per[sender]
+                    }
+                    vsend[sender, :] = pad_index(used)
+                for i, (_, lv) in enumerate(lst):
+                    vsend[sender, i] = lv
+            buckets.append(_Cross2D(su, sv, d, u_tab, vsend, valid))
+        groups.append(tuple(buckets))
+    return tuple(groups)
+
+
+def make_sharded_layer_2d(
+    sspec: Sharded2DSpec,
+    mesh: Mesh,
+    gate2: np.ndarray,
+    gate1: np.ndarray | None,
+    chi: int,
+    cutoff: float = 1e-12,
+    normalize_tensors: bool = True,
+    bp_maxiter: int = 30,
+    bp_tolerance: float | None = None,
+    one_site_first: bool = True,
+    final_update: bool = True,
+):
+    """Fully-SPMD Trotter layer over a 2-D ("x", "y") mesh; same semantics
+    and bitwise-faithfulness contract as the 1-D `make_sharded_layer`."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    spec = sspec.spec
+    D = spec.degree
+    sx, sy = sspec.sx, sspec.sy
+    groups = build_layer_groups_2d(sspec)
+    gate2 = np.asarray(gate2)
+    perms = _perms(sx, sy)
+
+    flat: list = [jnp.asarray(sspec.src_index), jnp.asarray(sspec.mask)]
+    for d in _DIRS:
+        flat += [jnp.asarray(sspec.send_v[d]), jnp.asarray(sspec.send_slot[d])]
+    for group in groups:
+        for b in group:
+            if isinstance(b, _Intra2D):
+                flat += [jnp.asarray(b.u_tab), jnp.asarray(b.v_tab),
+                         jnp.asarray(b.valid)]
+            else:
+                flat += [jnp.asarray(b.u_tab), jnp.asarray(b.vsend_tab),
+                         jnp.asarray(b.valid)]
+    flat = tuple(flat)
+
+    def body(tensors, messages, *tables):
+        it = iter(tables)
+        tabs = {"src": next(it)[0], "mask": next(it)[0]}
+        for d in _DIRS:
+            tabs["sv_" + d] = next(it)[0]
+            tabs["ss_" + d] = next(it)[0]
+        tol = (
+            bp_tolerance
+            if bp_tolerance is not None
+            else default_batched_tolerance(tensors.dtype)
+        )
+
+        def bp(tensors, messages):
+            return _bp2d_fixed_point(
+                tensors, messages, tabs, D, sx, sy, bp_maxiter, tol
+            )
+
+        errs = []
+        applied = False
+        if gate1 is not None and one_site_first:
+            g = jnp.asarray(gate1).astype(tensors.dtype)
+            tensors = jnp.einsum(
+                "v...d,pd->v...p", tensors, g, precision=_PRECISION
+            )
+            applied = True
+        for group in groups:
+            if applied:
+                messages = bp(tensors, messages)
+            for b in group:
+                if isinstance(b, _Intra2D):
+                    u_tab, v_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+                    tu, tv = tensors[u_tab], tensors[v_tab]
+                    mu, mv = messages[u_tab], messages[v_tab]
+                    tu_new, tv_new, msg, err = _simple_update_core(
+                        tu, tv, mu, mv, jnp.asarray(gate2), b.slot_u,
+                        b.slot_v, chi, cutoff, normalize_tensors,
+                    )
+                    tensors = tensors.at[u_tab].set(_masked_pick(valid, tu_new, tu))
+                    tensors = tensors.at[v_tab].set(_masked_pick(valid, tv_new, tv))
+                    messages = messages.at[u_tab, b.slot_u].set(
+                        _masked_pick(valid, msg, mu[:, b.slot_u])
+                    )
+                    messages = messages.at[v_tab, b.slot_v].set(
+                        _masked_pick(valid, msg, mv[:, b.slot_v])
+                    )
+                    errs.append(jnp.where(valid, err, 0.0))
+                else:
+                    u_tab, vs_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+                    ax, gather = perms[b.dir]
+                    rev = {
+                        "xprev": "xnext", "xnext": "xprev",
+                        "yprev": "ynext", "ynext": "yprev",
+                    }[b.dir]
+                    _, ret = perms[rev]
+                    tv = jax.lax.ppermute(tensors[vs_tab], ax, gather)
+                    mv = jax.lax.ppermute(messages[vs_tab], ax, gather)
+                    tu, mu = tensors[u_tab], messages[u_tab]
+                    tu_new, tv_new, msg, err = _simple_update_core(
+                        tu, tv, mu, mv, jnp.asarray(gate2), b.slot_u,
+                        b.slot_v, chi, cutoff, normalize_tensors,
+                    )
+                    tensors = tensors.at[u_tab].set(_masked_pick(valid, tu_new, tu))
+                    messages = messages.at[u_tab, b.slot_u].set(
+                        _masked_pick(valid, msg, mu[:, b.slot_u])
+                    )
+                    tv_back = jax.lax.ppermute(
+                        _masked_pick(valid, tv_new, tv), ax, ret
+                    )
+                    mv_back = jax.lax.ppermute(
+                        _masked_pick(valid, msg, mv[:, b.slot_v]), ax, ret
+                    )
+                    tensors = tensors.at[vs_tab].set(tv_back)
+                    messages = messages.at[vs_tab, b.slot_v].set(mv_back)
+                    errs.append(jnp.where(valid, err, 0.0))
+            applied = True
+        if gate1 is not None and not one_site_first:
+            g = jnp.asarray(gate1).astype(tensors.dtype)
+            tensors = jnp.einsum(
+                "v...d,pd->v...p", tensors, g, precision=_PRECISION
+            )
+        if final_update:
+            messages = bp(tensors, messages)
+        all_errs = (
+            jnp.concatenate(errs) if errs else jnp.zeros((1,), jnp.float32)
+        )
+        return tensors, messages, all_errs
+
+    spec_v = P(("x", "y"))
+    n_in = 2 + len(flat)
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec_v,) * n_in,
+        out_specs=(spec_v, spec_v, spec_v),
+    )
+
+    @jax.jit
+    def layer(state: BatchedState):
+        t, m, errs = fn(state.tensors, state.messages, *flat)
+        return BatchedState(t, m), errs
+
+    return layer

@@ -169,3 +169,89 @@ def test_sharded_layer_periodic_ring_wrap():
         np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
         atol=1e-9,
     )
+
+
+def test_sharded_2d_mesh_layer_matches_unsharded():
+    """2-D block mesh: full layer over Mesh(("x","y")) with halo exchange
+    along both axes matches the single-device engine."""
+    from tensornetworkquantumsimulator_tpu.parallel.sharding2d import (
+        make_sharded_layer_2d,
+        shard2d_spec,
+    )
+
+    nx, ny, chi = 4, 4, 2
+    sx, sy = 2, 2
+    g = named_grid((nx, ny))
+    sspec = shard2d_spec(g, sx, sy)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+    gate2 = np.asarray(gate_matrix("Rzz", 0.35)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 0.8))
+    tol = 1e-10
+    ref_state, ref_errs = _unsharded_layer(
+        spec, state, gate2, gate1, chi, 1e-12, tol
+    )
+
+    mesh = Mesh(np.array(jax.devices()[: sx * sy]).reshape(sx, sy), ("x", "y"))
+    layer = make_sharded_layer_2d(
+        sspec, mesh, gate2, gate1, chi, cutoff=1e-12, bp_tolerance=tol
+    )
+    sh = NamedSharding(mesh, P(("x", "y")))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    out_state, out_errs = layer(sharded)
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.messages), np.asarray(ref_state.messages),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out_errs)[np.asarray(out_errs) > 1e-14]),
+        np.sort(np.asarray(ref_errs)[np.asarray(ref_errs) > 1e-14]),
+        rtol=1e-6,
+    )
+
+
+def test_sharded_2d_mesh_torus():
+    """Periodic 4x4 torus on the 2x2 mesh: wrap edges ride both mesh rings."""
+    from tensornetworkquantumsimulator_tpu.parallel.sharding2d import (
+        make_sharded_layer_2d,
+        shard2d_spec,
+    )
+
+    g = named_grid((4, 4), periodic=True)
+    chi = 2
+    sspec = shard2d_spec(g, 2, 2)
+    spec = sspec.spec
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+    gate2 = np.asarray(gate_matrix("Rzz", 0.3)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 0.6))
+    tol = 1e-10
+    ref_state, _ = _unsharded_layer(spec, state, gate2, gate1, chi, 1e-12, tol)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+    layer = make_sharded_layer_2d(
+        sspec, mesh, gate2, gate1, chi, cutoff=1e-12, bp_tolerance=tol
+    )
+    sh = NamedSharding(mesh, P(("x", "y")))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    out_state, _ = layer(sharded)
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-9,
+    )
