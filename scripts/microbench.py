@@ -60,6 +60,14 @@ def run(op: str, b: int, n: int, m: int, seed: int = 0) -> None:
             out = q @ r
         elif op == "matmul":
             out = a @ a
+        elif op == "cmatmul":  # complex matmul, XLA lowering (4 real mms)
+            out = a @ a
+        elif op == "cpallas":  # complex matmul, Pallas Gauss kernel (3 mms)
+            from tensornetworkquantumsimulator_tpu.parallel.pallas_kernels import (
+                complex_matmul,
+            )
+
+            out = complex_matmul(a, a)
         else:
             raise ValueError(op)
         # keep the chain data-dependent and bounded
