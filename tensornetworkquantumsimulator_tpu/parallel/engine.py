@@ -407,10 +407,12 @@ def apply_color_group(
     analogue of the reference's per-color loop, `2dIsing_dynamics.jl:25-28`).
 
     All slot-pair buckets of the group share ONE stacked eigh, ONE stacked
-    QR, and ONE stacked SVD: per-matrix results are batch-composition
-    independent, and factorization kernel count is what dominates the
-    per-layer wall at small χ (BASELINE.md).  Set TNQS_FUSE_BUCKETS=0 to
-    fall back to per-bucket kernels."""
+    QR, and ONE stacked SVD — factorization kernel count dominates the
+    per-layer wall at small χ on TPU (BASELINE.md).  Per-matrix results are
+    batch-composition independent up to backend rounding (bitwise on the
+    f64 configs tested; c64 backends may differ at rounding level, which
+    bond-gauge freedom can amplify in tensor entries without affecting
+    physics).  Set TNQS_FUSE_BUCKETS=0 for per-bucket kernels."""
     buckets = list(buckets)
     if not buckets:
         return state, jnp.zeros((0,))
