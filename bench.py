@@ -156,7 +156,9 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
             return s, None
 
         st, _ = jax.lax.scan(body, st, None, length=n)
-        z = jnp.real(local_expectations(spec, st, op)[center])
+        # whole real-valued vector: the axon runtime can download full real
+        # arrays but (usually) not 0-d scalars — see CLAUDE.md
+        z = jnp.real(local_expectations(spec, st, op))
         return st, z
 
     compiled = jax.jit(run_n).lower(state).compile()  # no device execution
@@ -172,7 +174,8 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
     z_val = None
     t1 = time.perf_counter()
     try:
-        z_val = float(z)  # blocks until the device finishes; may then fail
+        # blocks until the device finishes the full dependency chain
+        z_val = float(np.asarray(z)[center])
     except Exception:
         z_val = None
     t_sync = time.perf_counter() - t1

@@ -71,22 +71,27 @@ def _build(chi=10, x64=False):
     center = spec.vertex_position((3, 3))
 
     @jax.jit
-    def z_center(st):
-        return jnp.real(local_expectations(spec, st, op)[center])
+    def z_all(st):
+        # whole real-valued vector: the axon runtime can download full
+        # real arrays but (usually) not 0-d scalars — see CLAUDE.md
+        return jnp.real(local_expectations(spec, st, op))
 
-    return jax, state, layer_fn, z_center
+    return jax, state, layer_fn, z_all, center
 
 
 def point(n_layers: int, x64: bool = False) -> None:
-    """Run n_layers, download the one scalar, print a JSON record."""
-    jax, state, layer_fn, z_center = _build(x64=x64)
+    """Run n_layers, download the whole ⟨Z⟩ vector, print a JSON record."""
+    import numpy as np
+
+    jax, state, layer_fn, z_all, center = _build(x64=x64)
     for _ in range(n_layers):
         state, _ = layer_fn(state)
-    z = z_center(state)
+    z = z_all(state)
     try:
-        z_val = float(z)
-    except Exception as e:
-        z_val = None
+        z_vec = [float(x) for x in np.asarray(z)]
+        z_val = z_vec[center]
+    except Exception:
+        z_vec, z_val = None, None
     print(
         json.dumps(
             {
@@ -94,6 +99,7 @@ def point(n_layers: int, x64: bool = False) -> None:
                 "x64": bool(x64),
                 "layer": n_layers,
                 "z": z_val,
+                "z_all": z_vec,
             }
         ),
         flush=True,
@@ -102,17 +108,22 @@ def point(n_layers: int, x64: bool = False) -> None:
 
 def trajectory(n_layers: int, x64: bool = False) -> None:
     """All points in one process (CPU: downloads are unrestricted)."""
-    jax, state, layer_fn, z_center = _build(x64=x64)
-    out = []
+    import numpy as np
+
+    jax, state, layer_fn, z_all, center = _build(x64=x64)
+    out, out_all = [], []
     for l in range(1, n_layers + 1):
         state, _ = layer_fn(state)
-        out.append(float(z_center(state)))
+        z = np.asarray(z_all(state))
+        out.append(float(z[center]))
+        out_all.append([float(x) for x in z])
     print(
         json.dumps(
             {
                 "backend": jax.default_backend(),
                 "x64": bool(x64),
                 "trajectory": out,
+                "trajectory_all": out_all,
             }
         ),
         flush=True,
@@ -125,9 +136,11 @@ def collect(n_layers: int) -> None:
         [sys.executable, __file__, "--trajectory", str(n_layers), "--x64"],
         capture_output=True, text=True, env=env_cpu, timeout=1800,
     )
-    cpu = json.loads(
+    cpu_rec = json.loads(
         [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    )["trajectory"]
+    )
+    cpu = cpu_rec["trajectory"]
+    cpu_all = cpu_rec["trajectory_all"]
 
     rows = []
     for l in range(1, n_layers + 1):
@@ -144,25 +157,33 @@ def collect(n_layers: int) -> None:
         except Exception:
             pass
         z_tpu = rec.get("z") if rec else None
+        z_tpu_all = rec.get("z_all") if rec else None
         backend = rec.get("backend") if rec else "?"
         dt = time.perf_counter() - t0
         delta = abs(z_tpu - cpu[l - 1]) if z_tpu is not None else None
-        rows.append((l, z_tpu, cpu[l - 1], delta))
+        # max |Δ| over ALL sites, not just the center
+        delta_all = (
+            max(abs(a - b) for a, b in zip(z_tpu_all, cpu_all[l - 1]))
+            if z_tpu_all is not None
+            else None
+        )
+        rows.append((l, z_tpu, cpu[l - 1], delta, delta_all))
         print(
             f"# layer {l}: tpu({backend})={z_tpu} cpu-x64={cpu[l-1]:.8f} "
-            f"|Δ|={delta} ({dt:.0f}s)",
+            f"|Δ|={delta} max-site|Δ|={delta_all} ({dt:.0f}s)",
             file=sys.stderr,
         )
 
-    print("| layer | ⟨Z⟩ TPU (c64) | ⟨Z⟩ CPU (c128) | abs diff |")
-    print("|---|---|---|---|")
-    for (l, zt, zc, d) in rows:
+    print("| layer | ⟨Z⟩(center) TPU c64 | ⟨Z⟩(center) CPU c128 | |Δ| center | max |Δ| all 25 sites |")
+    print("|---|---|---|---|---|")
+    for (l, zt, zc, d, da) in rows:
         zt_s = f"{zt:+.6f}" if zt is not None else "download failed"
         d_s = f"{d:.2e}" if d is not None else "—"
-        print(f"| {l} | {zt_s} | {zc:+.6f} | {d_s} |")
-    deltas = [d for (_, _, _, d) in rows if d is not None]
+        da_s = f"{da:.2e}" if da is not None else "—"
+        print(f"| {l} | {zt_s} | {zc:+.6f} | {d_s} | {da_s} |")
+    deltas = [da for (*_, da) in rows if da is not None]
     if deltas:
-        print(f"\nmax |Δ| over {len(deltas)} points: {max(deltas):.2e}")
+        print(f"\nmax site |Δ| over {len(deltas)} layers: {max(deltas):.2e}")
 
 
 if __name__ == "__main__":

@@ -134,6 +134,35 @@ def find_plaquettes(spec: BatchedGraphSpec, g) -> list:
 # ---------------------------------------------------------------------------
 
 
+def _branch_transfer(state: BatchedState, idx, open_slots):
+    """Site transfer tensor with ``len(open_slots)`` loop bonds left open:
+    ψ ψ̄ with incoming messages absorbed on every other slot.  Output is
+    [P, χ², ..., χ²] with one flattened (ket, bra) pair per open slot, in
+    ``open_slots`` order — the degree-≥3 generalization of
+    :func:`_pair_transfer` for branch vertices of theta/figure-8
+    configurations (`loopcorrection.jl:81-91`)."""
+    D = state.degree
+    t = state.tensors[idx]
+    m = state.messages[idx]
+    acc = t
+    for k in range(D):
+        if k not in open_slots:
+            acc = _absorb(acc, m[:, k], 1 + k)
+    lab = [_LETTERS[k] for k in range(D)]
+    acc_lab, conj_lab = list(lab), list(lab)
+    extra = iter(_LETTERS[D:])
+    out = []
+    for s in open_slots:
+        a, b = next(extra), next(extra)
+        acc_lab[s] = a
+        conj_lab[s] = b
+        out += [a, b]
+    eq = f"v{''.join(acc_lab)}s,v{''.join(conj_lab)}s->v{''.join(out)}"
+    e = jnp.einsum(eq, acc, jnp.conj(t), precision=_PRECISION)
+    chi = state.chi
+    return e.reshape((e.shape[0],) + (chi * chi,) * len(open_slots))
+
+
 def _pair_transfer(state: BatchedState, idx, slot_prev: int, slot_next: int):
     """E[(k_prev a, bra b), (k_next c, bra d)] at the given vertices: ψ ψ̄
     with incoming messages absorbed on every slot except the two loop
@@ -194,6 +223,70 @@ def _bucket_weights(spec: BatchedGraphSpec, state: BatchedState, idx, slots):
     return jnp.trace(w, axis1=-2, axis2=-1)
 
 
+def _antiprojector(state: BatchedState, idx_a, slot_a, idx_b, slot_b):
+    """A = δ − m̄ ⊗ m on the loop edge a → b, rows on a's side
+    (`loopcorrection.jl:19-63`; same convention as ``anti`` in
+    :func:`_bucket_weights`): m̄ arrives at a through ``slot_a`` (from b),
+    m arrives at b through ``slot_b`` (from a)."""
+    chi = state.chi
+    m_bwd = state.messages[idx_a, slot_a]
+    m_fwd = state.messages[idx_b, slot_b]
+    outer = jnp.einsum(
+        "Pab,Pcd->Pabcd", m_bwd, m_fwd, precision=_PRECISION
+    ).reshape(m_bwd.shape[0], chi * chi, chi * chi)
+    eye = jnp.eye(chi * chi, dtype=state.tensors.dtype)
+    return eye[None] - outer
+
+
+def _general_weights(spec: BatchedGraphSpec, state: BatchedState, idx, sig):
+    """Weights of P isomorphic general (branch-vertex) loop components.
+
+    ``sig = (branch_slots, path_sigs)`` (see :class:`LoopConfigurations`):
+    the component is a multigraph of branch vertices (loop-degree ≥ 3)
+    joined by paths of degree-2 vertices.  Each path contracts to a
+    [χ², χ²] matrix  A(u→x₁) E_{x₁} A(x₁→x₂) … E_{x_k} A(x_k→w)  and the
+    component weight is one small einsum of the branch transfer tensors
+    with the path matrices — the batched counterpart of the generic
+    engine's free-form contraction (`loopcorrection.jl:81-91`)."""
+    branch_slots, path_sigs = sig
+    n_branch = len(branch_slots)
+    b_tensors = [
+        _branch_transfer(state, idx[:, bi], list(slots))
+        for bi, slots in enumerate(branch_slots)
+    ]
+    port_letter = [dict() for _ in range(n_branch)]
+    letters = iter(_LETTERS)
+    operands, subs = [], []
+    for (u_id, su, w_id, sw, interior) in path_sigs:
+        # vertex-position columns for this path's interior are encoded in
+        # the signature as absolute column indices
+        p = None
+        a_from, s_from = idx[:, u_id], su
+        for (col, s_prev, s_next) in interior:
+            a = _antiprojector(state, a_from, s_from, idx[:, col], s_prev)
+            p = a if p is None else jnp.einsum(
+                "Pij,Pjk->Pik", p, a, precision=_PRECISION
+            )
+            e = _pair_transfer(state, idx[:, col], s_prev, s_next)
+            p = jnp.einsum("Pij,Pjk->Pik", p, e, precision=_PRECISION)
+            a_from, s_from = idx[:, col], s_next
+        a = _antiprojector(state, a_from, s_from, idx[:, w_id], sw)
+        p = a if p is None else jnp.einsum(
+            "Pij,Pjk->Pik", p, a, precision=_PRECISION
+        )
+        r, c = next(letters), next(letters)
+        port_letter[u_id][su] = r
+        port_letter[w_id][sw] = c
+        operands.append(p)
+        subs.append(f"P{r}{c}")
+    for bi, slots in enumerate(branch_slots):
+        operands.append(b_tensors[bi])
+        subs.append("P" + "".join(port_letter[bi][s] for s in slots))
+    return jnp.einsum(
+        ",".join(subs) + "->P", *operands, precision=_PRECISION
+    )
+
+
 def loop_weights(spec: BatchedGraphSpec, state: BatchedState, plaquettes) -> jax.Array:
     """Weights of every plaquette configuration on a *rescaled* state."""
     ws = []
@@ -209,21 +302,102 @@ def loop_weights(spec: BatchedGraphSpec, state: BatchedState, plaquettes) -> jax
 # ---------------------------------------------------------------------------
 
 
+def _cycle_ivs(nxg, comp, pos):
+    """Vertex-position sequence of a loop-degree-2 cycle component."""
+    start = comp[0]
+    seq = [start]
+    prev, cur = None, start
+    while True:
+        nxt = [w for w in nxg.neighbors(cur) if w != prev][0]
+        if nxt == start:
+            break
+        seq.append(nxt)
+        prev, cur = cur, nxt
+    return [pos[v] for v in seq]
+
+
+def _general_structure(nxg, comp, pos, nbr, mask):
+    """Deterministic (signature, vertex positions) for a leaf-free component
+    with branch vertices (loop-degree ≥ 3).
+
+    The walk is driven purely by slot numbers (start at the minimal-position
+    branch vertex, explore ports in ascending slot order), so translated
+    copies of the same motif on a regular lattice produce identical
+    signatures and batch into one kernel.
+
+    signature = (branch_open_slots, path_sigs) with
+      branch_open_slots[b] = ascending slots of branch b's loop bonds,
+      path_sigs entry = (u_id, slot_u, w_id, slot_w,
+                         ((idx column, slot_prev, slot_next), ...))
+    vertex positions = branches in discovery order, then path interiors in
+    discovery order (matching the idx-column references in path_sigs)."""
+
+    def slot(a, b):
+        return _slot_between(nbr, mask, pos[a], pos[b])
+
+    deg = {v: nxg.degree(v) for v in comp}
+    branches = [v for v in comp if deg[v] >= 3]
+    start = min(branches, key=lambda v: pos[v])
+    b_id = {start: 0}
+    b_order = [start]
+    queue = [start]
+    visited = set()
+    interior_verts: list = []
+    path_sigs: list = []
+    n_branch = len(branches)
+    while queue:
+        u = queue.pop(0)
+        for nb in sorted(nxg.neighbors(u), key=lambda x: slot(u, x)):
+            if frozenset((u, nb)) in visited:
+                continue
+            su = slot(u, nb)
+            visited.add(frozenset((u, nb)))
+            prev, cur = u, nb
+            interior = []
+            while deg[cur] == 2:
+                nxt = [w for w in nxg.neighbors(cur) if w != prev][0]
+                col = n_branch + len(interior_verts)
+                interior.append((col, slot(cur, prev), slot(cur, nxt)))
+                interior_verts.append(cur)
+                visited.add(frozenset((cur, nxt)))
+                prev, cur = cur, nxt
+            w = cur
+            if w not in b_id:
+                b_id[w] = len(b_order)
+                b_order.append(w)
+                queue.append(w)
+            path_sigs.append((b_id[u], su, b_id[w], slot(w, prev), tuple(interior)))
+    branch_open_slots = tuple(
+        tuple(sorted(slot(b, x) for x in nxg.neighbors(b))) for b in b_order
+    )
+    sig = (branch_open_slots, tuple(path_sigs))
+    ivs = [pos[v] for v in b_order] + [pos[v] for v in interior_verts]
+    return sig, ivs
+
+
 class LoopConfigurations:
     """Host-compiled loop-correction structure up to ``max_size`` edges.
 
     Mirrors `loopcorrection.jl:3-16`'s `edgeinduced_subgraphs_no_leaves`
-    enumeration, restricted to configurations whose connected components
-    are *simple cycles* (every component vertex of degree 2): single cycles
-    of any length (grid plaquettes/dominoes, heavy-hex 12-cycles) and
-    vertex-disjoint unions, whose weight factorizes into the product of the
-    component weights.  Configurations containing a vertex of loop-degree
-    ≥ 3 (theta-shaped subgraphs; first appear at 7 edges on grids) are
-    counted in ``n_skipped`` and left to the generic engine.
+    enumeration in full: configurations are vertex-disjoint unions of
+    leaf-free connected components, and each configuration's weight
+    factorizes into the product of its component weights.  Components fall
+    into two batched kernel classes:
 
-    ``buckets``: [(idx [P, L], slots (L, 2))] per (length, slot-signature);
-    ``groups``: {n_components: [n_configs, n_components] indices into the
-    flat weight vector (bucket concatenation order)}.
+    - *simple cycles* (every component vertex of loop-degree 2): plaquettes,
+      dominoes, heavy-hex 12-cycles — a [χ², χ²] transfer-matrix chain trace
+      (``_bucket_weights``);
+    - *general components* with branch vertices of loop-degree ≥ 3 (thetas —
+      two plaquettes sharing an edge, 7 edges on grids; figure-8s — two
+      plaquettes sharing a vertex): a multigraph of branch vertices joined
+      by degree-2 paths, contracted by ``_general_weights``.
+
+    ``buckets``: [(idx [P, L], slots (L, 2))] per (length, slot-signature)
+    for the cycle class; ``general_buckets``: [(idx [P, n_verts], sig)] per
+    branch-structure signature; ``groups``: {n_components:
+    [n_configs, n_components] indices into the flat weight vector (cycle
+    buckets first, then general buckets)}.  ``n_skipped`` is retained for
+    API compatibility and is always 0.
     """
 
     def __init__(self, spec: BatchedGraphSpec, g, max_size: int):
@@ -235,69 +409,65 @@ class LoopConfigurations:
         nbr = spec.nbr_array()
         mask = spec.mask_array()
 
-        cycle_of_key: dict = {}  # frozenset(edges) -> cycle id
-        cycle_ivs: list = []  # cycle id -> vertex-position sequence
+        comp_of_key: dict = {}  # frozenset(frozenset edge) -> component id
+        comp_desc: list = []  # id -> ("cycle", ivs) | ("general", sig, ivs)
         configs: list = []
-        n_skipped = 0
         for sub in edgeinduced_subgraphs_no_leaves(g, max_size):
             nxg = sub.nx()
             comp_ids = []
-            ok = True
             for comp in nx.connected_components(nxg):
                 comp = list(comp)
-                if any(nxg.degree(v) != 2 for v in comp):
-                    ok = False
-                    break
-                # walk the cycle
-                start = comp[0]
-                seq = [start]
-                prev, cur = None, start
-                while True:
-                    nxts = [w for w in nxg.neighbors(cur) if w != prev]
-                    nxt = nxts[0]
-                    if nxt == start:
-                        break
-                    seq.append(nxt)
-                    prev, cur = cur, nxt
-                key = frozenset(
-                    frozenset((seq[i], seq[(i + 1) % len(seq)]))
-                    for i in range(len(seq))
+                comp_edges = frozenset(
+                    frozenset((u, v)) for u, v in nxg.edges(comp)
                 )
-                if key not in cycle_of_key:
-                    cycle_of_key[key] = len(cycle_ivs)
-                    cycle_ivs.append([pos[v] for v in seq])
-                comp_ids.append(cycle_of_key[key])
-            if ok:
-                configs.append(tuple(sorted(comp_ids)))
-            else:
-                n_skipped += 1
+                if comp_edges not in comp_of_key:
+                    comp_of_key[comp_edges] = len(comp_desc)
+                    if all(nxg.degree(v) == 2 for v in comp):
+                        comp_desc.append(("cycle", _cycle_ivs(nxg, comp, pos)))
+                    else:
+                        sig, ivs = _general_structure(nxg, comp, pos, nbr, mask)
+                        comp_desc.append(("general", sig, ivs))
+                comp_ids.append(comp_of_key[comp_edges])
+            configs.append(tuple(sorted(comp_ids)))
 
-        # bucket unique cycles by (length, slot signature)
+        # bucket cycles by (length, slot signature), generals by structure sig
         buckets: dict = {}
-        members: dict = {}  # sig -> list of cycle ids, aligned with idx rows
-        for cid, ivs in enumerate(cycle_ivs):
-            L = len(ivs)
-            slots = []
-            for i in range(L):
-                slots.append(
+        gbuckets: dict = {}
+        members: dict = {}  # ("c"|"g", sig) -> component ids, aligned w/ rows
+        for cid, desc in enumerate(comp_desc):
+            if desc[0] == "cycle":
+                ivs = desc[1]
+                L = len(ivs)
+                slots = tuple(
                     (
                         _slot_between(nbr, mask, ivs[i], ivs[(i - 1) % L]),
                         _slot_between(nbr, mask, ivs[i], ivs[(i + 1) % L]),
                     )
+                    for i in range(L)
                 )
-            sig = (L, tuple(slots))
-            buckets.setdefault(sig, []).append(ivs)
-            members.setdefault(sig, []).append(cid)
+                buckets.setdefault((L, slots), []).append(ivs)
+                members.setdefault(("c", (L, slots)), []).append(cid)
+            else:
+                _, sig, ivs = desc
+                gbuckets.setdefault(sig, []).append(ivs)
+                members.setdefault(("g", sig), []).append(cid)
 
         flat_pos = {}
-        self.buckets = []
         k = 0
+        self.buckets = []
         for sig in sorted(buckets):
-            ivs_list = buckets[sig]
             self.buckets.append(
-                (np.asarray(ivs_list, dtype=np.int32), sig[1])
+                (np.asarray(buckets[sig], dtype=np.int32), sig[1])
             )
-            for cid in members[sig]:
+            for cid in members[("c", sig)]:
+                flat_pos[cid] = k
+                k += 1
+        self.general_buckets = []
+        for sig in sorted(gbuckets):
+            self.general_buckets.append(
+                (np.asarray(gbuckets[sig], dtype=np.int32), sig)
+            )
+            for cid in members[("g", sig)]:
                 flat_pos[cid] = k
                 k += 1
 
@@ -311,7 +481,7 @@ class LoopConfigurations:
             for n, lst in sorted(self.groups.items())
         }
         self.n_configurations = len(configs)
-        self.n_skipped = n_skipped
+        self.n_skipped = 0
 
     def correction_sum(self, weights: jax.Array) -> jax.Array:
         """Σ_configs Π_components w — the loop series' correction term."""
@@ -347,6 +517,8 @@ def loopcorrected_partitionfunction(
         ws = []
         for idx, slots in configurations.buckets:
             ws.append(_bucket_weights(spec, rescaled, idx, slots))
+        for idx, sig in configurations.general_buckets:
+            ws.append(_general_weights(spec, rescaled, idx, sig))
         if not ws:
             return zbp
         weights = jnp.concatenate(ws)

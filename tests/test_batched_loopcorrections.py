@@ -108,12 +108,12 @@ def test_batched_configurations_match_generic_size6():
     np.testing.assert_allclose(z_b, z_gen, rtol=1e-8)
 
 
-def test_batched_configurations_disjoint_pairs():
-    """At size 8 the series gains 8-cycles and vertex-disjoint plaquette
-    pairs whose weights factorize into products; configurations with a
-    loop-degree ≥ 3 vertex (thetas, vertex-sharing figure-eights) are the
-    documented exclusion (counted in n_skipped, generic engine covers
-    them)."""
+def test_batched_configurations_general_components():
+    """At size 7-8 the series gains branch-vertex components — thetas (two
+    plaquettes sharing an edge) and figure-eights (two plaquettes sharing a
+    vertex) — plus 8-cycles and vertex-disjoint plaquette pairs.  The
+    batched series covers all of them (`_general_weights`) and matches the
+    generic engine exactly."""
     g = named_grid((4, 4))
     tnqs.seed(9)
     psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=2)
@@ -122,15 +122,30 @@ def test_batched_configurations_disjoint_pairs():
 
     cfgs = blc.LoopConfigurations(spec, g, 8)
     assert 2 in cfgs.groups  # disjoint plaquette pairs present
-    assert cfgs.n_skipped > 0  # thetas/figure-eights at 7-8 edges skipped
+    assert cfgs.n_skipped == 0  # nothing left to the generic engine
+    assert len(cfgs.general_buckets) > 0  # thetas/figure-eights batched
+
+    z_gen = lc_generic(cache, 8)
+    z_b = complex(
+        np.asarray(
+            blc.loopcorrected_partitionfunction(
+                spec, state, g, configurations=cfgs
+            )
+        )
+    )
+    np.testing.assert_allclose(z_b, z_gen, rtol=1e-8)
 
     # internal consistency: the jit-side correction_sum equals the manual
-    # sum over single weights + products over pair groups
+    # sum over products across the flat (cycle ++ general) weight vector
     rescaled = blc.rescale(spec, state)
     ws = np.concatenate(
         [
             np.asarray(blc._bucket_weights(spec, rescaled, idx, slots))
             for idx, slots in cfgs.buckets
+        ]
+        + [
+            np.asarray(blc._general_weights(spec, rescaled, idx, sig))
+            for idx, sig in cfgs.general_buckets
         ]
     )
     manual = sum(
