@@ -46,6 +46,24 @@ def _svd_alg() -> str:
     return os.environ.get("TNQS_SVD_ALG", "default")
 
 
+# Hermitian-eigh backend: TNQS_EIGH_ALG ∈ {default, jacobi} (trace-time).
+# "jacobi" routes every batched eigh (environment pseudo-roots and the
+# Gram split) through the single-kernel Pallas parallel-Jacobi
+# (parallel/pallas_linalg.py) — one TPU kernel launch instead of the
+# hundreds of small kernels inside XLA's QDWH spectral divide-and-conquer.
+def _eigh(m):
+    if os.environ.get("TNQS_EIGH_ALG", "default") == "jacobi" and m.ndim >= 3:
+        from .pallas_linalg import jacobi_eigh
+
+        lead = m.shape[:-2]
+        w, v = jacobi_eigh(m.reshape((-1,) + m.shape[-2:]))
+        return (
+            w.reshape(lead + w.shape[-1:]).astype(m.real.dtype),
+            v.reshape(lead + v.shape[-2:]),
+        )
+    return jnp.linalg.eigh(m)
+
+
 def _svd(mat):
     alg_name = _svd_alg()
     if alg_name in ("default", "gram"):
@@ -69,7 +87,7 @@ def _gram_split(mat):
     h = jnp.conj(jnp.swapaxes(mat, -1, -2))
     if n2 <= n1:
         gram = h @ mat  # [B, n2, n2]
-        w, v = jnp.linalg.eigh(gram)
+        w, v = _eigh(gram)
         w, v = w[..., ::-1], v[..., ::-1]  # descending
         s = jnp.sqrt(jnp.clip(w, 0.0, None))
         us = mat @ v  # = U diag(s)
@@ -78,7 +96,7 @@ def _gram_split(mat):
         vh = jnp.conj(jnp.swapaxes(v, -1, -2))
         return uu, s, vh
     gram = mat @ h  # [B, n1, n1]
-    w, u = jnp.linalg.eigh(gram)
+    w, u = _eigh(gram)
     w, u = w[..., ::-1], u[..., ::-1]
     s = jnp.sqrt(jnp.clip(w, 0.0, None))
     sv = jnp.conj(jnp.swapaxes(u, -1, -2)) @ mat  # = diag(s) V†
@@ -245,7 +263,7 @@ def _pseudo_roots(m):
     """(√M, 1/√M) of hermitian environment batches with cutoff zeroing
     (`utils.jl:18-26`, batched); padded/dummy directions stay exactly zero."""
     m = 0.5 * (m + jnp.conj(jnp.swapaxes(m, -1, -2)))
-    w, u = jnp.linalg.eigh(m)
+    w, u = _eigh(m)
     eps = jnp.finfo(w.dtype).eps
     wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
     good = w > 10 * eps * jnp.maximum(wmax, eps)
