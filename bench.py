@@ -61,15 +61,18 @@ _T_START = time.perf_counter()
 CONFIGS = {
     # name: (n_layers_per_dispatch, k_lo, k_hi, per_layer_floor_seconds)
     # The probe dispatches the same compiled n-layer program k times
-    # (chained) so both k points share one HLO (one remote-compile
-    # distribution); k_hi sized so the compute signal is >> the noise
-    # floor.  Floors: each layer runs >=100 sequential kernels (BP
-    # while_loop + per-bucket factorization chains) at >=1 us launch
-    # latency each — per-layer times below these mean nothing executed.
-    "chi10": (2005, 1, 17, 5e-5),
-    "heavyhex": (255, 1, 33, 1e-4),
-    "chi32": (255, 1, 17, 5e-4),
-    "chi64": (63, 1, 9, 1e-3),
+    # (chained) so all k points share one HLO (one remote-compile
+    # distribution).  k_hi is sized so the device-compute signal can
+    # dominate the 15-370 s remote-compile term in wall = compile + k*n*t
+    # (the estimator k*n/wall is a *lower bound* on throughput, so more
+    # amortization = a tighter bound).  Floors: each layer runs >=100
+    # sequential kernels (BP while_loop + per-bucket factorization
+    # chains) at >=1 us launch latency each — per-layer times below
+    # these mean nothing executed.
+    "chi10": (2005, 1, 255, 5e-5),
+    "heavyhex": (255, 1, 255, 1e-4),
+    "chi32": (255, 1, 66, 5e-4),
+    "chi64": (63, 1, 30, 1e-3),
 }
 
 
@@ -228,31 +231,50 @@ def _sample(config: str, n: int, k: int) -> dict | None:
 def _measure(config: str) -> dict:
     """-> {"per_layer": best valid sec/layer (or None), "z": ..., "quality"}.
 
-    Validity per the module docstring: real wall, real (blocking) sync or a
-    downloaded z, and per-layer >= the config's physical floor.  Fallback:
-    k-monotone pair.  All overheads inflate wall, so k*n/wall is a
-    throughput the device provably sustained — conservative, and the
-    poisoned-chain signatures (instant sync failure, k_hi faster than k_lo,
-    sub-floor per-layer) are each rejected."""
+    Sampling order is k_hi FIRST: a k_hi sample with a genuinely blocking
+    sync (or a downloaded z) is already valid on its own, and it is the
+    tightest bound (most compile amortization), so the k_lo probe — whose
+    only role is the k-monotonicity fallback tier — is skipped entirely
+    unless needed.  On probe failure/timeout the k is quartered once
+    before falling back to the (k_lo, k_hi) monotone pair.
+
+    Validity per the module docstring: real wall, real (blocking) sync or
+    a downloaded z, and per-layer >= the config's physical floor.  All
+    overheads inflate wall, so k*n/wall is a throughput the device
+    provably sustained — conservative, and the poisoned-chain signatures
+    (instant sync failure, k_hi faster than k_lo, sub-floor per-layer)
+    are each rejected."""
     n, k_lo, k_hi, floor = CONFIGS[config]
+    if _remaining() < 600.0:  # late in the budget: cheaper samples
+        k_hi = max(k_lo, k_hi // 8)
     samples = []
+
+    def probe(k):
+        if _remaining() < 90.0:
+            print(f"# budget exhausted before {config} k={k}", file=sys.stderr)
+            return None
+        rec = _sample(config, n, k)
+        if rec is None:
+            print(f"# {config} n={n} k={k}: probe failed/timeout", file=sys.stderr)
+            return None
+        print(
+            "# {config} n={n} k={k}: wall={w:.1f}s sync={s:.1f}s z={z}".format(
+                config=config, n=n, k=k, w=rec["wall_seconds"],
+                s=rec.get("sync_seconds", -1.0), z=rec.get("z"),
+            ),
+            file=sys.stderr,
+        )
+        samples.append(rec)
+        return rec
+
     for _ in range(REPEATS):
-        for k in (k_lo, k_hi):
-            if _remaining() < 90.0:
-                print(f"# budget exhausted before {config} k={k}", file=sys.stderr)
-                break
-            rec = _sample(config, n, k)
-            if rec is None:
-                print(f"# {config} n={n} k={k}: probe failed/timeout", file=sys.stderr)
-                continue
-            print(
-                "# {config} n={n} k={k}: wall={w:.1f}s sync={s:.1f}s z={z}".format(
-                    config=config, n=n, k=k, w=rec["wall_seconds"],
-                    s=rec.get("sync_seconds", -1.0), z=rec.get("z"),
-                ),
-                file=sys.stderr,
-            )
-            samples.append(rec)
+        rec = probe(k_hi)
+        if rec is None and k_hi > 4 * k_lo:
+            rec = probe(max(k_lo + 1, k_hi // 4))  # cheaper retry
+        best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
+        if best is not None and quality == "sync":
+            break  # self-valid; no k_lo monotonicity probe needed
+        probe(k_lo)
 
     z_seen = next((r["z"] for r in samples if r.get("z") is not None), None)
     best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
@@ -276,16 +298,18 @@ def select_per_layer(samples, n, k_lo, k_hi, floor):
     ]
     quality = "sync"
     if not valid:
-        # fallback: k-monotone (k_lo, k_hi) pair — poisoned k_hi chains
-        # finish FASTER than k_lo, which real execution cannot do
+        # fallback: k-monotone pairs — a poisoned higher-k chain finishes
+        # FASTER than a lower-k one, which real execution cannot do
         quality = "monotone"
-        lo = [r for r in samples if r["k"] == k_lo and r["wall_seconds"] >= 2.0]
-        hi = [r for r in samples if r["k"] == k_hi and r["wall_seconds"] >= 2.0]
+        real = [r for r in samples if r["wall_seconds"] >= 2.0]
         valid = [
             h
-            for h in hi
+            for h in real
             if per_layer(h) >= floor
-            and any(h["wall_seconds"] > l["wall_seconds"] for l in lo)
+            and any(
+                l["k"] < h["k"] and h["wall_seconds"] > l["wall_seconds"]
+                for l in real
+            )
         ]
     if not valid:
         return None, None
@@ -343,6 +367,24 @@ def main() -> None:
         except Exception as exc:  # never die without a record
             print(f"# {config} failed: {exc!r}", file=sys.stderr)
             results[config] = {"per_layer": None, "z": None, "quality": None}
+        _emit(results)
+
+    # refinement: spend any leftover budget tightening the headline bound
+    # (k*n/wall is a lower bound on throughput; doubling k halves the
+    # compile term's share of the wall)
+    while _remaining() > 900.0 and results.get("chi10", {}).get("per_layer"):
+        n, k_lo, k_hi, floor = CONFIGS["chi10"]
+        if k_hi >= 1023:
+            break
+        CONFIGS["chi10"] = (n, k_lo, min(2 * k_hi + 1, 1023), floor)
+        print(f"# refining chi10 with k={CONFIGS['chi10'][2]}", file=sys.stderr)
+        try:
+            r2 = _measure("chi10")
+        except Exception as exc:
+            print(f"# chi10 refinement failed: {exc!r}", file=sys.stderr)
+            break
+        if r2.get("per_layer") and r2["per_layer"] < results["chi10"]["per_layer"]:
+            results["chi10"] = r2
         _emit(results)
 
 

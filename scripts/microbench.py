@@ -68,6 +68,16 @@ def run(op: str, b: int, n: int, m: int, seed: int = 0) -> None:
             )
 
             out = complex_matmul(a, a)
+        elif op == "jeigh":  # single-kernel Pallas parallel-Jacobi eigh
+            from tensornetworkquantumsimulator_tpu.parallel.pallas_linalg import (
+                jacobi_eigh,
+            )
+
+            h = a + jnp.conj(jnp.swapaxes(a, -1, -2))
+            w, v = jacobi_eigh(h)
+            out = (v * w[..., None, :].astype(a.dtype)) @ jnp.conj(
+                jnp.swapaxes(v, -1, -2)
+            )
         else:
             raise ValueError(op)
         # keep the chain data-dependent and bounded
