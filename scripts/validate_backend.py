@@ -90,7 +90,8 @@ def point(n_layers: int, x64: bool = False) -> None:
     try:
         z_vec = [float(x) for x in np.asarray(z)]
         z_val = z_vec[center]
-    except Exception:
+    except Exception as e:
+        print(f"# z download failed: {e!r}"[:500], file=sys.stderr, flush=True)
         z_vec, z_val = None, None
     print(
         json.dumps(

@@ -64,6 +64,48 @@ def _eigh(m):
     return jnp.linalg.eigh(m)
 
 
+# Isometry-split backend for the QR-reduce step: TNQS_QR_ALG ∈ {default,
+# polar} (trace-time).  The simple-update kernel only needs A = Q·M with
+# Q†Q = I on the range (the reference's qr at `simple_update.jl:39-40` —
+# triangularity of M is never used downstream: M feeds the gate
+# contraction and Q is re-absorbed in _su_finish).  "polar" computes
+# M = (A†A)^{1/2} and Q = A·(A†A)^{−1/2} from small Gram eighs — which
+# TNQS_EIGH_ALG=jacobi turns into single Pallas kernels — instead of
+# XLA's tall-matrix Householder QR.
+#
+# ACCURACY: opt-in only.  The Gram cannot resolve directions of A below
+# √ε·σmax, and the QR-reduce *retains* its subspace (unlike the theta
+# SVD, where sub-√ε directions land in the truncated tail) — measured
+# ~4e-4/layer on c64, ~3e-6 on c128.  Use for exploratory large-χ runs;
+# the production default keeps Householder QR.
+def _polar_once(mat):
+    gram = jnp.conj(jnp.swapaxes(mat, -1, -2)) @ mat  # [B, k, k]
+    w, v = _eigh(gram)
+    w = w.real
+    eps = jnp.finfo(w.dtype).eps
+    wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    good = w > 10 * eps * jnp.maximum(wmax, eps)
+    safe = jnp.where(good, w, 1.0)
+    sq = jnp.where(good, jnp.sqrt(safe), 0.0)
+    isq = jnp.where(good, 1.0 / jnp.sqrt(safe), 0.0)
+    vh = jnp.conj(jnp.swapaxes(v, -1, -2))
+    m = (v * sq[..., None, :].astype(mat.dtype)) @ vh
+    q = mat @ (v * isq[..., None, :].astype(mat.dtype)) @ vh
+    return q, m
+
+
+def _qr_split(mat):
+    if os.environ.get("TNQS_QR_ALG", "default") != "polar":
+        return jnp.linalg.qr(mat)
+    # Two passes (CholeskyQR2-style): the Gram squares the condition
+    # number, so one pass leaves Q†Q − I ~ κ²ε (measured 4e-4 drift on a
+    # c64 Trotter layer); the second pass acts on the near-isometric Q₁
+    # (κ ≈ 1) and restores orthogonality to ~ε.  M = M₂M₁ keeps A = Q·M.
+    q1, m1 = _polar_once(mat)
+    q, m2 = _polar_once(q1)
+    return q, m2 @ m1
+
+
 def _svd(mat):
     alg_name = _svd_alg()
     if alg_name in ("default", "gram"):
@@ -348,7 +390,7 @@ def _simple_update_core(
     tp_u = _su_prep(tu, slot_u, roots[: D - 1], chi, d)
     tp_v = _su_prep(tv, slot_v, roots[D - 1 :], chi, d)
     B0 = tp_u.shape[0]
-    q_all, r_all = jnp.linalg.qr(jnp.concatenate([tp_u, tp_v], axis=0))
+    q_all, r_all = _qr_split(jnp.concatenate([tp_u, tp_v], axis=0))
     qu, qv = q_all[:B0], q_all[B0:]
     ru = r_all[:B0].reshape(B0, -1, chi, d)
     rv = r_all[B0:].reshape(B0, -1, chi, d)
@@ -551,7 +593,7 @@ def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
         tps += [tp_u, tp_v]
         per_bucket.append((b, u_idx, v_idx, tu, tv, inv_roots))
 
-    q_all, r_all = jnp.linalg.qr(jnp.concatenate(tps, axis=0))
+    q_all, r_all = _qr_split(jnp.concatenate(tps, axis=0))
     qs, rs = [], []
     off = 0
     for i, B in enumerate(sizes):

@@ -212,18 +212,22 @@ def jacobi_eigh(
     (`utils.jl:18-26`, `simple_update.jl:46-53` semantics).
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
         # Pallas has no CPU backend; interpret mode keeps CPU tests honest
         interpret = jax.default_backend() != "tpu"
 
     Bsz, n, _ = h.shape
-    if n % 2 == 1 or n < 4 or Bsz == 0:
+    # VMEM budget: the round body keeps ~21 [n, n, G] f32 planes live
+    # (measured: 17.12 MB at n=40, G=128), and G < 128 saves nothing (the
+    # lane dim pads to 128) — so G is always 128 and large n falls back.
+    if n % 2 == 1 or n < 4 or n > 88 or Bsz == 0:
         return jnp.linalg.eigh(h)
     if sweeps is None:
         sweeps = default_sweeps(n)
     if block is None:
-        block = max(1, min(128, (1 << 21) // (n * n * 4)))  # ≤ ~2MB/plane
+        block = 128
 
     lay = _lay0(n)
     inv = np.argsort(lay).astype(np.int32)
@@ -248,6 +252,11 @@ def jacobi_eigh(
             jax.ShapeDtypeStruct((n, n, Bp), jnp.float32),
             jax.ShapeDtypeStruct((n, n, Bp), jnp.float32),
         ],
+        # ~21 live planes × n²·128·4 B exceeds the 16 MB default scoped
+        # limit for n ≥ 40; v5e has 128 MB VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(br, bi)
 

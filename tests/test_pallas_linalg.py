@@ -114,9 +114,10 @@ def test_engine_layer_with_jacobi_eigh(monkeypatch):
     z_op = jnp.asarray(op_matrix("Z", 2))
     x_op = jnp.asarray(op_matrix("X", 2))
 
-    def run(alg, svd_alg="default"):
+    def run(alg, svd_alg="default", qr_alg="default"):
         monkeypatch.setenv("TNQS_EIGH_ALG", alg)
         monkeypatch.setenv("TNQS_SVD_ALG", svd_alg)
+        monkeypatch.setenv("TNQS_QR_ALG", qr_alg)
         spec, state = batched_from_tns(psi0, chi=chi)
         circuit = BatchedCircuit(layer, g, spec=spec)
         layer_fn = make_layer_fn(
@@ -140,3 +141,14 @@ def test_engine_layer_with_jacobi_eigh(monkeypatch):
     z_gj, x_gj = run("jacobi", "gram")
     np.testing.assert_allclose(np.real(z_gj), np.real(z_def), atol=5e-5)
     np.testing.assert_allclose(np.real(x_gj), np.real(x_def), atol=5e-5)
+
+    # opt-in: the QR-reduce as a polar split (third Jacobi eigh) — zero
+    # XLA factorization kernels left in the layer, but the Gram step
+    # cannot resolve directions below √ε·σmax and the QR-reduce RETAINS
+    # those (unlike the theta SVD, where they fall in the truncated
+    # tail), so accuracy is ~√ε_f32 ≈ 3e-4 per layer (measured 4e-4,
+    # and 3e-6 ≈ amplified √ε_f64 on c128).  Documented trade-off for
+    # exploratory large-χ runs, NOT the production default.
+    z_all, x_all = run("jacobi", "gram", "polar")
+    np.testing.assert_allclose(np.real(z_all), np.real(z_def), atol=2e-3)
+    np.testing.assert_allclose(np.real(x_all), np.real(x_def), atol=2e-3)
