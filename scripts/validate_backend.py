@@ -13,6 +13,15 @@ TPU trajectory is collected one point per subprocess:
 subprocess and prints a markdown table (the BASELINE.md artifact).  Each
 TPU subprocess pays its own remote compile (15–280 s on the shared
 tunnel); the compiled per-layer program is identical across points.
+
+On days when the runtime downloads NOTHING (scripts/probe_download.py:
+every dtype/shape raises UNIMPLEMENTED), ``--bisect N`` brackets the
+TPU-vs-CPU max site |Δ| through the *timing channel* instead: the
+on-device trajectory is compared against an embedded CPU reference and
+a large penalty workload runs iff the mismatch exceeds the tolerance —
+the (blocking) failed download then reveals pass/fail in wall time.
+CPU cross-check of the channel: pass 0.85 s vs fail 34.7 s at
+penalty=100 layers.
 """
 
 import json
@@ -42,7 +51,7 @@ def _setup(x64: bool):
     return jax
 
 
-def _build(chi=10, x64=False):
+def _build(chi=10, x64=False, jit=True):
     jax = _setup(x64)
     import jax.numpy as jnp
     import numpy as np
@@ -66,7 +75,9 @@ def _build(chi=10, x64=False):
     dtype = np.complex128 if x64 else np.complex64
     spec, state = batched_product_state(g, chi=chi, dtype=dtype)
     circuit = BatchedCircuit(layer, g, spec=spec)
-    layer_fn = make_layer_fn(circuit, chi=chi, cutoff=1e-10, bp_maxiter=25)
+    layer_fn = make_layer_fn(
+        circuit, chi=chi, cutoff=1e-10, bp_maxiter=25, jit=jit
+    )
     op = np.asarray(op_matrix("Z", 2))
     center = spec.vertex_position((3, 3))
 
@@ -187,6 +198,119 @@ def collect(n_layers: int) -> None:
         print(f"\nmax site |Δ| over {len(deltas)} layers: {max(deltas):.2e}")
 
 
+def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
+    """Timing-channel physics check for days when the runtime downloads
+    NOTHING (probe_download.py: every dtype/shape is UNIMPLEMENTED).
+
+    The download *attempt* still blocks until the device drains, so wall
+    time is an output channel: run the n-layer ⟨Z⟩ trajectory on device,
+    compare against the embedded CPU-c64 reference, and run ``penalty``
+    extra Trotter layers iff max site |Δ| > tol.  A pass returns in
+    ~compile time; a fail takes ≥ penalty·t_layer (several hundred s)
+    longer — unambiguous against the tunnel's compile variance."""
+    import numpy as np
+
+    jax, state, layer_fn, z_all, center = _build(jit=False)
+    import jax.numpy as jnp
+
+    ref = np.asarray(json.load(open(ref_path))["trajectory_all"], dtype=np.float32)
+    assert ref.shape[0] >= n_layers
+    ref = jnp.asarray(ref[:n_layers])
+
+    def run(st):
+        def body(s, _):
+            s, _errs = layer_fn(s)
+            z = z_all(s)
+            return s, z
+
+        st, traj = jax.lax.scan(body, st, None, length=n_layers)
+        delta = jnp.max(jnp.abs(traj - ref))
+        steps = jnp.where(delta <= tol, 0, penalty)
+
+        def pbody(_i, s):
+            s2, _errs = layer_fn(s)
+            return s2
+
+        st2 = jax.lax.fori_loop(0, steps, pbody, st)
+        return z_all(st2)
+
+    compiled = jax.jit(run).lower(state).compile()
+    t0 = time.perf_counter()
+    out = compiled(state)
+    try:
+        np.asarray(out)  # blocks until the device drains, then fails
+    except Exception:
+        pass
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "backend": jax.default_backend(),
+                "tol": tol,
+                "n": n_layers,
+                "penalty": penalty,
+                "wall_seconds": wall,
+            }
+        ),
+        flush=True,
+    )
+
+
+def bisect(n_layers: int) -> None:
+    """Bracket the TPU-vs-CPU-c64 max site |Δ| with a descending tolerance
+    ladder of --verify subprocesses (one per tol; each decision is read
+    from wall time).  Records the BASELINE.md physics artifact."""
+    env_cpu = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, __file__, "--trajectory", str(n_layers)],
+        capture_output=True, text=True, env=env_cpu, timeout=1800,
+    )
+    rec = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    ref_path = "/tmp/tnqs_verify_ref.json"
+    open(ref_path, "w").write(rec)
+    print(f"# CPU c64 reference trajectory saved ({n_layers} layers)",
+          file=sys.stderr, flush=True)
+
+    # ~2M extra layer applications: fail adds ≥ 1280 s at the measured
+    # 0.64 ms/layer, so even a 200 s compile keeps fail walls > decision_s;
+    # pass walls ≈ compile (≤ ~900 s observed).  A misread can only stop
+    # the ladder early, i.e. LOOSEN the reported bound, never tighten it.
+    penalty = 2_000_000 // max(1, n_layers)
+    decision_s = 1000.0
+    ladder = [1e-3, 3e-4, 1e-4, 3e-5, 1e-5, 3e-6]
+    last_pass, first_fail = None, None
+    for tol in ladder:
+        t0 = time.perf_counter()
+        status = "fail(timeout)"
+        wall = None
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--verify", str(tol),
+                 str(n_layers), ref_path, str(penalty * n_layers)],
+                capture_output=True, text=True, timeout=2600,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            wall = json.loads(line[-1])["wall_seconds"] if line else None
+            if wall is not None:
+                status = "pass" if wall < decision_s else "fail"
+        except subprocess.TimeoutExpired:
+            pass
+        dt = time.perf_counter() - t0
+        print(f"# tol={tol:g}: wall={wall} -> {status} ({dt:.0f}s)",
+              file=sys.stderr, flush=True)
+        if status == "pass":
+            last_pass = tol
+        else:
+            first_fail = tol
+            break
+    print(json.dumps({
+        "n_layers": n_layers,
+        "max_site_delta_upper": last_pass,
+        "max_site_delta_lower": first_fail,
+        "channel": "timing (cond penalty workload); downloads UNIMPLEMENTED",
+    }), flush=True)
+
+
 if __name__ == "__main__":
     x64 = "--x64" in sys.argv
     if "--point" in sys.argv:
@@ -195,5 +319,11 @@ if __name__ == "__main__":
         trajectory(int(sys.argv[sys.argv.index("--trajectory") + 1]), x64)
     elif "--collect" in sys.argv:
         collect(int(sys.argv[sys.argv.index("--collect") + 1]))
+    elif "--verify" in sys.argv:
+        i = sys.argv.index("--verify")
+        verify(float(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3],
+               int(sys.argv[i + 4]))
+    elif "--bisect" in sys.argv:
+        bisect(int(sys.argv[sys.argv.index("--bisect") + 1]))
     else:
         trajectory(20)
