@@ -129,3 +129,34 @@ __all__ = [
     "truncate",
     "zerostate",
 ]
+from .api import (
+    add_edge,
+    center,
+    datatype,
+    degree,
+    edges,
+    expect_boundarymps,
+    expect_loopcorrect,
+    graph,
+    is_tree,
+    ket_network,
+    map_tensors,
+    map_virtualinds,
+    maxvirtualdim,
+    message,
+    messages,
+    neighbors,
+    network,
+    nv,
+    partitionfunction,
+    rem_vertex,
+    rescale,
+    scalartype,
+    update,
+    vertextype,
+    vertices,
+    virtualind,
+    virtualinds,
+)
+from .models.tensornetwork import AbstractTensorNetwork
+from .ops import make_hermitian

@@ -333,6 +333,18 @@ class BeliefPropagationCache(AbstractBeliefPropagationCache):
         (`beliefpropagationcache.jl:87-106`)."""
         vs = vertices if vertices is not None else self.vertices()
         tn = self.network()
+        if hasattr(tn, "operator"):
+            # Forms: the operator layer enters the sandwich LINEARLY, so
+            # scaling it by exactly 1/vn sets the vertex scalar to 1 even
+            # for complex/negative scalars — scaling the ket only scales
+            # the (ket, derived-bra) pair by |f|², which cannot cancel a
+            # phase (needed by the loop expansion, `loopcorrection.jl:7-8`).
+            op = tn.operator()
+            for v in vs:
+                vn = self.vertex_scalar(v)
+                if vn != 0:
+                    op.setindex_preserve(op[v] * (1 / vn), v)
+            return self
         is_state = isinstance(tn, TensorNetworkState)
         for v in vs:
             vn = self.vertex_scalar(v)

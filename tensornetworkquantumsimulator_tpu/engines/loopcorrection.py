@@ -52,7 +52,6 @@ def _weight(bpc: BeliefPropagationCache, eg):
     bpc = bpc.copy()
     vs = eg.vertices()
     es = eg.edges()
-    is_state = isinstance(bpc.network(), TensorNetworkState)
 
     # boundary edges of each loop vertex (into the region)
     incident = []
@@ -68,13 +67,24 @@ def _weight(bpc: BeliefPropagationCache, eg):
         mer = bpc.message(e.reverse())
         linds = [i for i in mer.inds if i.plev == 0]
         linds_sim = [i.sim() for i in linds]
-        mer = mer.replaceinds(linds, linds_sim)
-        if is_state:
-            mer = mer.replaceinds(
-                [i.prime() for i in linds], [i.prime() for i in linds_sim]
-            )
+        # primed partners of a DERIVED bra layer (states, QuadraticForm)
+        # follow their base index onto the same sim'd id; independent
+        # primed inds (BilinearForm's own bra ϕ') get their own sim
+        derived = [i for i in mer.inds if i.plev > 0 and i.noprime() in linds]
+        derived_sim = [
+            linds_sim[linds.index(i.noprime())].setprime(i.plev)
+            for i in derived
+        ]
+        indep = [
+            i for i in mer.inds if i.plev > 0 and i.noprime() not in linds
+        ]
+        indep_sim = [i.sim() for i in indep]
+        mer = mer.replaceinds(
+            linds + derived + indep, linds_sim + derived_sim + indep_sim
+        )
         bpc.setmessage(e.reverse(), mer)
-        # rewire the source tensor onto the sim'd bond
+        # rewire the source tensor onto the sim'd bond (a lazily derived
+        # bra layer follows the rewired ket tensor automatically)
         t = bpc.network()[e.src]
         t_common = [i for i in t.inds if i in linds]
         if t_common:
@@ -82,14 +92,20 @@ def _weight(bpc: BeliefPropagationCache, eg):
             pos = linds.index(t_ind)
             t = t.replaceind(t_ind, linds_sim[pos])
             bpc.setindex_preserve(t, e.src)
+        # rewire an independent (stored) bra layer, if any
+        bra = getattr(bpc.network(), "_bra", None)
+        if bra is not None and indep:
+            tb = bra[e.src]
+            tb_common = [i for i in tb.inds if i in indep]
+            for i in tb_common:
+                tb = tb.replaceind(i, indep_sim[indep.index(i)])
+            if tb_common:
+                bra.setindex_preserve(tb, e.src)
         updated.add(e)
 
         if frozenset((e.src, e.dst)) in eg_keys:
-            row_inds = list(linds)
-            col_inds = list(linds_sim)
-            if is_state:
-                row_inds = row_inds + [i.prime() for i in linds]
-                col_inds = col_inds + [i.prime() for i in linds_sim]
+            row_inds = list(linds) + list(derived) + list(indep)
+            col_inds = list(linds_sim) + list(derived_sim) + list(indep_sim)
             # identity over the product space (row ⊗ col)
             dims = tuple(i.dim for i in row_inds)
             total = int(np.prod(dims))

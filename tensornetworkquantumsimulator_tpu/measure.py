@@ -114,7 +114,44 @@ def _expect_impl(alg, psi, observables, **kwargs):
         from .engines.boundarymps import BoundaryMPSCache, expect_boundarymps
 
         return expect_boundarymps(psi, observables, **kwargs)
+    if alg == "loopcorrections":
+        return _expect_loopcorrections(psi, observables, **kwargs)
     raise ValueError(f"unknown alg {alg!r}")
+
+
+def _expect_loopcorrections(
+    psi, observables, max_configuration_size=4, **kwargs
+):
+    """Loop-corrected ⟨O⟩ = Z_O^loops / Z^loops: numerator from a
+    `QuadraticForm` cache with the operator inserted, denominator from the
+    norm cache, both summed over leaf-free loop configurations.  The
+    reference *exports* `expect_loopcorrect`
+    (`TensorNetworkQuantumSimulator.jl:48`) but never defines it; this is
+    the real implementation (series per `loopcorrection.jl:3-16`)."""
+    from .engines.loopcorrection import loopcorrected_partitionfunction
+    from .models.forms import QuadraticForm
+
+    if not isinstance(psi, TensorNetworkState):
+        raise TypeError("loop-corrected expect needs a TensorNetworkState")
+    cache_update_kwargs = kwargs.pop(
+        "cache_update_kwargs", None
+    ) or default_bp_update_kwargs(psi)
+    g = psi.graph()
+    denom_cache = BeliefPropagationCache(psi).update(**cache_update_kwargs)
+    denom = loopcorrected_partitionfunction(denom_cache, max_configuration_size)
+    out = []
+    for obs in observables:
+        op_strings, vs, coeff = collectobservable(obs, g)
+        if coeff == 0:
+            out.append(0)
+            continue
+        qf = QuadraticForm(psi, _op_string_fn(op_strings, vs))
+        num_cache = BeliefPropagationCache(qf).update(**cache_update_kwargs)
+        numer = loopcorrected_partitionfunction(
+            num_cache, max_configuration_size
+        )
+        out.append(coeff * numer / denom)
+    return out
 
 
 def _expect_exact(psi: TensorNetworkState, observables, **kwargs):

@@ -31,7 +31,10 @@ def collect_vertices(verts, g: NamedGraph) -> list:
 
 _CAPABILITIES = {
     # functionality -> allowed algorithms (`utils.jl:38-67`)
-    "expect": {"exact", "bp", "boundarymps"},
+    # the reference exports `expect_loopcorrect` but never defines it
+    # (`TensorNetworkQuantumSimulator.jl:48` is a dangling export); here
+    # loop-corrected expectations are actually implemented
+    "expect": {"exact", "bp", "boundarymps", "loopcorrections"},
     "norm_sqr": {"exact", "bp", "boundarymps", "loopcorrections"},
     "inner": {"exact", "bp", "boundarymps", "loopcorrections"},
     "rdm": {"exact", "bp", "boundarymps"},

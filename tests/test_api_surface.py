@@ -88,8 +88,63 @@ def test_algorithm_check_errors():
     g = named_grid((2, 2))
     psi = random_tensornetworkstate(jnp.float64, g, bond_dimension=2)
     with pytest.raises(ValueError):
-        tnqs.expect(psi, ("Z", [(1, 1)]), alg="loopcorrections")
-    with pytest.raises(ValueError):
         tnqs.truncate(psi, alg="exact", maxdim=2)
     with pytest.raises(ValueError):
         tnqs.norm_sqr(psi, alg="nonsense")
+
+
+def test_reference_export_list_resolves():
+    """Every symbol the reference exports
+    (`src/TensorNetworkQuantumSimulator.jl:36-113`) has a top-level
+    counterpart here (free-function delegates live in `api.py`; mutating
+    `foo!` spellings map to the functional `foo`)."""
+    reference_exports = """
+        vertices edges add_edge degree apply_gates apply_circuit rem_vertex
+        truncate expect is_tree expect_boundarymps expect_loopcorrect
+        make_hermitian ket_network maxvirtualdim siteinds edge_color
+        zerostate named_grid sample TensorNetworkState tensornetworkstate
+        random_tensornetworkstate BeliefPropagationCache rescale message
+        network update symmetric_gauge messages gauge_and_scale
+        paulitensornetworkstate identitytensornetworkstate
+        random_tensornetwork inner named_comb_tree
+        named_hexagonal_lattice_graph named_path_graph neighbors center
+        NamedGraph graph datatype scalartype BoundaryMPSCache TensorNetwork
+        AbstractTensorNetwork partitionfunction contract norm_sqr
+        map_virtualinds map_tensors normalize QuadraticForm BilinearForm
+        sample_certified sample_directly_certified vertextype virtualind
+        virtualinds nv heavy_hexagonal_lattice entanglement
+        build_graph_from_circuit reduced_density_matrix rdm
+    """.split()
+    missing = [s for s in reference_exports if not hasattr(tnqs, s)]
+    assert not missing, f"missing reference exports: {missing}"
+
+
+def test_free_function_delegates():
+    """The api.py delegates behave like the reference free functions."""
+    g = named_grid((3, 2))
+    psi = random_tensornetworkstate(jnp.float64, g, bond_dimension=2)
+    assert set(tnqs.vertices(psi)) == set(psi.vertices())
+    assert tnqs.nv(g) == 6
+    assert tnqs.degree(g, (1, 1)) == 2
+    assert not tnqs.is_tree(g)
+    assert tnqs.vertextype(g) is tuple
+    assert tnqs.scalartype(psi) == tnqs.datatype(psi)
+    assert set(tnqs.neighbors(g, (1, 1))) == set(g.neighbors((1, 1)))
+
+    cache = BeliefPropagationCache(psi)
+    cache = tnqs.update(cache, maxiter=30, tolerance=1e-12)
+    z = tnqs.partitionfunction(cache)
+    np.testing.assert_allclose(
+        complex(z), complex(tnqs.norm_sqr(psi, alg="bp")), rtol=1e-8
+    )
+    e = tnqs.edges(psi)[0]
+    assert tnqs.message(cache, e) is not None
+    assert len(tnqs.messages(cache)) > 0
+    assert tnqs.network(cache) is not None
+
+    g2 = tnqs.rem_vertex(g, (1, 1))
+    assert g.nv() == 6 and g2.nv() == 5  # non-mutating
+
+    val_b = tnqs.expect_boundarymps(psi, ("Z", [(2, 1)]), mps_bond_dimension=8)
+    val = tnqs.expect(psi, ("Z", [(2, 1)]), alg="exact")
+    np.testing.assert_allclose(np.real(val_b), np.real(val), atol=1e-6)

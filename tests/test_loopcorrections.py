@@ -39,3 +39,48 @@ def test_loop_corrections_improve_on_bp():
     n_lc = tnqs.norm_sqr(psi, alg="loopcorrections", max_configuration_size=7)
     assert abs(n_lc - n_exact) < abs(n_bp - n_exact)
     np.testing.assert_allclose(n_lc, n_exact, rtol=2e-2)
+
+
+def test_expect_loopcorrections_exact_on_single_loop():
+    """On a 2x2 grid the only leaf-free subgraph is the 4-cycle itself, so
+    the size-4 loop series is the EXACT contraction — for the norm AND for
+    the QuadraticForm numerator (`_expect_loopcorrections`; the reference
+    exports expect_loopcorrect but never defines it)."""
+    import tensornetworkquantumsimulator_tpu as tnqs
+
+    g = named_grid((2, 2))
+    tnqs.seed(21)
+    psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=3)
+    obs = ("Z", [(1, 1)])
+    val_exact = tnqs.expect(psi, obs, alg="exact")
+    val_loop = tnqs.expect(
+        psi, obs, alg="loopcorrections", max_configuration_size=4,
+        cache_update_kwargs=dict(maxiter=200, tolerance=1e-14),
+    )
+    np.testing.assert_allclose(
+        complex(val_loop), complex(val_exact), rtol=1e-8
+    )
+    # free-function spelling
+    val_api = tnqs.expect_loopcorrect(
+        psi, obs, max_configuration_size=4,
+        cache_update_kwargs=dict(maxiter=200, tolerance=1e-14),
+    )
+    np.testing.assert_allclose(complex(val_api), complex(val_loop), rtol=1e-12)
+
+
+def test_expect_loopcorrections_improves_on_bp():
+    """On a loopy 3x3 grid the corrected expectation is closer to exact
+    than plain BP."""
+    import tensornetworkquantumsimulator_tpu as tnqs
+
+    g = named_grid((3, 3))
+    tnqs.seed(22)
+    psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=2)
+    obs = ("Z", [(2, 2)])
+    kw = dict(cache_update_kwargs=dict(maxiter=300, tolerance=1e-14))
+    val_exact = complex(tnqs.expect(psi, obs, alg="exact"))
+    val_bp = complex(tnqs.expect(psi, obs, alg="bp", **kw))
+    val_loop = complex(tnqs.expect(
+        psi, obs, alg="loopcorrections", max_configuration_size=8, **kw
+    ))
+    assert abs(val_loop - val_exact) < abs(val_bp - val_exact)
