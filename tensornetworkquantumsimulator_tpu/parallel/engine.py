@@ -345,8 +345,12 @@ def _gate_bucket_update(
     tu_new, tv_new, msg, err = _simple_update_core(
         tu, tv, mu, mv, gate, slot_u, slot_v, chi, cutoff, normalize_tensors
     )
-    tensors = state.tensors.at[u_idx].set(tu_new.astype(state.tensors.dtype))
-    tensors = tensors.at[v_idx].set(tv_new.astype(state.tensors.dtype))
+    tensors = state.tensors.at[u_idx].set(
+        tu_new.astype(state.tensors.dtype), unique_indices=True
+    )
+    tensors = tensors.at[v_idx].set(
+        tv_new.astype(state.tensors.dtype), unique_indices=True
+    )
     messages = state.messages.at[u_idx, slot_u].set(
         msg.astype(state.messages.dtype)
     )
@@ -658,10 +662,17 @@ def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
                 return t / n.reshape((-1,) + (1,) * (t.ndim - 1))
 
             tu_new, tv_new = _nrm(tu_new), _nrm(tv_new)
-        tensors = tensors.at[u_idx].set(tu_new.astype(tensors.dtype))
-        tensors = tensors.at[v_idx].set(tv_new.astype(tensors.dtype))
-        messages = messages.at[u_idx, b.slot_u].set(msg)
-        messages = messages.at[v_idx, b.slot_v].set(msg)
+        # u_idx/v_idx are unique within a bucket: unique_indices lets
+        # XLA lower the row scatter without serialization scratch
+        # (24 MB scoped-vmem OOM at chi=64 otherwise)
+        tensors = tensors.at[u_idx].set(
+            tu_new.astype(tensors.dtype), unique_indices=True
+        )
+        tensors = tensors.at[v_idx].set(
+            tv_new.astype(tensors.dtype), unique_indices=True
+        )
+        messages = messages.at[u_idx, b.slot_u].set(msg, unique_indices=True)
+        messages = messages.at[v_idx, b.slot_v].set(msg, unique_indices=True)
         errs.append(err)
     return BatchedState(tensors, messages), jnp.concatenate(errs)
 
