@@ -164,7 +164,16 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
         z = jnp.real(local_expectations(spec, st, op))
         return st, z
 
-    compiled = jax.jit(run_n).lower(state).compile()  # no device execution
+    # chi64's 4 MB vertex rows make the bucket scatter need 24 MB of
+    # scoped VMEM (> the 16 MB default); raise the limit for this config
+    # only (per-compile option — env XLA_FLAGS would crash the local CPU
+    # XLA client, which does not know TPU flags)
+    copts = (
+        {"xla_tpu_scoped_vmem_limit_kib": 65536} if config == "chi64" else None
+    )
+    compiled = (
+        jax.jit(run_n).lower(state).compile(compiler_options=copts)
+    )  # no device execution
 
     t0 = time.perf_counter()
     st2 = state
