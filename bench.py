@@ -385,8 +385,20 @@ def main() -> None:
         n, k_lo, k_hi, floor = CONFIGS["chi10"]
         if k_hi >= 1023:
             break
-        CONFIGS["chi10"] = (n, k_lo, min(2 * k_hi + 1, 1023), floor)
-        print(f"# refining chi10 with k={CONFIGS['chi10'][2]}", file=sys.stderr)
+        k_new = min(2 * k_hi + 1, 1023)
+        # only escalate if the projected wall (measured per-layer rate ×
+        # work + compile margin) fits inside the per-sample timeout —
+        # a timed-out sample wastes the whole budget slice
+        projected = results["chi10"]["per_layer"] * k_new * n + 450.0
+        if projected > min(_remaining() - 120.0, 1150.0):
+            print(
+                f"# chi10 refinement k={k_new} projected {projected:.0f}s "
+                "exceeds the sample budget; stopping",
+                file=sys.stderr,
+            )
+            break
+        CONFIGS["chi10"] = (n, k_lo, k_new, floor)
+        print(f"# refining chi10 with k={k_new}", file=sys.stderr)
         try:
             r2 = _measure("chi10")
         except Exception as exc:
