@@ -213,9 +213,12 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
     jax, state, layer_fn, z_all, center = _build(jit=False)
     import jax.numpy as jnp
 
+    # keep the reference as a HOST array: a closed-over device array
+    # would make jit lowering download it to embed as a constant, and
+    # downloads raise UNIMPLEMENTED on this runtime
     ref = np.asarray(json.load(open(ref_path))["trajectory_all"], dtype=np.float32)
     assert ref.shape[0] >= n_layers
-    ref = jnp.asarray(ref[:n_layers])
+    ref = ref[:n_layers]
 
     def run(st):
         def body(s, _):
@@ -280,33 +283,67 @@ def bisect(n_layers: int) -> None:
     ladder = [1e-3, 3e-4, 1e-4, 3e-5, 1e-5, 3e-6]
     last_pass, first_fail = None, None
     for tol in ladder:
-        t0 = time.perf_counter()
-        status = "fail(timeout)"
-        wall = None
-        try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--verify", str(tol),
-                 str(n_layers), ref_path, str(penalty * n_layers)],
-                capture_output=True, text=True, timeout=2600,
-            )
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-            wall = json.loads(line[-1])["wall_seconds"] if line else None
-            if wall is not None:
-                status = "pass" if wall < decision_s else "fail"
-        except subprocess.TimeoutExpired:
-            pass
-        dt = time.perf_counter() - t0
-        print(f"# tol={tol:g}: wall={wall} -> {status} ({dt:.0f}s)",
-              file=sys.stderr, flush=True)
+        status, wall = "error", None
+        for attempt in range(2):  # retry infra errors once
+            t0 = time.perf_counter()
+            status, wall = "fail(timeout)", None
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--verify", str(tol),
+                     str(n_layers), ref_path, str(penalty * n_layers)],
+                    capture_output=True, text=True, timeout=2600,
+                )
+                line = [
+                    l for l in proc.stdout.splitlines() if l.startswith("{")
+                ]
+                wall = json.loads(line[-1])["wall_seconds"] if line else None
+                if wall is not None:
+                    status = "pass" if wall < decision_s else "fail"
+                else:
+                    status = "error"  # crashed before measuring: not physics
+                    print(f"# verify stderr tail: {proc.stderr[-400:]}",
+                          file=sys.stderr, flush=True)
+            except subprocess.TimeoutExpired:
+                pass
+            dt = time.perf_counter() - t0
+            print(f"# tol={tol:g}: wall={wall} -> {status} ({dt:.0f}s)",
+                  file=sys.stderr, flush=True)
+            if status != "error":
+                break
         if status == "pass":
             last_pass = tol
+        elif status == "error":
+            break  # infra failure: report the bracket found so far
         else:
             first_fail = tol
             break
+
+    # channel control: tol=-1 forces the penalty branch (delta ≥ 0 > -1
+    # is impossible to pass), with a smaller penalty (~100k layers).  A
+    # fast wall here means the chain did not really execute (poisoned) —
+    # the ladder's "pass" walls would then be meaningless.
+    control_penalty = 100_000
+    control_wall = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--verify", "-1.0",
+             str(n_layers), ref_path, str(control_penalty)],
+            capture_output=True, text=True, timeout=2600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        control_wall = json.loads(line[-1])["wall_seconds"] if line else None
+    except subprocess.TimeoutExpired:
+        control_wall = 2600.0
+    control_ok = control_wall is not None and control_wall > 30.0
+    print(f"# control (tol=-1, penalty={control_penalty}): "
+          f"wall={control_wall} channel_ok={control_ok}",
+          file=sys.stderr, flush=True)
     print(json.dumps({
         "n_layers": n_layers,
         "max_site_delta_upper": last_pass,
         "max_site_delta_lower": first_fail,
+        "control_wall_seconds": control_wall,
+        "channel_ok": control_ok,
         "channel": "timing (cond penalty workload); downloads UNIMPLEMENTED",
     }), flush=True)
 
