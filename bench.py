@@ -20,9 +20,10 @@ synchronization is to *attempt* a host download of a result scalar: the
 attempt blocks until the device finishes the dependency chain, then
 (usually) fails with UNIMPLEMENTED, which also poisons the process for
 further dispatches.  Therefore each timing sample runs in its own
-subprocess, dispatching the SAME compiled n-layer program k times (chained
-through the state, unique input bytes per sample to defeat the service's
-result cache):
+subprocess, dispatching ONE program that runs k*n layers via a nested
+in-program scan (unique input bytes per sample defeat the service's
+result cache; per-dispatch service round-trips cost ~2 s each, so the
+work knob k must live inside the program, not in a host dispatch loop):
 
   wall(k) = remote_compile + k * n * t_layer + RTT + download_latency
 
@@ -154,11 +155,20 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
     center = len(spec.vertices) // 2
 
     def run_n(st):
-        def body(s, _):
-            s, errs = layer_fn(s)
+        # k·n layers inside ONE program (nested scan), dispatched ONCE:
+        # each service dispatch costs ~2 s of round-trip (measured: a
+        # 255-dispatch chain carried ~510 s of overhead that a single
+        # 2M-layer fori_loop program did not), so the work knob must be
+        # in-program, not a host-side dispatch loop.
+        def rep(s, _):
+            def body(s2, _):
+                s2, _errs = layer_fn(s2)
+                return s2, None
+
+            s, _ = jax.lax.scan(body, s, None, length=n)
             return s, None
 
-        st, _ = jax.lax.scan(body, st, None, length=n)
+        st, _ = jax.lax.scan(rep, st, None, length=k)
         # whole real-valued vector: the axon runtime can download full real
         # arrays but (usually) not 0-d scalars — see CLAUDE.md
         z = jnp.real(local_expectations(spec, st, op))
@@ -176,13 +186,9 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
     )  # no device execution
 
     t0 = time.perf_counter()
-    st2 = state
-    z = None
-    for i in range(k):
-        st2, z = compiled(st2)
-        if i == 0:
-            t_first = time.perf_counter() - t0  # includes remote compile
-    t_dispatch = time.perf_counter() - t0
+    st2, z = compiled(state)  # ONE async dispatch for all k·n layers
+    t_first = time.perf_counter() - t0
+    t_dispatch = t_first
     z_val = None
     t1 = time.perf_counter()
     try:
