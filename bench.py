@@ -384,35 +384,36 @@ def main() -> None:
             results[config] = {"per_layer": None, "z": None, "quality": None}
         _emit(results)
 
-    # refinement: spend any leftover budget tightening the headline bound
-    # (k*n/wall is a lower bound on throughput; doubling k halves the
-    # compile term's share of the wall)
-    while _remaining() > 900.0 and results.get("chi10", {}).get("per_layer"):
-        n, k_lo, k_hi, floor = CONFIGS["chi10"]
-        if k_hi >= 1023:
-            break
-        k_new = min(2 * k_hi + 1, 1023)
-        # only escalate if the projected wall (measured per-layer rate ×
-        # work + compile margin) fits inside the per-sample timeout —
-        # a timed-out sample wastes the whole budget slice
-        projected = results["chi10"]["per_layer"] * k_new * n + 450.0
-        if projected > min(_remaining() - 120.0, 1150.0):
-            print(
-                f"# chi10 refinement k={k_new} projected {projected:.0f}s "
-                "exceeds the sample budget; stopping",
-                file=sys.stderr,
-            )
-            break
-        CONFIGS["chi10"] = (n, k_lo, k_new, floor)
-        print(f"# refining chi10 with k={k_new}", file=sys.stderr)
-        try:
-            r2 = _measure("chi10")
-        except Exception as exc:
-            print(f"# chi10 refinement failed: {exc!r}", file=sys.stderr)
-            break
-        if r2.get("per_layer") and r2["per_layer"] < results["chi10"]["per_layer"]:
-            results["chi10"] = r2
-        _emit(results)
+    # refinement: spend any leftover budget tightening the headline
+    # bounds (k*n/wall is a lower bound on throughput; doubling k halves
+    # the compile term's share of the wall) — chi10 first, then heavyhex
+    for config in ("chi10", "heavyhex"):
+        while _remaining() > 900.0 and results.get(config, {}).get("per_layer"):
+            n, k_lo, k_hi, floor = CONFIGS[config]
+            if k_hi >= 1023:
+                break
+            k_new = min(2 * k_hi + 1, 1023)
+            # only escalate if the projected wall (measured per-layer rate
+            # × work + compile margin) fits inside the per-sample timeout —
+            # a timed-out sample wastes the whole budget slice
+            projected = results[config]["per_layer"] * k_new * n + 450.0
+            if projected > min(_remaining() - 120.0, 1150.0):
+                print(
+                    f"# {config} refinement k={k_new} projected "
+                    f"{projected:.0f}s exceeds the sample budget; stopping",
+                    file=sys.stderr,
+                )
+                break
+            CONFIGS[config] = (n, k_lo, k_new, floor)
+            print(f"# refining {config} with k={k_new}", file=sys.stderr)
+            try:
+                r2 = _measure(config)
+            except Exception as exc:
+                print(f"# {config} refinement failed: {exc!r}", file=sys.stderr)
+                break
+            if r2.get("per_layer") and r2["per_layer"] < results[config]["per_layer"]:
+                results[config] = r2
+            _emit(results)
 
 
 if __name__ == "__main__":
