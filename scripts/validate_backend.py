@@ -206,8 +206,14 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
     time is an output channel: run the n-layer ⟨Z⟩ trajectory on device,
     compare against the embedded CPU-c64 reference, and run ``penalty``
     extra Trotter layers iff max site |Δ| > tol.  A pass returns in
-    ~compile time; a fail takes ≥ penalty·t_layer (several hundred s)
-    longer — unambiguous against the tunnel's compile variance."""
+    ~compile time + the FLOOR workload; a fail takes ≥ penalty·t_layer
+    (several hundred s) longer — unambiguous against compile variance.
+
+    Every program also runs a MANDATORY floor of 50k layers (~20 s):
+    a poisoned dispatch chain (instant failing sync, nothing executed)
+    then shows wall ≪ 15 s and is reported as executed=False instead of
+    masquerading as a pass — the failure mode the second bisect run's
+    control rung caught (control wall 0.38 s, channel_ok=False)."""
     import numpy as np
 
     jax, state, layer_fn, z_all, center = _build(jit=False)
@@ -220,6 +226,8 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
     assert ref.shape[0] >= n_layers
     ref = ref[:n_layers]
 
+    FLOOR = 50_000  # mandatory layers: poisoned chains can't fake a pass
+
     def run(st):
         def body(s, _):
             s, _errs = layer_fn(s)
@@ -228,7 +236,7 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
 
         st, traj = jax.lax.scan(body, st, None, length=n_layers)
         delta = jnp.max(jnp.abs(traj - ref))
-        steps = jnp.where(delta <= tol, 0, penalty)
+        steps = jnp.where(delta <= tol, FLOOR, FLOOR + penalty)
 
         def pbody(_i, s):
             s2, _errs = layer_fn(s)
@@ -252,6 +260,11 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
                 "tol": tol,
                 "n": n_layers,
                 "penalty": penalty,
+                "floor": FLOOR,
+                # wall below the floor workload (~15 s) means the chain
+                # never executed (poisoned) — the parent treats it as an
+                # infra error, not a pass
+                "executed": bool(wall >= 15.0),
                 "wall_seconds": wall,
             }
         ),
@@ -274,12 +287,13 @@ def bisect(n_layers: int) -> None:
     print(f"# CPU c64 reference trajectory saved ({n_layers} layers)",
           file=sys.stderr, flush=True)
 
-    # ~2M extra layer applications: fail adds ≥ 1280 s at the measured
-    # 0.64 ms/layer, so even a 200 s compile keeps fail walls > decision_s;
-    # pass walls ≈ compile (≤ ~900 s observed).  A misread can only stop
-    # the ladder early, i.e. LOOSEN the reported bound, never tighten it.
-    penalty = 2_000_000 // max(1, n_layers)
-    decision_s = 1000.0
+    # pass wall = compile (3–960 s observed) + 50k floor layers (~20 s)
+    # ≤ ~1000 s; fail adds 3M penalty layers ≥ 1200 s at the measured
+    # 0.40 ms/layer, so the 1100 s threshold separates them even at the
+    # compile extremes.  A misread can only stop the ladder early, i.e.
+    # LOOSEN the reported bound, never tighten it.
+    penalty = 3_000_000
+    decision_s = 1100.0
     ladder = [1e-3, 3e-4, 1e-4, 3e-5, 1e-5, 3e-6]
     last_pass, first_fail = None, None
     for tol in ladder:
@@ -290,14 +304,19 @@ def bisect(n_layers: int) -> None:
             try:
                 proc = subprocess.run(
                     [sys.executable, __file__, "--verify", str(tol),
-                     str(n_layers), ref_path, str(penalty * n_layers)],
-                    capture_output=True, text=True, timeout=2600,
+                     str(n_layers), ref_path, str(penalty)],
+                    capture_output=True, text=True, timeout=3600,
                 )
                 line = [
                     l for l in proc.stdout.splitlines() if l.startswith("{")
                 ]
-                wall = json.loads(line[-1])["wall_seconds"] if line else None
-                if wall is not None:
+                rec = json.loads(line[-1]) if line else None
+                wall = rec["wall_seconds"] if rec else None
+                if rec is not None and not rec.get("executed", True):
+                    status = "error"  # poisoned chain: nothing executed
+                    print(f"# tol={tol:g}: poisoned chain (wall={wall})",
+                          file=sys.stderr, flush=True)
+                elif wall is not None:
                     status = "pass" if wall < decision_s else "fail"
                 else:
                     status = "error"  # crashed before measuring: not physics
@@ -328,7 +347,7 @@ def bisect(n_layers: int) -> None:
         proc = subprocess.run(
             [sys.executable, __file__, "--verify", "-1.0",
              str(n_layers), ref_path, str(control_penalty)],
-            capture_output=True, text=True, timeout=2600,
+            capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         control_wall = json.loads(line[-1])["wall_seconds"] if line else None
