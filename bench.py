@@ -71,7 +71,10 @@ CONFIGS = {
     # chains) at >=1 us launch latency each — per-layer times below
     # these mean nothing executed.
     "chi10": (2005, 1, 255, 5e-5),
-    "heavyhex": (255, 1, 255, 1e-4),
+    # heavyhex true per-layer measured ≤0.33 ms (possibly ~0.15 ms with a
+    # warm program cache): keep the floor 3-6× below so a genuinely fast
+    # run is never rejected, while sub-50 µs claims still are
+    "heavyhex": (255, 1, 255, 5e-5),
     "chi32": (255, 1, 66, 5e-4),
     "chi64": (63, 1, 30, 1e-3),
 }
