@@ -148,3 +148,27 @@ def test_free_function_delegates():
     val_b = tnqs.expect_boundarymps(psi, ("Z", [(2, 1)]), mps_bond_dimension=8)
     val = tnqs.expect(psi, ("Z", [(2, 1)]), alg="exact")
     np.testing.assert_allclose(np.real(val_b), np.real(val), atol=1e-6)
+
+
+def test_free_function_delegates_transforms():
+    """map_tensors / map_virtualinds / ket_network / maxvirtualdim /
+    virtualind(s) free-function spellings."""
+    g = named_grid((2, 2))
+    psi = random_tensornetworkstate(jnp.float64, g, bond_dimension=3)
+    assert tnqs.maxvirtualdim(psi) == 3
+    e = tnqs.edges(psi)[0]
+    assert tnqs.virtualind(psi, e).dim == 3
+    assert len(tnqs.virtualinds(psi, e)) == 1
+
+    psi2 = tnqs.map_tensors(lambda t: t * 2.0, psi)
+    np.testing.assert_allclose(
+        complex(tnqs.norm_sqr(psi2, alg="exact")),
+        complex(tnqs.norm_sqr(psi, alg="exact")) * 2.0 ** (2 * 4),
+        rtol=1e-9,
+    )
+    psi3 = tnqs.map_virtualinds(lambda i: i.prime(), psi)
+    assert all(i.plev == 1 for ee in psi3.edges() for i in psi3.virtualinds(ee))
+
+    qf = QuadraticForm(psi)
+    assert tnqs.ket_network(qf) is qf.ket()
+    assert tnqs.graph(qf) == psi.graph()
