@@ -46,13 +46,38 @@ def _svd_alg() -> str:
     return os.environ.get("TNQS_SVD_ALG", "default")
 
 
-# Hermitian-eigh backend: TNQS_EIGH_ALG ∈ {default, jacobi} (trace-time).
-# "jacobi" routes every batched eigh (environment pseudo-roots and the
-# Gram split) through the single-kernel Pallas parallel-Jacobi
-# (parallel/pallas_linalg.py) — one TPU kernel launch instead of the
-# hundreds of small kernels inside XLA's QDWH spectral divide-and-conquer.
+# Hermitian-eigh backend: TNQS_EIGH_ALG ∈ {auto, default, jacobi}
+# (trace-time).  "jacobi" routes every batched eigh (environment
+# pseudo-roots and the Gram split) through the single-kernel Pallas
+# parallel-Jacobi (parallel/pallas_linalg.py) — one TPU kernel launch
+# instead of the hundreds of small kernels inside XLA's QDWH spectral
+# divide-and-conquer.  "auto" applies it only to SMALL matrices
+# (n ≤ 24) on TPU, where full-layer walls measured 4–14× faster
+# (chi10: 48.6 s / 29.3 s for 511k / 1.02M layers vs 205.6 s default).
+# CAUTION — auto is NOT the default yet: those walls violate
+# k-monotonicity (k=511 faster than k=255) and imply ≤0.03 ms/layer,
+# consistent with degenerate data (NaN/zero collapse making QDWH
+# while_loops exit instantly) rather than real speed; the CPU
+# interpreter A/B passes at 5e-5 but Mosaic-on-hardware physics is
+# unproven.  Validation protocol (timing channel, compile-free):
+# same-HLO second samples of verify(tol=1e-3) vs verify(tol=-1) with
+# unique input seeds — OK physics ⇒ pass-rung wall ≪ control wall;
+# NaN collapse ⇒ equal walls.  See STATUS.md round-3 candidates.
+_JACOBI_AUTO_MAX_N = 24
+
+
 def _eigh(m):
-    if os.environ.get("TNQS_EIGH_ALG", "default") == "jacobi" and m.ndim >= 3:
+    alg = os.environ.get("TNQS_EIGH_ALG", "default")
+    n = m.shape[-1]
+    use_jacobi = m.ndim >= 3 and (
+        alg == "jacobi"
+        or (
+            alg == "auto"
+            and n <= _JACOBI_AUTO_MAX_N
+            and jax.default_backend() == "tpu"
+        )
+    )
+    if use_jacobi:
         from .pallas_linalg import jacobi_eigh
 
         lead = m.shape[:-2]
