@@ -160,3 +160,38 @@ from .api import (
 )
 from .models.tensornetwork import AbstractTensorNetwork
 from .ops import make_hermitian
+
+# keep `from ... import *` in sync with the reference-parity delegates
+# above (tests/test_api_surface.py checks hasattr; star-import needs
+# these in __all__ too)
+__all__ += [
+    "AbstractTensorNetwork",
+    "add_edge",
+    "center",
+    "datatype",
+    "degree",
+    "edges",
+    "expect_boundarymps",
+    "expect_loopcorrect",
+    "graph",
+    "is_tree",
+    "ket_network",
+    "make_hermitian",
+    "map_tensors",
+    "map_virtualinds",
+    "maxvirtualdim",
+    "message",
+    "messages",
+    "neighbors",
+    "network",
+    "nv",
+    "partitionfunction",
+    "rem_vertex",
+    "rescale",
+    "scalartype",
+    "update",
+    "vertextype",
+    "vertices",
+    "virtualind",
+    "virtualinds",
+]

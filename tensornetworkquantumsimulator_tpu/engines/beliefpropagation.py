@@ -8,7 +8,8 @@ partitionfunction / rescale`` that every backend shares.
 
 The default schedule is the reference's sequential forest-cover sweep
 (tree-exact in one iteration); the batched synchronous ("flooding") schedule
-for TPU lives in `parallel/batched_bp.py` and is validated against this one.
+for TPU lives in `parallel/engine.py` (``bp_update``) and is validated
+against this one.
 """
 
 from __future__ import annotations

@@ -69,7 +69,11 @@ _JACOBI_AUTO_MAX_N = 24
 def _eigh(m):
     alg = os.environ.get("TNQS_EIGH_ALG", "default")
     n = m.shape[-1]
-    use_jacobi = m.ndim >= 3 and (
+    # the Pallas kernel computes on f32 re/im planes: routing 64-bit
+    # inputs through it would silently drop ~8 digits, so x64 always
+    # falls back to XLA's eigh regardless of the knob
+    is_x64 = jnp.finfo(jnp.zeros((), m.dtype).real.dtype).bits >= 64
+    use_jacobi = m.ndim >= 3 and not is_x64 and (
         alg == "jacobi"
         or (
             alg == "auto"
@@ -590,37 +594,39 @@ def _su_finish(q, fac, inv_roots, slot, t_ref, chi, d):
     return t
 
 
-def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
-    """One stacked eigh/QR/SVD across every bucket of the color group."""
+def _fused_group_core(state, items, gate, chi, cutoff, normalize_tensors):
+    """Shared fused-color-group math on pre-gathered endpoint data.
+
+    ``items``: list of ``(slot_u, slot_v, tu, tv, mu, mv)`` per bucket.
+    Runs ONE stacked eigh, ONE stacked QR and ONE stacked SVD across all
+    buckets; returns ``[(tu_new, tv_new, msg, err)]`` in bucket order —
+    the caller owns gather and write-back (static scatter for the
+    single-chip path, mask-select for the scan/SPMD paths)."""
     D = state.degree
     d = state.tensors.shape[-1]
     gathered = []
-    for b in buckets:
-        u_idx = jnp.asarray(b.u_idx, dtype=jnp.int32)
-        v_idx = jnp.asarray(b.v_idx, dtype=jnp.int32)
-        tu, tv = state.tensors[u_idx], state.tensors[v_idx]
-        mu, mv = state.messages[u_idx], state.messages[v_idx]
+    for (slot_u, slot_v, tu, tv, mu, mv) in items:
         env = jnp.stack(
-            [mu[:, k] for k in range(D) if k != b.slot_u]
-            + [mv[:, k] for k in range(D) if k != b.slot_v],
+            [mu[:, k] for k in range(D) if k != slot_u]
+            + [mv[:, k] for k in range(D) if k != slot_v],
             axis=0,
         )  # [2(D-1), B_b, χ, χ]
-        gathered.append((b, u_idx, v_idx, tu, tv, env))
+        gathered.append((slot_u, slot_v, tu, tv, env))
 
-    sizes = [g[5].shape[1] for g in gathered]
-    env_all = jnp.concatenate([g[5] for g in gathered], axis=1)
+    sizes = [g[4].shape[1] for g in gathered]
+    env_all = jnp.concatenate([g[4] for g in gathered], axis=1)
     roots_all, inv_roots_all = _pseudo_roots(env_all)
 
     tps = []
     offs = np.cumsum([0] + sizes)
     per_bucket = []
-    for i, (b, u_idx, v_idx, tu, tv, _env) in enumerate(gathered):
+    for i, (slot_u, slot_v, tu, tv, _env) in enumerate(gathered):
         roots = roots_all[:, offs[i] : offs[i + 1]]
         inv_roots = inv_roots_all[:, offs[i] : offs[i + 1]]
-        tp_u = _su_prep(tu, b.slot_u, roots[: D - 1], chi, d)
-        tp_v = _su_prep(tv, b.slot_v, roots[D - 1 :], chi, d)
+        tp_u = _su_prep(tu, slot_u, roots[: D - 1], chi, d)
+        tp_v = _su_prep(tv, slot_v, roots[D - 1 :], chi, d)
         tps += [tp_u, tp_v]
-        per_bucket.append((b, u_idx, v_idx, tu, tv, inv_roots))
+        per_bucket.append((slot_u, slot_v, tu, tv, inv_roots))
 
     q_all, r_all = _qr_split(jnp.concatenate(tps, axis=0))
     qs, rs = [], []
@@ -636,7 +642,7 @@ def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
         off += 2 * B
 
     mats = []
-    for i, (b, *_rest) in enumerate(per_bucket):
+    for i, (slot_u, slot_v, *_rest) in enumerate(per_bucket):
         ru, rv = rs[i]
         theta = jnp.einsum("bxlc,bylz->bxcyz", ru, rv, precision=_PRECISION)
         g = gate.astype(theta.dtype)
@@ -651,10 +657,9 @@ def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
         jnp.concatenate(mats, axis=0), chi, d, cutoff
     )
 
-    tensors, messages = state.tensors, state.messages
-    errs = []
+    results = []
     off = 0
-    for i, (b, u_idx, v_idx, tu, tv, inv_roots) in enumerate(per_bucket):
+    for i, (slot_u, slot_v, tu, tv, inv_roots) in enumerate(per_bucket):
         B = sizes[i]
         x = x_all[off : off + B]
         y = y_all[off : off + B]
@@ -667,11 +672,11 @@ def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
         inv_u = [inv_roots[j] for j in range(D - 1)]
         inv_v = [inv_roots[D - 1 + j] for j in range(D - 1)]
         tu_new = _su_finish(
-            qu, x.reshape(B, r1, d, chi), inv_u, b.slot_u, tu, chi, d
+            qu, x.reshape(B, r1, d, chi), inv_u, slot_u, tu, chi, d
         )
         tv_new = _su_finish(
             qv, jnp.swapaxes(y, 1, 2).reshape(B, r2, d, chi), inv_v,
-            b.slot_v, tv, chi, d,
+            slot_v, tv, chi, d,
         )
         s_norm = jnp.linalg.norm(s_kept, axis=-1, keepdims=True)
         s_msg = (
@@ -679,7 +684,7 @@ def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
             if normalize_tensors
             else s_kept
         )
-        msg = jax.vmap(jnp.diag)(s_msg).astype(messages.dtype)
+        msg = jax.vmap(jnp.diag)(s_msg).astype(state.messages.dtype)
         if normalize_tensors:
             def _nrm(t):
                 n = jnp.linalg.norm(t.reshape(t.shape[0], -1), axis=-1)
@@ -687,6 +692,30 @@ def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
                 return t / n.reshape((-1,) + (1,) * (t.ndim - 1))
 
             tu_new, tv_new = _nrm(tu_new), _nrm(tv_new)
+        results.append((tu_new, tv_new, msg, err))
+    return results
+
+
+def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
+    """One stacked eigh/QR/SVD across every bucket of the color group."""
+    items, idxs = [], []
+    for b in buckets:
+        u_idx = jnp.asarray(b.u_idx, dtype=jnp.int32)
+        v_idx = jnp.asarray(b.v_idx, dtype=jnp.int32)
+        items.append((
+            b.slot_u, b.slot_v,
+            state.tensors[u_idx], state.tensors[v_idx],
+            state.messages[u_idx], state.messages[v_idx],
+        ))
+        idxs.append((u_idx, v_idx))
+    results = _fused_group_core(
+        state, items, gate, chi, cutoff, normalize_tensors
+    )
+    tensors, messages = state.tensors, state.messages
+    errs = []
+    for b, (u_idx, v_idx), (tu_new, tv_new, msg, err) in zip(
+        buckets, idxs, results
+    ):
         # u_idx/v_idx are unique within a bucket: unique_indices lets
         # XLA lower the row scatter without serialization scratch
         # (24 MB scoped-vmem OOM at chi=64 otherwise)
@@ -699,6 +728,54 @@ def _fused_color_group(state, buckets, gate, chi, cutoff, normalize_tensors):
         messages = messages.at[u_idx, b.slot_u].set(msg, unique_indices=True)
         messages = messages.at[v_idx, b.slot_v].set(msg, unique_indices=True)
         errs.append(err)
+    return BatchedState(tensors, messages), jnp.concatenate(errs)
+
+
+def apply_color_group_masked(
+    state: BatchedState,
+    slot_pairs,  # static tuple of (slot_u, slot_v) per canonical bucket
+    tables,  # per bucket: dict of traced arrays u_tab/v_tab [B], valid [B],
+    #          u_inv/u_wr/v_inv/v_wr [V] (inverse-select write-back)
+    gate: jax.Array,
+    chi: int,
+    cutoff: float,
+    normalize_tensors: bool = True,
+):
+    """Fused color-group apply with TRACED index tables — the body of the
+    scan-over-color-groups layer compiler (`make_layer_fn(scan_groups=
+    True)`).  Canonical buckets are padded to a uniform per-group shape:
+    pad rows gather vertex 0, compute garbage, and write nothing back
+    (inverse-permutation ``where`` select, no scatter hazards).  Same
+    kernel content as `_fused_color_group`; only gather/write-back
+    differ."""
+    items = []
+    for (slot_u, slot_v), tb in zip(slot_pairs, tables):
+        u_idx, v_idx = tb["u_tab"], tb["v_tab"]
+        items.append((
+            slot_u, slot_v,
+            state.tensors[u_idx], state.tensors[v_idx],
+            state.messages[u_idx], state.messages[v_idx],
+        ))
+    results = _fused_group_core(
+        state, items, gate, chi, cutoff, normalize_tensors
+    )
+
+    def select_rows(old, new, inv, wr):
+        m = wr.reshape(wr.shape + (1,) * (old.ndim - 1))
+        return jnp.where(m, new[inv].astype(old.dtype), old)
+
+    tensors, messages = state.tensors, state.messages
+    errs = []
+    for (slot_u, slot_v), tb, (tu_new, tv_new, msg, err) in zip(
+        slot_pairs, tables, results
+    ):
+        tensors = select_rows(tensors, tu_new, tb["u_inv"], tb["u_wr"])
+        tensors = select_rows(tensors, tv_new, tb["v_inv"], tb["v_wr"])
+        messages = messages.at[:, slot_u].set(select_rows(
+            messages[:, slot_u], msg, tb["u_inv"], tb["u_wr"]))
+        messages = messages.at[:, slot_v].set(select_rows(
+            messages[:, slot_v], msg, tb["v_inv"], tb["v_wr"]))
+        errs.append(jnp.where(tb["valid"], err, 0.0))
     return BatchedState(tensors, messages), jnp.concatenate(errs)
 
 

@@ -1,9 +1,12 @@
 """Batched loop corrections to BP on the static-shape TPU engine.
 
 TPU-native counterpart of `src/MessagePassing/loopcorrection.jl` (generic
-version: `engines/loopcorrection.py`), restricted to the dominant
-correction class on lattices: chordless 4-cycles (plaquettes).  Every
-plaquette weight is an identical dense computation
+version: `engines/loopcorrection.py`), covering the FULL leaf-free
+configuration space at `max_configuration_size` parity with the
+reference: simple cycles of any length, disjoint unions of cycles, and
+branch-vertex components (thetas, figure-8s — see ``LoopConfigurations``
+below).  The dominant lattice case, a single cycle, is an identical
+dense computation per configuration
 
     w = Tr( E₀ A₀₁ E₁ A₁₂ E₂ A₂₃ E₃ A₃₀ )
 

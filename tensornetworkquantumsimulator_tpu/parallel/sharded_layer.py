@@ -12,12 +12,15 @@ the whole state.  This module shards the *gate application* too
   with two ``ppermute`` collectives (gather partner tensor+messages, send
   back the update) — the ICI-native analogue of the reference's sequential
   per-edge sweep (`apply_gates.jl:60-85`);
-- ragged per-shard edge counts pad with a local vertex index that is NOT
-  touched by the bucket (one always exists when padding is needed), so
-  masked ``.set`` scatters write back either the exact new value or the
-  exact old value — the sharded layer is bitwise-faithful to the unsharded
-  one (important: simple-update SVDs with degenerate spectra turn any
-  rounding difference into a bond-gauge jump);
+- ragged per-shard edge counts are handled WITHOUT scatters: gather
+  tables are 0-padded (garbage lanes compute and are discarded), and the
+  write-back is an inverse-permutation gather + ``jnp.where`` select per
+  local vertex — each row receives either the exact new value or its
+  exact old value (no pad-index bookkeeping, no duplicate-scatter
+  hazards, works even when a bucket touches every local vertex).  The
+  sharded layer stays bitwise-faithful to the unsharded one (important:
+  simple-update SVDs with degenerate spectra turn any rounding
+  difference into a bond-gauge jump);
 - between color groups the halo-exchange flooding BP of
   `sharding._bp_fixed_point` refreshes the environments, mirroring the
   unsharded `make_layer_fn` refresh points.
@@ -48,9 +51,13 @@ from .sharding import ShardedBPSpec, _bp_fixed_point
 class _IntraBucket:
     slot_u: int
     slot_v: int
-    u_tab: np.ndarray  # [S, B] local u positions (0-padded)
+    u_tab: np.ndarray  # [S, B] local u positions (0-padded gather table)
     v_tab: np.ndarray  # [S, B]
     valid: np.ndarray  # [S, B]
+    u_inv: np.ndarray  # [S, Vl] lane writing each local vertex (else 0)
+    u_wr: np.ndarray  # [S, Vl] whether that vertex is written
+    v_inv: np.ndarray  # [S, Vl]
+    v_wr: np.ndarray  # [S, Vl]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,7 +68,27 @@ class _CrossBucket:
     u_tab: np.ndarray  # [S, B] computing shard's local u positions
     vsend_tab: np.ndarray  # [S, B] partner positions each shard sends out
     valid: np.ndarray  # [S, B] valid on the computing shard
-    valid_send: np.ndarray  # [S, B] valid on the sending (partner) shard
+    u_inv: np.ndarray  # [S, Vl]
+    u_wr: np.ndarray  # [S, Vl]
+    vs_inv: np.ndarray  # [S, Vl] lane of the returned payload per sender row
+    vs_wr: np.ndarray  # [S, Vl]
+
+
+def _inverse_table(pairs_per_shard, Vl: int):
+    """[(target_local_vertex, lane)] per shard -> (inv [S,Vl], wr [S,Vl]).
+
+    Color groups are matchings, so each local vertex is targeted by at
+    most one lane; the write-back ``where(wr, new[inv], old)`` is then a
+    deterministic select with no duplicate-scatter hazard."""
+    S = len(pairs_per_shard)
+    inv = np.zeros((S, Vl), np.int32)
+    wr = np.zeros((S, Vl), bool)
+    for s, pairs in enumerate(pairs_per_shard):
+        for tgt, lane in pairs:
+            assert not wr[s, tgt], "bucket writes a vertex twice"
+            inv[s, tgt] = lane
+            wr[s, tgt] = True
+    return inv, wr
 
 
 def build_layer_groups(sspec: ShardedBPSpec):
@@ -94,17 +121,6 @@ def build_layer_groups(sspec: ShardedBPSpec):
                         "non-adjacent cross-shard edge: strip partition "
                         "invalid for gate application"
                     )
-        def pad_index(used: set) -> int:
-            # a local vertex whose row no scatter of this bucket modifies:
-            # its padded entries write back their own unmodified value, so
-            # every .set is exact (old value or new value, never re-rounded)
-            p = 0
-            while p in used:
-                p += 1
-            if p >= Vl:
-                raise AssertionError("no free pad index (bucket covers shard)")
-            return p
-
         buckets = []
         for (su, sv), entries in sorted(intra.items()):
             per_shard: list = [[] for _ in range(S)]
@@ -115,15 +131,16 @@ def build_layer_groups(sspec: ShardedBPSpec):
             v_tab = np.zeros((S, B), np.int32)
             valid = np.zeros((S, B), bool)
             for s, lst in enumerate(per_shard):
-                if len(lst) < B:
-                    pu = pad_index(
-                        {lu for lu, _ in lst} | {lv for _, lv in lst}
-                    )
-                    u_tab[s, :] = pu
-                    v_tab[s, :] = pu
                 for i, (lu, lv) in enumerate(lst):
                     u_tab[s, i], v_tab[s, i], valid[s, i] = lu, lv, True
-            buckets.append(_IntraBucket(su, sv, u_tab, v_tab, valid))
+            u_inv, u_wr = _inverse_table(
+                [[(lu, i) for i, (lu, _) in enumerate(lst)]
+                 for lst in per_shard], Vl)
+            v_inv, v_wr = _inverse_table(
+                [[(lv, i) for i, (_, lv) in enumerate(lst)]
+                 for lst in per_shard], Vl)
+            buckets.append(_IntraBucket(
+                su, sv, u_tab, v_tab, valid, u_inv, u_wr, v_inv, v_wr))
         for (su, sv, dir_), entries in sorted(cross.items()):
             per_shard: list = [[] for _ in range(S)]
             for (s, lu, lv) in entries:
@@ -132,29 +149,23 @@ def build_layer_groups(sspec: ShardedBPSpec):
             u_tab = np.zeros((S, B), np.int32)
             vsend = np.zeros((S, B), np.int32)
             valid = np.zeros((S, B), bool)
-            valid_send = np.zeros((S, B), bool)
             for s, lst in enumerate(per_shard):
-                if len(lst) < B:
-                    u_tab[s, :] = pad_index({lu for lu, _ in lst})
                 for i, (lu, lv) in enumerate(lst):
                     u_tab[s, i], valid[s, i] = lu, True
+            vs_pairs: list = [[] for _ in range(S)]
             for s in range(S):
                 sender = (s + dir_) % S
-                lst = per_shard[s]  # edges computed by s; their v's live on sender
-                if len(lst) < B:
-                    # the pad row must also dodge the sender's OWN u-side
-                    # updates in this bucket, or the late v-scatter would
-                    # overwrite them with a stale gather
-                    used = {lv for _, lv in lst} | {
-                        lu for lu, _ in per_shard[sender]
-                    }
-                    vsend[sender, :] = pad_index(used)
-                for i, (_, lv) in enumerate(lst):
+                # edges computed by s; their v's live on the sender shard
+                for i, (_, lv) in enumerate(per_shard[s]):
                     vsend[sender, i] = lv
-                    valid_send[sender, i] = True
-            buckets.append(
-                _CrossBucket(su, sv, dir_, u_tab, vsend, valid, valid_send)
-            )
+                    vs_pairs[sender].append((lv, i))
+            u_inv, u_wr = _inverse_table(
+                [[(lu, i) for i, (lu, _) in enumerate(lst)]
+                 for lst in per_shard], Vl)
+            vs_inv, vs_wr = _inverse_table(vs_pairs, Vl)
+            buckets.append(_CrossBucket(
+                su, sv, dir_, u_tab, vsend, valid, u_inv, u_wr,
+                vs_inv, vs_wr))
         groups.append(tuple(buckets))
     return tuple(groups)
 
@@ -163,6 +174,16 @@ def _masked_pick(valid, new, old):
     """new where valid else old — exact values, no re-rounding."""
     m = valid.reshape(valid.shape + (1,) * (new.ndim - 1))
     return jnp.where(m, new.astype(old.dtype), old)
+
+
+def _select_rows(old, new, inv, wr):
+    """Write-back without scatter: ``old[p] <- new[inv[p]] where wr[p]``.
+
+    ``jnp.where`` is an exact select, so every row carries either its
+    exact old bits or the exact new lane — the deterministic replacement
+    for ``old.at[tab].set(...)`` with padded scatter rows."""
+    m = wr.reshape(wr.shape + (1,) * (old.ndim - 1))
+    return jnp.where(m, new[inv].astype(old.dtype), old)
 
 
 def make_sharded_layer(
@@ -207,11 +228,19 @@ def make_sharded_layer(
     for group in groups:
         for b in group:
             if isinstance(b, _IntraBucket):
-                flat_tables += [jnp.asarray(b.u_tab), jnp.asarray(b.v_tab),
-                                jnp.asarray(b.valid)]
+                flat_tables += [
+                    jnp.asarray(b.u_tab), jnp.asarray(b.v_tab),
+                    jnp.asarray(b.valid),
+                    jnp.asarray(b.u_inv), jnp.asarray(b.u_wr),
+                    jnp.asarray(b.v_inv), jnp.asarray(b.v_wr),
+                ]
             else:
-                flat_tables += [jnp.asarray(b.u_tab), jnp.asarray(b.vsend_tab),
-                                jnp.asarray(b.valid), jnp.asarray(b.valid_send)]
+                flat_tables += [
+                    jnp.asarray(b.u_tab), jnp.asarray(b.vsend_tab),
+                    jnp.asarray(b.valid),
+                    jnp.asarray(b.u_inv), jnp.asarray(b.u_wr),
+                    jnp.asarray(b.vs_inv), jnp.asarray(b.vs_wr),
+                ]
     flat_tables = tuple(flat_tables)
 
     if bp_tolerance is None:
@@ -253,29 +282,27 @@ def make_sharded_layer(
                     u_tab, v_tab, valid = (
                         next(it)[0], next(it)[0], next(it)[0]
                     )
+                    u_inv, u_wr = next(it)[0], next(it)[0]
+                    v_inv, v_wr = next(it)[0], next(it)[0]
                     tu, tv = tensors[u_tab], tensors[v_tab]
                     mu, mv = messages[u_tab], messages[v_tab]
                     tu_new, tv_new, msg, err = _simple_update_core(
                         tu, tv, mu, mv, jnp.asarray(gate2), b.slot_u,
                         b.slot_v, chi, cutoff, normalize_tensors,
                     )
-                    tensors = tensors.at[u_tab].set(
-                        _masked_pick(valid, tu_new, tu)
-                    )
-                    tensors = tensors.at[v_tab].set(
-                        _masked_pick(valid, tv_new, tv)
-                    )
-                    messages = messages.at[u_tab, b.slot_u].set(
-                        _masked_pick(valid, msg, mu[:, b.slot_u])
-                    )
-                    messages = messages.at[v_tab, b.slot_v].set(
-                        _masked_pick(valid, msg, mv[:, b.slot_v])
-                    )
+                    tensors = _select_rows(tensors, tu_new, u_inv, u_wr)
+                    tensors = _select_rows(tensors, tv_new, v_inv, v_wr)
+                    messages = messages.at[:, b.slot_u].set(_select_rows(
+                        messages[:, b.slot_u], msg, u_inv, u_wr))
+                    messages = messages.at[:, b.slot_v].set(_select_rows(
+                        messages[:, b.slot_v], msg, v_inv, v_wr))
                     errs.append(jnp.where(valid, err, 0.0))
                 else:
-                    u_tab, vs_tab, valid, valid_send = (
-                        next(it)[0], next(it)[0], next(it)[0], next(it)[0]
+                    u_tab, vs_tab, valid = (
+                        next(it)[0], next(it)[0], next(it)[0]
                     )
+                    u_inv, u_wr = next(it)[0], next(it)[0]
+                    vs_inv, vs_wr = next(it)[0], next(it)[0]
                     # halo gather: every shard sends its partner rows toward
                     # the computing shard (left when v lives in the next
                     # shard, right when it lives in the previous one)
@@ -288,22 +315,16 @@ def make_sharded_layer(
                         tu, tv, mu, mv, jnp.asarray(gate2), b.slot_u,
                         b.slot_v, chi, cutoff, normalize_tensors,
                     )
-                    tensors = tensors.at[u_tab].set(
-                        _masked_pick(valid, tu_new, tu)
-                    )
-                    messages = messages.at[u_tab, b.slot_u].set(
-                        _masked_pick(valid, msg, mu[:, b.slot_u])
-                    )
-                    # send the partner-side update back to its owner (pad
-                    # rows carry the owner's own pre-bucket value, exactly)
-                    tv_back = jax.lax.ppermute(
-                        _masked_pick(valid, tv_new, tv), axis, ret
-                    )
-                    mv_back = jax.lax.ppermute(
-                        _masked_pick(valid, msg, mv[:, b.slot_v]), axis, ret
-                    )
-                    tensors = tensors.at[vs_tab].set(tv_back)
-                    messages = messages.at[vs_tab, b.slot_v].set(mv_back)
+                    tensors = _select_rows(tensors, tu_new, u_inv, u_wr)
+                    messages = messages.at[:, b.slot_u].set(_select_rows(
+                        messages[:, b.slot_u], msg, u_inv, u_wr))
+                    # send the partner-side update back to its owner; the
+                    # owner's vs_inv/vs_wr select the valid payload lanes
+                    tv_back = jax.lax.ppermute(tv_new, axis, ret)
+                    mv_back = jax.lax.ppermute(msg, axis, ret)
+                    tensors = _select_rows(tensors, tv_back, vs_inv, vs_wr)
+                    messages = messages.at[:, b.slot_v].set(_select_rows(
+                        messages[:, b.slot_v], mv_back, vs_inv, vs_wr))
                     errs.append(jnp.where(valid, err, 0.0))
             applied = True
         if gate1 is not None and not one_site_first:

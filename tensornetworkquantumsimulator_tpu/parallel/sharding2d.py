@@ -30,7 +30,7 @@ from .engine import (
     _simple_update_core,
     default_batched_tolerance,
 )
-from .sharded_layer import _masked_pick
+from .sharded_layer import _inverse_table, _select_rows
 from .sharding import _local_outgoing
 from .structure import BatchedGraphSpec, compile_graph
 
@@ -101,7 +101,12 @@ def shard2d_spec(g, sx: int, sy: int) -> Sharded2DSpec:
     src: list = [[[None] * D for _ in range(Vl)] for _ in range(S)]
 
     def delta_dir(b_from, b_to):
-        """Direction tag for a message traveling b_from -> b_to."""
+        """Direction tag for a message traveling b_from -> b_to.
+
+        When an axis has only 2 blocks, prev == next, so interior and
+        wrap edges merge under one tag (dx==1==sx-1 hits the first
+        branch).  Delivery stays correct (same neighbor) and the
+        inverse-select write-back tolerates the wider merged buckets."""
         dx = (b_from[0] - b_to[0]) % sx
         dy = (b_from[1] - b_to[1]) % sy
         if (dx, dy) == (0, 0):
@@ -235,6 +240,10 @@ class _Intra2D:
     u_tab: np.ndarray
     v_tab: np.ndarray
     valid: np.ndarray
+    u_inv: np.ndarray  # [S, Vl] write-back lane per local vertex
+    u_wr: np.ndarray  # [S, Vl]
+    v_inv: np.ndarray
+    v_wr: np.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -245,6 +254,10 @@ class _Cross2D:
     u_tab: np.ndarray
     vsend_tab: np.ndarray
     valid: np.ndarray
+    u_inv: np.ndarray
+    u_wr: np.ndarray
+    vs_inv: np.ndarray
+    vs_wr: np.ndarray
 
 
 def build_layer_groups_2d(sspec: Sharded2DSpec):
@@ -288,14 +301,6 @@ def build_layer_groups_2d(sspec: Sharded2DSpec):
                     (su_s, iu % Vl, iv % Vl)
                 )
 
-        def pad_index(used):
-            p = 0
-            while p in used:
-                p += 1
-            if p >= Vl:
-                raise AssertionError("no free pad index")
-            return p
-
         buckets = []
         for (su, sv), entries in sorted(intra.items()):
             per = [[] for _ in range(S)]
@@ -306,15 +311,16 @@ def build_layer_groups_2d(sspec: Sharded2DSpec):
             v_tab = np.zeros((S, B), np.int32)
             valid = np.zeros((S, B), bool)
             for s, lst in enumerate(per):
-                if len(lst) < B:
-                    p = pad_index(
-                        {lu for lu, _ in lst} | {lv for _, lv in lst}
-                    )
-                    u_tab[s, :] = p
-                    v_tab[s, :] = p
                 for i, (lu, lv) in enumerate(lst):
                     u_tab[s, i], v_tab[s, i], valid[s, i] = lu, lv, True
-            buckets.append(_Intra2D(su, sv, u_tab, v_tab, valid))
+            u_inv, u_wr = _inverse_table(
+                [[(lu, i) for i, (lu, _) in enumerate(lst)] for lst in per],
+                Vl)
+            v_inv, v_wr = _inverse_table(
+                [[(lv, i) for i, (_, lv) in enumerate(lst)] for lst in per],
+                Vl)
+            buckets.append(_Intra2D(
+                su, sv, u_tab, v_tab, valid, u_inv, u_wr, v_inv, v_wr))
         for (su, sv, d), entries in sorted(cross.items()):
             per = [[] for _ in range(S)]
             for (s, lu, lv) in entries:
@@ -324,21 +330,20 @@ def build_layer_groups_2d(sspec: Sharded2DSpec):
             vsend = np.zeros((S, B), np.int32)
             valid = np.zeros((S, B), bool)
             for s, lst in enumerate(per):
-                if len(lst) < B:
-                    u_tab[s, :] = pad_index({lu for lu, _ in lst})
                 for i, (lu, lv) in enumerate(lst):
                     u_tab[s, i], valid[s, i] = lu, True
+            vs_pairs: list = [[] for _ in range(S)]
             for s in range(S):
                 sender = neighbor(s, d)
-                lst = per[s]
-                if len(lst) < B:
-                    used = {lv for _, lv in lst} | {
-                        lu for lu, _ in per[sender]
-                    }
-                    vsend[sender, :] = pad_index(used)
-                for i, (_, lv) in enumerate(lst):
+                for i, (_, lv) in enumerate(per[s]):
                     vsend[sender, i] = lv
-            buckets.append(_Cross2D(su, sv, d, u_tab, vsend, valid))
+                    vs_pairs[sender].append((lv, i))
+            u_inv, u_wr = _inverse_table(
+                [[(lu, i) for i, (lu, _) in enumerate(lst)] for lst in per],
+                Vl)
+            vs_inv, vs_wr = _inverse_table(vs_pairs, Vl)
+            buckets.append(_Cross2D(
+                su, sv, d, u_tab, vsend, valid, u_inv, u_wr, vs_inv, vs_wr))
         groups.append(tuple(buckets))
     return tuple(groups)
 
@@ -377,10 +382,14 @@ def make_sharded_layer_2d(
         for b in group:
             if isinstance(b, _Intra2D):
                 flat += [jnp.asarray(b.u_tab), jnp.asarray(b.v_tab),
-                         jnp.asarray(b.valid)]
+                         jnp.asarray(b.valid),
+                         jnp.asarray(b.u_inv), jnp.asarray(b.u_wr),
+                         jnp.asarray(b.v_inv), jnp.asarray(b.v_wr)]
             else:
                 flat += [jnp.asarray(b.u_tab), jnp.asarray(b.vsend_tab),
-                         jnp.asarray(b.valid)]
+                         jnp.asarray(b.valid),
+                         jnp.asarray(b.u_inv), jnp.asarray(b.u_wr),
+                         jnp.asarray(b.vs_inv), jnp.asarray(b.vs_wr)]
     flat = tuple(flat)
 
     def body(tensors, messages, *tables):
@@ -414,23 +423,25 @@ def make_sharded_layer_2d(
             for b in group:
                 if isinstance(b, _Intra2D):
                     u_tab, v_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+                    u_inv, u_wr = next(it)[0], next(it)[0]
+                    v_inv, v_wr = next(it)[0], next(it)[0]
                     tu, tv = tensors[u_tab], tensors[v_tab]
                     mu, mv = messages[u_tab], messages[v_tab]
                     tu_new, tv_new, msg, err = _simple_update_core(
                         tu, tv, mu, mv, jnp.asarray(gate2), b.slot_u,
                         b.slot_v, chi, cutoff, normalize_tensors,
                     )
-                    tensors = tensors.at[u_tab].set(_masked_pick(valid, tu_new, tu))
-                    tensors = tensors.at[v_tab].set(_masked_pick(valid, tv_new, tv))
-                    messages = messages.at[u_tab, b.slot_u].set(
-                        _masked_pick(valid, msg, mu[:, b.slot_u])
-                    )
-                    messages = messages.at[v_tab, b.slot_v].set(
-                        _masked_pick(valid, msg, mv[:, b.slot_v])
-                    )
+                    tensors = _select_rows(tensors, tu_new, u_inv, u_wr)
+                    tensors = _select_rows(tensors, tv_new, v_inv, v_wr)
+                    messages = messages.at[:, b.slot_u].set(_select_rows(
+                        messages[:, b.slot_u], msg, u_inv, u_wr))
+                    messages = messages.at[:, b.slot_v].set(_select_rows(
+                        messages[:, b.slot_v], msg, v_inv, v_wr))
                     errs.append(jnp.where(valid, err, 0.0))
                 else:
                     u_tab, vs_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+                    u_inv, u_wr = next(it)[0], next(it)[0]
+                    vs_inv, vs_wr = next(it)[0], next(it)[0]
                     ax, gather = perms[b.dir]
                     rev = {
                         "xprev": "xnext", "xnext": "xprev",
@@ -444,18 +455,14 @@ def make_sharded_layer_2d(
                         tu, tv, mu, mv, jnp.asarray(gate2), b.slot_u,
                         b.slot_v, chi, cutoff, normalize_tensors,
                     )
-                    tensors = tensors.at[u_tab].set(_masked_pick(valid, tu_new, tu))
-                    messages = messages.at[u_tab, b.slot_u].set(
-                        _masked_pick(valid, msg, mu[:, b.slot_u])
-                    )
-                    tv_back = jax.lax.ppermute(
-                        _masked_pick(valid, tv_new, tv), ax, ret
-                    )
-                    mv_back = jax.lax.ppermute(
-                        _masked_pick(valid, msg, mv[:, b.slot_v]), ax, ret
-                    )
-                    tensors = tensors.at[vs_tab].set(tv_back)
-                    messages = messages.at[vs_tab, b.slot_v].set(mv_back)
+                    tensors = _select_rows(tensors, tu_new, u_inv, u_wr)
+                    messages = messages.at[:, b.slot_u].set(_select_rows(
+                        messages[:, b.slot_u], msg, u_inv, u_wr))
+                    tv_back = jax.lax.ppermute(tv_new, ax, ret)
+                    mv_back = jax.lax.ppermute(msg, ax, ret)
+                    tensors = _select_rows(tensors, tv_back, vs_inv, vs_wr)
+                    messages = messages.at[:, b.slot_v].set(_select_rows(
+                        messages[:, b.slot_v], mv_back, vs_inv, vs_wr))
                     errs.append(jnp.where(valid, err, 0.0))
             applied = True
         if gate1 is not None and not one_site_first:

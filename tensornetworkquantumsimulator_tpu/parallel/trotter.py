@@ -30,6 +30,7 @@ from ..utils.lattices import _gate_vertices
 from .engine import (
     BatchedState,
     apply_color_group,
+    apply_color_group_masked,
     apply_one_site,
     bp_update,
     local_expectations,
@@ -171,6 +172,84 @@ class BatchedCircuit:
         self.segments = tuple(segments)
 
 
+def _scan_plan(circuit: BatchedCircuit, num_vertices: int):
+    """Canonical scan tables for a (one-site segment?) + K uniform-gate
+    two-site segments layer, or None if the structure doesn't qualify.
+
+    The K per-group HLO subprograms of the unrolled layer are nearly
+    identical (same fused eigh/QR/SVD chain, different index constants);
+    folding them into ONE ``lax.scan`` body cuts the layer HLO ~K×,
+    which directly cuts the remote-compile wall that dominates first-run
+    UX and every bench sample on the axon tunnel (BASELINE.md round-2:
+    compiles of 276–958 s vs ~0.4 ms/layer compute).
+
+    Canonicalization: every group gets the same bucket STRUCTURE — the
+    union of (slot_u, slot_v) keys across groups, each padded to the max
+    group size for that key.  Pad rows gather vertex 0 and are discarded
+    by the inverse-select write-back (`apply_color_group_masked`).
+    Returns (leading_one_site | None, slot_pairs, xs) where xs is the
+    stacked-per-group pytree scanned over."""
+    segs = list(circuit.segments)
+    one = None
+    if segs and isinstance(segs[0], _OneSiteSegment):
+        one = segs[0].gate
+        segs = segs[1:]
+    if len(segs) < 2:
+        return None
+    if not all(
+        isinstance(s, _TwoSiteSegment) and s.gates_per_bucket is None
+        for s in segs
+    ):
+        return None
+    g0 = segs[0].gate
+    if not all(np.array_equal(s.gate, g0) for s in segs[1:]):
+        return None
+
+    keys = sorted({
+        (b.slot_u, b.slot_v) for s in segs for b in s.buckets
+    })
+    width = {
+        k: max(
+            len(b.u_idx)
+            for s in segs
+            for b in s.buckets
+            if (b.slot_u, b.slot_v) == k
+        )
+        for k in keys
+    }
+    G, V = len(segs), num_vertices
+    xs_tables = []
+    for k in keys:
+        B = width[k]
+        u_tab = np.zeros((G, B), np.int32)
+        v_tab = np.zeros((G, B), np.int32)
+        valid = np.zeros((G, B), bool)
+        u_inv = np.zeros((G, V), np.int32)
+        u_wr = np.zeros((G, V), bool)
+        v_inv = np.zeros((G, V), np.int32)
+        v_wr = np.zeros((G, V), bool)
+        for gi, s in enumerate(segs):
+            b = next(
+                (b for b in s.buckets if (b.slot_u, b.slot_v) == k), None
+            )
+            if b is None:
+                continue
+            for i, (iu, iv) in enumerate(zip(b.u_idx, b.v_idx)):
+                u_tab[gi, i], v_tab[gi, i], valid[gi, i] = iu, iv, True
+                assert not (u_wr[gi, iu] or v_wr[gi, iv])
+                u_inv[gi, iu], u_wr[gi, iu] = i, True
+                v_inv[gi, iv], v_wr[gi, iv] = i, True
+        xs_tables.append({
+            "u_tab": jnp.asarray(u_tab), "v_tab": jnp.asarray(v_tab),
+            "valid": jnp.asarray(valid),
+            "u_inv": jnp.asarray(u_inv), "u_wr": jnp.asarray(u_wr),
+            "v_inv": jnp.asarray(v_inv), "v_wr": jnp.asarray(v_wr),
+        })
+    refresh = np.array([s.needs_refresh for s in segs])
+    return one, tuple(keys), {"refresh": jnp.asarray(refresh),
+                              "bkt": xs_tables}
+
+
 def make_layer_fn(
     circuit: BatchedCircuit,
     chi: int,
@@ -181,9 +260,63 @@ def make_layer_fn(
     bp_damping: float = 0.0,
     final_update: bool = True,
     jit: bool = True,
+    scan_groups: bool = False,
 ) -> Callable:
-    """Build the (jitted) layer function: state -> (state, truncation_errors)."""
+    """Build the (jitted) layer function: state -> (state, truncation_errors).
+
+    ``scan_groups=True`` folds the per-color-group subprograms into one
+    ``lax.scan`` body (see `_scan_plan`) when the layer qualifies
+    (uniform 2-site gate, optional leading 1-site segment — the Trotter
+    bench layers do); falls back to the unrolled form otherwise.  The
+    scan body computes the union of slot-pair buckets per group (pad
+    rows discarded), so per-layer FLOPs rise slightly while the HLO —
+    and with it the compile time — shrinks ~K× for K groups."""
     spec = circuit.spec
+
+    if scan_groups:
+        plan = _scan_plan(circuit, spec.num_vertices)
+        if plan is not None:
+            one_site_gate, slot_pairs, xs = plan
+            gate2 = jnp.asarray(circuit.segments[-1].gate
+                                if isinstance(circuit.segments[-1],
+                                              _TwoSiteSegment)
+                                else next(
+                                    s for s in circuit.segments
+                                    if isinstance(s, _TwoSiteSegment)).gate)
+            all_refresh = bool(np.all(np.asarray(xs["refresh"])))
+
+            def scan_layer(state: BatchedState):
+                if one_site_gate is not None:
+                    state = apply_one_site(state, jnp.asarray(one_site_gate))
+
+                def body(st, x):
+                    def refresh(s):
+                        return bp_update(
+                            spec, s, maxiter=bp_maxiter,
+                            tolerance=bp_tolerance, damping=bp_damping,
+                        )
+
+                    if all_refresh:
+                        st = refresh(st)
+                    else:
+                        st = jax.lax.cond(
+                            x["refresh"], refresh, lambda s: s, st
+                        )
+                    st, err = apply_color_group_masked(
+                        st, slot_pairs, x["bkt"], gate2, chi, cutoff,
+                        normalize_tensors,
+                    )
+                    return st, err
+
+                state, errs = jax.lax.scan(body, state, xs)
+                if final_update:
+                    state = bp_update(
+                        spec, state, maxiter=bp_maxiter,
+                        tolerance=bp_tolerance, damping=bp_damping,
+                    )
+                return state, errs.reshape(-1)
+
+            return jax.jit(scan_layer) if jit else scan_layer
 
     def layer(state: BatchedState):
         errs = []

@@ -141,3 +141,65 @@ def test_batched_bond_expectations():
             cache_update_kwargs=dict(maxiter=300, tolerance=1e-15),
         )
         np.testing.assert_allclose(float(np.real(zz[pos])), np.real(ref), atol=2e-6)
+
+
+def test_scan_groups_layer_matches_unrolled():
+    """`make_layer_fn(scan_groups=True)` folds the per-color-group
+    subprograms into one `lax.scan` body; the result must match the
+    unrolled layer to fp roundoff (same kernel content, only
+    gather/write-back differ)."""
+    g = named_grid((4, 4))
+    chi = 3
+    psi0 = tensornetworkstate(jnp.complex128, lambda v: "↑", g, "S=1/2")
+    layer = _tfim_layer(g)
+    spec, state0 = batched_from_tns(psi0, chi=chi)
+    circuit = BatchedCircuit(layer, g, spec=spec)
+    kw = dict(
+        chi=chi, cutoff=1e-12, normalize_tensors=True,
+        bp_maxiter=40, bp_tolerance=1e-12,
+    )
+    unrolled = make_layer_fn(circuit, **kw)
+    scanned = make_layer_fn(circuit, scan_groups=True, **kw)
+    from tensornetworkquantumsimulator_tpu.parallel.trotter import _scan_plan
+
+    assert _scan_plan(circuit, spec.num_vertices) is not None
+
+    s_a, s_b = state0, state0
+    for _ in range(2):
+        s_a, errs_a = unrolled(s_a)
+        s_b, errs_b = scanned(s_b)
+    np.testing.assert_allclose(
+        np.asarray(s_b.tensors), np.asarray(s_a.tensors), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_b.messages), np.asarray(s_a.messages), atol=1e-10
+    )
+    # valid truncation errors agree (the scan pads with zero-err lanes)
+    assert np.isclose(
+        float(jnp.sum(errs_a)), float(jnp.sum(errs_b)), atol=1e-12
+    )
+
+
+def test_scan_groups_heavyhex_matches_unrolled():
+    """The flagship heavy-hex lattice (degree-3, non-grid) through the
+    scan-groups compiler."""
+    from tensornetworkquantumsimulator_tpu import heavy_hexagonal_lattice
+
+    g = heavy_hexagonal_lattice(2, 2)
+    chi = 2
+    psi0 = tensornetworkstate(jnp.complex128, lambda v: "↑", g, "S=1/2")
+    layer = []
+    layer += [("Rx", [v], 0.4) for v in g.vertices()]
+    for colored_edges in edge_color(g, 3):
+        layer += [("Rzz", pair, 0.3) for pair in colored_edges]
+    spec, state0 = batched_from_tns(psi0, chi=chi)
+    circuit = BatchedCircuit(layer, g, spec=spec)
+    kw = dict(chi=chi, bp_maxiter=30, bp_tolerance=1e-12)
+    unrolled = make_layer_fn(circuit, **kw)
+    scanned = make_layer_fn(circuit, scan_groups=True, **kw)
+
+    s_a, _ = unrolled(state0)
+    s_b, _ = scanned(state0)
+    np.testing.assert_allclose(
+        np.asarray(s_b.tensors), np.asarray(s_a.tensors), atol=1e-10
+    )

@@ -255,3 +255,47 @@ def test_sharded_2d_mesh_torus():
         np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
         atol=1e-9,
     )
+
+
+def test_sharded_2d_full_coverage_buckets():
+    """4x4 torus on a 4x2 mesh: Vl=2, so color-group buckets cover every
+    local vertex of a block — the case the old pad-index scatter design
+    could not build (regression for the inverse-select write-back)."""
+    from tensornetworkquantumsimulator_tpu.parallel.sharding2d import (
+        build_layer_groups_2d,
+        make_sharded_layer_2d,
+        shard2d_spec,
+    )
+
+    g = named_grid((4, 4), periodic=True)
+    chi = 2
+    sx, sy = 4, 2
+    sspec = shard2d_spec(g, sx, sy)
+    spec = sspec.spec
+    groups = build_layer_groups_2d(sspec)
+    n_edges = sum(int(b.valid.sum()) for group in groups for b in group)
+    assert n_edges == len(spec.edges)
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+    gate2 = np.asarray(gate_matrix("Rzz", 0.3)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 0.6))
+    tol = 1e-10
+    ref_state, _ = _unsharded_layer(spec, state, gate2, gate1, chi, 1e-12, tol)
+
+    mesh = Mesh(np.array(jax.devices()[: sx * sy]).reshape(sx, sy), ("x", "y"))
+    layer = make_sharded_layer_2d(
+        sspec, mesh, gate2, gate1, chi, cutoff=1e-12, bp_tolerance=tol
+    )
+    sh = NamedSharding(mesh, P(("x", "y")))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    out_state, _ = layer(sharded)
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-9,
+    )
