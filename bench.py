@@ -20,12 +20,21 @@ synchronization is to *attempt* a host download of a result scalar: the
 attempt blocks until the device finishes the dependency chain, then
 (usually) fails with UNIMPLEMENTED, which also poisons the process for
 further dispatches.  Therefore each timing sample runs in its own
-subprocess, dispatching ONE program that runs k*n layers via a nested
-in-program scan (unique input bytes per sample defeat the service's
+subprocess, dispatching ONE program that runs k*n layers via an
+in-program loop (unique input bytes per sample defeat the service's
 result cache; per-dispatch service round-trips cost ~2 s each, so the
 work knob k must live inside the program, not in a host dispatch loop):
 
   wall(k) = remote_compile + k * n * t_layer + RTT + download_latency
+
+The repeat count k is a RUNTIME input (dynamic `fori_loop` bound), so
+every sample of a config shares ONE compiled program.  The service
+caches compiled programs across processes (measured round 2: an
+identical HLO later ran with ~0 compile), so each config runs a cheap
+k=1 WARM subprocess first — eating the remote compile — and the k_hi
+measurement subprocess that follows is compute-only.  A sample rejected
+as poisoned is retried once in a fresh subprocess (the retry is cheap
+for the same reason).
 
 The reported number is the best VALID sample's k*n/wall — a throughput the
 device provably sustained during that window (all overheads inflate wall,
@@ -56,27 +65,29 @@ import time
 
 BASELINE_SECONDS_PER_LAYER = 1.0
 REPEATS = int(os.environ.get("TNQS_BENCH_REPEATS", "1"))
-BUDGET_S = float(os.environ.get("TNQS_BENCH_BUDGET_S", "2400"))
+# Two rounds of driver rc=124 at 2400 s say the driver's timeout is well
+# below that; assume ~600 s and leave headroom for the final emit.
+BUDGET_S = float(os.environ.get("TNQS_BENCH_BUDGET_S", "560"))
 _T_START = time.perf_counter()
 
 CONFIGS = {
-    # name: (n_layers_per_dispatch, k_lo, k_hi, per_layer_floor_seconds)
-    # The probe dispatches the same compiled n-layer program k times
-    # (chained) so all k points share one HLO (one remote-compile
-    # distribution).  k_hi is sized so the device-compute signal can
-    # dominate the 15-370 s remote-compile term in wall = compile + k*n*t
-    # (the estimator k*n/wall is a *lower bound* on throughput, so more
-    # amortization = a tighter bound).  Floors: each layer runs >=100
-    # sequential kernels (BP while_loop + per-bucket factorization
-    # chains) at >=1 us launch latency each — per-layer times below
-    # these mean nothing executed.
-    "chi10": (2005, 1, 255, 5e-5),
+    # name: (n_layers_per_iteration, k_lo, k_hi, per_layer_floor_seconds)
+    # One program per config (k is a runtime fori_loop bound over the
+    # n-layer scan): the k=1 warm and every k sample share one HLO and
+    # therefore one remote compile (served from the service's
+    # cross-process program cache after the warm).  k_hi is sized so the
+    # post-warm measurement window stays tens of seconds at the measured
+    # round-2 rates — the whole 4-config pass must fit ~560 s.  Floors:
+    # each layer runs >=100 sequential kernels (BP while_loop +
+    # per-bucket factorization chains) at >=1 us launch latency each —
+    # per-layer times below these mean nothing executed.
+    "chi10": (2005, 1, 127, 5e-5),
     # heavyhex true per-layer measured ≤0.33 ms (possibly ~0.15 ms with a
     # warm program cache): keep the floor 3-6× below so a genuinely fast
     # run is never rejected, while sub-50 µs claims still are
     "heavyhex": (255, 1, 255, 5e-5),
-    "chi32": (255, 1, 66, 5e-4),
-    "chi64": (63, 1, 30, 1e-3),
+    "chi32": (255, 1, 16, 5e-4),
+    "chi64": (63, 1, 8, 1e-3),
 }
 
 
@@ -131,9 +142,14 @@ def _build(config: str, seed: int = 0):
         g, chi=chi, dtype=np.complex64, state_fn=state_fn
     )
     circuit = BatchedCircuit(layer, g, spec=spec)
+    # scan_groups folds the K per-color-group subprograms into one
+    # lax.scan body — a ~K× smaller HLO, directly cutting the remote
+    # compile that dominates fresh-program walls (TNQS_BENCH_SCAN=0
+    # opts out; physics is test-equivalent, tests/test_batched.py)
     layer_fn = make_layer_fn(
         circuit, chi=chi, cutoff=1e-10, normalize_tensors=True,
         bp_maxiter=25, jit=False,
+        scan_groups=os.environ.get("TNQS_BENCH_SCAN", "1") == "1",
     )
     return spec, state, layer_fn
 
@@ -157,21 +173,25 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
     op = np.asarray(op_matrix("Z", 2))
     center = len(spec.vertices) // 2
 
-    def run_n(st):
-        # k·n layers inside ONE program (nested scan), dispatched ONCE:
-        # each service dispatch costs ~2 s of round-trip (measured: a
-        # 255-dispatch chain carried ~510 s of overhead that a single
-        # 2M-layer fori_loop program did not), so the work knob must be
-        # in-program, not a host-side dispatch loop.
-        def rep(s, _):
+    def run_n(st, k_arr):
+        # k·n layers inside ONE program, dispatched ONCE: each service
+        # dispatch costs ~2 s of round-trip (measured: a 255-dispatch
+        # chain carried ~510 s of overhead that a single 2M-layer
+        # fori_loop program did not), so the work knob must be
+        # in-program, not a host-side dispatch loop.  k is a RUNTIME
+        # bound (read from a small int vector input — 0-d scalars are
+        # unreliable on this runtime) so all samples of a config share
+        # one compiled program and the warm k=1 dispatch eats the whole
+        # remote compile for the k_hi samples that follow.
+        def rep(_i, s):
             def body(s2, _):
                 s2, _errs = layer_fn(s2)
                 return s2, None
 
             s, _ = jax.lax.scan(body, s, None, length=n)
-            return s, None
+            return s
 
-        st, _ = jax.lax.scan(rep, st, None, length=k)
+        st = jax.lax.fori_loop(0, k_arr[0], rep, st)
         # whole real-valued vector: the axon runtime can download full real
         # arrays but (usually) not 0-d scalars — see CLAUDE.md
         z = jnp.real(local_expectations(spec, st, op))
@@ -184,12 +204,13 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
     copts = (
         {"xla_tpu_scoped_vmem_limit_kib": 65536} if config == "chi64" else None
     )
+    k_in = np.full((8,), k, np.int32)
     compiled = (
-        jax.jit(run_n).lower(state).compile(compiler_options=copts)
+        jax.jit(run_n).lower(state, k_in).compile(compiler_options=copts)
     )  # no device execution
 
     t0 = time.perf_counter()
-    st2, z = compiled(state)  # ONE async dispatch for all k·n layers
+    st2, z = compiled(state, k_in)  # ONE async dispatch for all k·n layers
     t_first = time.perf_counter() - t0
     t_dispatch = t_first
     z_val = None
@@ -249,12 +270,15 @@ def _sample(config: str, n: int, k: int) -> dict | None:
 def _measure(config: str) -> dict:
     """-> {"per_layer": best valid sec/layer (or None), "z": ..., "quality"}.
 
-    Sampling order is k_hi FIRST: a k_hi sample with a genuinely blocking
-    sync (or a downloaded z) is already valid on its own, and it is the
-    tightest bound (most compile amortization), so the k_lo probe — whose
-    only role is the k-monotonicity fallback tier — is skipped entirely
-    unless needed.  On probe failure/timeout the k is quartered once
-    before falling back to the (k_lo, k_hi) monotone pair.
+    Sampling order is WARM FIRST (VERDICT r2 item 1): a k=k_lo subprocess
+    eats the remote compile into the service's cross-process program
+    cache (all k values share one HLO — k is a runtime bound), so the
+    k_hi measurement subprocess that follows is compute-only and its
+    k*n/wall is a tight bound.  A k_hi sample that comes back invalid
+    (poisoned dispatch chain: instant sync failure / sub-floor wall) is
+    retried once in a fresh subprocess — cheap, for the same cache
+    reason.  The warm record itself doubles as the k-monotonicity
+    fallback partner.
 
     Validity per the module docstring: real wall, real (blocking) sync or
     a downloaded z, and per-layer >= the config's physical floor.  All
@@ -263,12 +287,12 @@ def _measure(config: str) -> dict:
     (instant sync failure, k_hi faster than k_lo, sub-floor per-layer)
     are each rejected."""
     n, k_lo, k_hi, floor = CONFIGS[config]
-    if _remaining() < 600.0:  # late in the budget: cheaper samples
+    if _remaining() < 180.0:  # late in the budget: cheaper samples
         k_hi = max(k_lo, k_hi // 8)
     samples = []
 
     def probe(k):
-        if _remaining() < 90.0:
+        if _remaining() < 60.0:
             print(f"# budget exhausted before {config} k={k}", file=sys.stderr)
             return None
         rec = _sample(config, n, k)
@@ -285,14 +309,30 @@ def _measure(config: str) -> dict:
         samples.append(rec)
         return rec
 
-    for _ in range(REPEATS):
+    def _khi_ok(rec) -> bool:
+        # is THIS high-k record valid on its own (sync tier) or via
+        # k-monotonicity against an earlier lower-k record?  The warm
+        # record alone must never end the loop: a compile-dominated k=1
+        # number is exactly the round-2 heavyhex 0.904 layers/s failure.
+        if rec is None or rec["wall_seconds"] < 2.0:
+            return False
+        if rec["wall_seconds"] / (rec["k"] * n) < floor:
+            return False
+        if rec.get("z") is not None or rec.get("sync_seconds", 0.0) >= 1.0:
+            return True
+        return any(
+            l["k"] < rec["k"] and rec["wall_seconds"] > l["wall_seconds"]
+            for l in samples
+        )
+
+    probe(k_lo)  # warm: compiles the shared program server-side
+    for _ in range(max(REPEATS, 2)):  # >=2: one poisoned-sample retry
         rec = probe(k_hi)
         if rec is None and k_hi > 4 * k_lo:
-            rec = probe(max(k_lo + 1, k_hi // 4))  # cheaper retry
-        best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
-        if best is not None and quality == "sync":
-            break  # self-valid; no k_lo monotonicity probe needed
-        probe(k_lo)
+            k_hi = max(k_lo + 1, k_hi // 4)
+            rec = probe(k_hi)  # cheaper retry after failure/timeout
+        if _khi_ok(rec):
+            break
 
     z_seen = next((r["z"] for r in samples if r.get("z") is not None), None)
     best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
@@ -391,16 +431,16 @@ def main() -> None:
     # bounds (k*n/wall is a lower bound on throughput; doubling k halves
     # the compile term's share of the wall) — chi10 first, then heavyhex
     for config in ("chi10", "heavyhex"):
-        while _remaining() > 900.0 and results.get(config, {}).get("per_layer"):
+        while _remaining() > 120.0 and results.get(config, {}).get("per_layer"):
             n, k_lo, k_hi, floor = CONFIGS[config]
             if k_hi >= 1023:
                 break
             k_new = min(2 * k_hi + 1, 1023)
             # only escalate if the projected wall (measured per-layer rate
-            # × work + compile margin) fits inside the per-sample timeout —
+            # × work + warm-cache compile margin) fits what's left —
             # a timed-out sample wastes the whole budget slice
-            projected = results[config]["per_layer"] * k_new * n + 450.0
-            if projected > min(_remaining() - 120.0, 1150.0):
+            projected = results[config]["per_layer"] * k_new * n + 60.0
+            if projected > _remaining() - 90.0:
                 print(
                     f"# {config} refinement k={k_new} projected "
                     f"{projected:.0f}s exceeds the sample budget; stopping",
