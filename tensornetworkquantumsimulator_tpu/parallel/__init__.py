@@ -34,6 +34,7 @@ from .loopcorrection import (
     loopcorrected_partitionfunction as batched_loopcorrected_partitionfunction,
 )
 from .truncate import batched_truncate
+from .sharded_bmps import make_sharded_grid_bmps, make_sharded_planar_bmps
 from .sharded_layer import build_layer_groups, make_sharded_layer
 from .sharding import ShardedBPSpec, make_sharded_bp_update, shard_spec
 from .sharding2d import Sharded2DSpec, make_sharded_layer_2d, shard2d_spec

