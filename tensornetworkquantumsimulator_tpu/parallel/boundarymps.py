@@ -164,7 +164,14 @@ class PlanarBMPSSpec:
             else:
                 raise ValueError(
                     f"edge {spec.vertices[iu]}–{spec.vertices[iv]} is not "
-                    "row-adjacent and column-aligned; use the generic engine"
+                    "row-adjacent and column-aligned, so this lattice has "
+                    "no batched boundary-MPS path.  Options: (a) pass "
+                    "row_of=/col_of= that place bridge vertices at shared "
+                    "columns (how the shipped heavy-hex/Lieb lattices "
+                    "qualify), or (b) use the generic engine "
+                    "(engines/boundarymps.py, expect(..., alg='boundarymps') "
+                    "on the TensorNetworkState) — correct on any planar "
+                    "graph but roughly 1000x slower than the batched path"
                 )
             for (i, role, slot) in roles:
                 if role in self.role_slot[i]:
