@@ -25,6 +25,7 @@ from .boundarymps import PlanarBMPSSpec, make_grid_bmps, make_planar_bmps
 from .certified_sampling import (
     make_grid_certified_sampler,
     make_planar_certified_sampler,
+    make_sharded_sampler,
 )
 from .gauge import batched_symmetric_gauge
 from .loopcorrection import (

@@ -353,3 +353,45 @@ def _make_certified_sampler(
         return jax.vmap(one)(keys)
 
     return jax.jit(sampler) if jit else sampler
+
+
+# ---------------------------------------------------------------------------
+# multi-chip: shard the sample batch over a device mesh
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_sampler(sampler, mesh, axis: str = "s"):
+    """Wrap a certified sampler for SPMD execution over the SAMPLE axis.
+
+    Sampling is embarrassingly parallel across draws (`sampler` vmaps a
+    per-key body), so the TPU-native multi-chip schedule shards the key
+    batch over ``mesh[axis]`` and replicates the state: each device draws
+    and certifies its own block of samples with zero collectives.  The
+    strand/fitting preamble is recomputed per device (cheap relative to
+    the per-sample sweeps, and avoiding it would need a broadcast
+    anyway).  Same bits/logq/certificates as the single-chip sampler for
+    the same keys (tests/test_sharded_sampling.py).
+
+    ``keys`` must have leading dimension divisible by the mesh axis size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from .sharded_bmps import _shard_map
+
+    smap = _shard_map(
+        lambda tensors, keys: sampler(tensors, keys),
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+
+    @jax.jit
+    def sharded(tensors, keys):
+        if keys.shape[0] % mesh.shape[axis] != 0:
+            raise ValueError(
+                f"{keys.shape[0]} keys not divisible by mesh axis "
+                f"{axis!r} ({mesh.shape[axis]})"
+            )
+        return smap(tensors, keys)
+
+    return sharded
