@@ -51,7 +51,7 @@ def _setup(x64: bool):
     return jax
 
 
-def _build(chi=10, x64=False, jit=True):
+def _build(chi=10, x64=False, jit=True, seed=0):
     jax = _setup(x64)
     import jax.numpy as jnp
     import numpy as np
@@ -73,7 +73,17 @@ def _build(chi=10, x64=False, jit=True):
     for ce in edge_color(g, 4):
         layer += [("Rzz", pair, 2 * J * dt) for pair in ce]
     dtype = np.complex128 if x64 else np.complex64
-    spec, state = batched_product_state(g, chi=chi, dtype=dtype)
+    # seed: unique input bytes per subprocess so the axon service's
+    # RESULT cache cannot serve a previous run's output without executing
+    # (bench.py's trick).  1e-9 keeps the trajectory perturbation ~2
+    # decades below the tightest 3e-6 ladder rung even after 10 layers
+    # of amplification.
+    state_fn = (
+        (lambda v: np.array([1.0 + 1.0e-9 * seed, 0.0])) if seed else None
+    )
+    spec, state = batched_product_state(
+        g, chi=chi, dtype=dtype, state_fn=state_fn
+    )
     circuit = BatchedCircuit(layer, g, spec=spec)
     layer_fn = make_layer_fn(
         circuit, chi=chi, cutoff=1e-10, bp_maxiter=25, jit=jit
@@ -198,7 +208,9 @@ def collect(n_layers: int) -> None:
         print(f"\nmax site |Δ| over {len(deltas)} layers: {max(deltas):.2e}")
 
 
-def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
+def verify(
+    tol: float, n_layers: int, ref_path: str, penalty: int, seed: int = 0
+) -> None:
     """Timing-channel physics check for days when the runtime downloads
     NOTHING (probe_download.py: every dtype/shape is UNIMPLEMENTED).
 
@@ -209,14 +221,24 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
     ~compile time + the FLOOR workload; a fail takes ≥ penalty·t_layer
     (several hundred s) longer — unambiguous against compile variance.
 
-    Every program also runs a MANDATORY floor of 50k layers (~20 s):
-    a poisoned dispatch chain (instant failing sync, nothing executed)
-    then shows wall ≪ 15 s and is reported as executed=False instead of
-    masquerading as a pass — the failure mode the second bisect run's
-    control rung caught (control wall 0.38 s, channel_ok=False)."""
+    Every program also runs a MANDATORY floor of 150k layers (≥ ~15 s
+    even on the fastest measured path): a poisoned dispatch chain
+    (instant failing sync, nothing executed) then shows wall ≪ 10 s and
+    is reported as executed=False instead of masquerading as a pass —
+    the failure mode the second round-2 bisect run's control rung caught
+    (control wall 0.38 s, channel_ok=False).
+
+    ``tol`` and ``penalty`` are RUNTIME inputs (read from a small f32
+    vector), so every rung of the ladder AND the control share ONE
+    compiled program: after a warm subprocess eats the remote compile
+    into the service's cross-process program cache, each rung's wall is
+    compute-only and the pass/fail separation no longer competes with
+    the 3–960 s compile variance (what made round-2's tight rungs
+    ambiguous).  ``seed`` perturbs the input state bytes so the service
+    result cache cannot shortcut repeated runs."""
     import numpy as np
 
-    jax, state, layer_fn, z_all, center = _build(jit=False)
+    jax, state, layer_fn, z_all, center = _build(jit=False, seed=seed)
     import jax.numpy as jnp
 
     # keep the reference as a HOST array: a closed-over device array
@@ -226,9 +248,14 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
     assert ref.shape[0] >= n_layers
     ref = ref[:n_layers]
 
-    FLOOR = 50_000  # mandatory layers: poisoned chains can't fake a pass
+    # mandatory layers: poisoned chains can't fake a pass (env override
+    # for CPU smoke tests only — the TPU ladder always uses the default)
+    FLOOR = int(os.environ.get("TNQS_VERIFY_FLOOR", "150000"))
 
-    def run(st):
+    def run(st, knobs):
+        tol_in = knobs[0]
+        penalty_in = knobs[1].astype(jnp.int32)
+
         def body(s, _):
             s, _errs = layer_fn(s)
             z = z_all(s)
@@ -236,7 +263,7 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
 
         st, traj = jax.lax.scan(body, st, None, length=n_layers)
         delta = jnp.max(jnp.abs(traj - ref))
-        steps = jnp.where(delta <= tol, FLOOR, FLOOR + penalty)
+        steps = jnp.where(delta <= tol_in, FLOOR, FLOOR + penalty_in)
 
         def pbody(_i, s):
             s2, _errs = layer_fn(s)
@@ -245,9 +272,11 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
         st2 = jax.lax.fori_loop(0, steps, pbody, st)
         return z_all(st2)
 
-    compiled = jax.jit(run).lower(state).compile()
+    # penalties up to 3M hold exactly in f32 (< 2^24)
+    knobs = np.array([tol, float(penalty)] + [0.0] * 6, np.float32)
+    compiled = jax.jit(run).lower(state, knobs).compile()
     t0 = time.perf_counter()
-    out = compiled(state)
+    out = compiled(state, knobs)
     try:
         np.asarray(out)  # blocks until the device drains, then fails
     except Exception:
@@ -261,10 +290,11 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
                 "n": n_layers,
                 "penalty": penalty,
                 "floor": FLOOR,
-                # wall below the floor workload (~15 s) means the chain
-                # never executed (poisoned) — the parent treats it as an
-                # infra error, not a pass
-                "executed": bool(wall >= 15.0),
+                "seed": seed,
+                # wall below the floor workload means the chain never
+                # executed (poisoned) — the parent treats it as an infra
+                # error, not a pass
+                "executed": bool(wall >= 10.0),
                 "wall_seconds": wall,
             }
         ),
@@ -275,8 +305,14 @@ def verify(tol: float, n_layers: int, ref_path: str, penalty: int) -> None:
 def bisect(n_layers: int) -> None:
     """Bracket the TPU-vs-CPU-c64 max site |Δ| with a descending tolerance
     ladder of --verify subprocesses (one per tol; each decision is read
-    from wall time).  Records the BASELINE.md physics artifact."""
-    env_cpu = dict(os.environ, JAX_PLATFORMS="cpu")
+    from wall time).  Records the BASELINE.md physics artifact.
+
+    The CPU reference always runs the default (trusted) factorization
+    path, even when the TPU side under test runs with TNQS_EIGH_ALG
+    overridden — gating an alternative algorithm means comparing it
+    against the established baseline, not against itself."""
+    env_cpu = dict(os.environ, JAX_PLATFORMS="cpu", TNQS_EIGH_ALG="default",
+                   TNQS_SVD_ALG="default", TNQS_QR_ALG="default")
     proc = subprocess.run(
         [sys.executable, __file__, "--trajectory", str(n_layers)],
         capture_output=True, text=True, env=env_cpu, timeout=1800,
@@ -287,47 +323,73 @@ def bisect(n_layers: int) -> None:
     print(f"# CPU c64 reference trajectory saved ({n_layers} layers)",
           file=sys.stderr, flush=True)
 
-    # pass wall = compile (3–960 s observed) + 50k floor layers (~20 s)
-    # ≤ ~1000 s; fail adds 3M penalty layers ≥ 1200 s at the measured
-    # 0.40 ms/layer, so the 1100 s threshold separates them even at the
-    # compile extremes.  A misread can only stop the ladder early, i.e.
-    # LOOSEN the reported bound, never tighten it.
+    # tol and penalty are runtime inputs, so every rung + the control
+    # reuse ONE compiled program: the warm run below eats the remote
+    # compile into the service's cross-process program cache, and every
+    # decision run is compute-only.  Decision walls: pass ≈ dispatch +
+    # 150k floor layers (15–75 s across the measured 0.1–0.4 ms/layer
+    # range); fail adds 3M penalty layers (300–1200 s).  The 170 s
+    # threshold separates them without competing with compile variance;
+    # a fail reading is re-run once with a fresh seed to rule out a
+    # cache-miss compile masquerading as the penalty.  A misread can
+    # only stop the ladder early, i.e. LOOSEN the reported bound, never
+    # tighten it.
     penalty = 3_000_000
-    decision_s = 1100.0
+    decision_s = 170.0
+    seed_ctr = [0]
+
+    def run_verify(tol, pen):
+        seed_ctr[0] += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--verify", str(tol),
+                 str(n_layers), ref_path, str(pen), str(seed_ctr[0])],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [
+                l for l in proc.stdout.splitlines() if l.startswith("{")
+            ]
+            if not line:
+                print(f"# verify stderr tail: {proc.stderr[-400:]}",
+                      file=sys.stderr, flush=True)
+                return None
+            return json.loads(line[-1])
+        except subprocess.TimeoutExpired:
+            return {"wall_seconds": 3600.0, "executed": True}
+
+    t0 = time.perf_counter()
+    warm = run_verify(1e9, penalty)  # tol=1e9 always passes: floor-only
+    print(f"# warm (compile) wall="
+          f"{warm and warm.get('wall_seconds')} "
+          f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr, flush=True)
+
     ladder = [1e-3, 3e-4, 1e-4, 3e-5, 1e-5, 3e-6]
     last_pass, first_fail = None, None
     for tol in ladder:
         status, wall = "error", None
-        for attempt in range(2):  # retry infra errors once
+        for attempt in range(3):  # retry infra errors / ambiguous fails
             t0 = time.perf_counter()
-            status, wall = "fail(timeout)", None
-            try:
-                proc = subprocess.run(
-                    [sys.executable, __file__, "--verify", str(tol),
-                     str(n_layers), ref_path, str(penalty)],
-                    capture_output=True, text=True, timeout=3600,
-                )
-                line = [
-                    l for l in proc.stdout.splitlines() if l.startswith("{")
-                ]
-                rec = json.loads(line[-1]) if line else None
-                wall = rec["wall_seconds"] if rec else None
-                if rec is not None and not rec.get("executed", True):
-                    status = "error"  # poisoned chain: nothing executed
-                    print(f"# tol={tol:g}: poisoned chain (wall={wall})",
-                          file=sys.stderr, flush=True)
-                elif wall is not None:
-                    status = "pass" if wall < decision_s else "fail"
-                else:
-                    status = "error"  # crashed before measuring: not physics
-                    print(f"# verify stderr tail: {proc.stderr[-400:]}",
-                          file=sys.stderr, flush=True)
-            except subprocess.TimeoutExpired:
-                pass
+            rec = run_verify(tol, penalty)
+            wall = rec["wall_seconds"] if rec else None
+            if rec is None:
+                status = "error"
+            elif not rec.get("executed", True):
+                status = "error"  # poisoned chain: nothing executed
+                print(f"# tol={tol:g}: poisoned chain (wall={wall})",
+                      file=sys.stderr, flush=True)
+            else:
+                status = "pass" if wall < decision_s else "fail"
             dt = time.perf_counter() - t0
             print(f"# tol={tol:g}: wall={wall} -> {status} ({dt:.0f}s)",
                   file=sys.stderr, flush=True)
-            if status != "error":
+            if status == "pass":
+                break
+            # a fail could be a service-cache miss paying the compile:
+            # one fresh-seed retry settles it (two independent >170 s
+            # walls cannot both be compile at the measured cache rates)
+            if status == "fail" and attempt == 0:
+                continue
+            if status == "fail":
                 break
         if status == "pass":
             last_pass = tol
@@ -338,23 +400,16 @@ def bisect(n_layers: int) -> None:
             break
 
     # channel control: tol=-1 forces the penalty branch (delta ≥ 0 > -1
-    # is impossible to pass), with a smaller penalty (~100k layers).  A
-    # fast wall here means the chain did not really execute (poisoned) —
-    # the ladder's "pass" walls would then be meaningless.
-    control_penalty = 100_000
-    control_wall = None
-    try:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--verify", "-1.0",
-             str(n_layers), ref_path, str(control_penalty)],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        control_wall = json.loads(line[-1])["wall_seconds"] if line else None
-    except subprocess.TimeoutExpired:
-        control_wall = 2600.0
-    control_ok = control_wall is not None and control_wall > 30.0
-    print(f"# control (tol=-1, penalty={control_penalty}): "
+    # is impossible to pass).  Same program (runtime knobs).  A fast
+    # wall here means the chain did not really execute (poisoned) — the
+    # ladder's "pass" walls would then be meaningless.
+    control = run_verify(-1.0, penalty)
+    control_wall = control and control.get("wall_seconds")
+    # the control must be distinctly SLOWER than the passes: at least
+    # the decision threshold (penalty 3M layers ≥ 300 s even at the
+    # fastest measured per-layer time)
+    control_ok = control_wall is not None and control_wall > decision_s
+    print(f"# control (tol=-1, penalty={penalty}): "
           f"wall={control_wall} channel_ok={control_ok}",
           file=sys.stderr, flush=True)
     print(json.dumps({
@@ -363,7 +418,8 @@ def bisect(n_layers: int) -> None:
         "max_site_delta_lower": first_fail,
         "control_wall_seconds": control_wall,
         "channel_ok": control_ok,
-        "channel": "timing (cond penalty workload); downloads UNIMPLEMENTED",
+        "channel": "timing (cond penalty workload, shared program via "
+        "runtime tol/penalty knobs); downloads UNIMPLEMENTED",
     }), flush=True)
 
 
@@ -378,7 +434,8 @@ if __name__ == "__main__":
     elif "--verify" in sys.argv:
         i = sys.argv.index("--verify")
         verify(float(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3],
-               int(sys.argv[i + 4]))
+               int(sys.argv[i + 4]),
+               int(sys.argv[i + 5]) if len(sys.argv) > i + 5 else 0)
     elif "--bisect" in sys.argv:
         bisect(int(sys.argv[sys.argv.index("--bisect") + 1]))
     else:
