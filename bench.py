@@ -27,14 +27,22 @@ work knob k must live inside the program, not in a host dispatch loop):
 
   wall(k) = remote_compile + k * n * t_layer + RTT + download_latency
 
-The repeat count k is a RUNTIME input (dynamic `fori_loop` bound), so
-every sample of a config shares ONE compiled program.  The service
-caches compiled programs across processes (measured round 2: an
-identical HLO later ran with ~0 compile), so each config runs a cheap
-k=1 WARM subprocess first — eating the remote compile — and the k_hi
-measurement subprocess that follows is compute-only.  A sample rejected
-as poisoned is retried once in a fresh subprocess (the retry is cheap
-for the same reason).
+The repeat count k is a STATIC nested-scan length.  Two designs that
+sound better were measured and rejected on 2026-08-17:
+  - runtime-k (dynamic fori_loop bound, one program for all k): the
+    dynamic-bound while program took 335-530 s to compile+run at k=1
+    and never finished k>=8 within 880-1500 s — the dynamic outer loop
+    is pathological on this runtime, while the same body under a static
+    scan compiled AND ran 66k layers in 50 s;
+  - two dispatches per process with two ordered downloads (second wall
+    = pure execution): the first failed download poisons the process
+    for further DOWNLOADS too — the second returned in 0.3 ms without
+    blocking.  One measurement per process stands.
+With `make_layer_fn(scan_groups=True)` the layer HLO is ~2.2x smaller
+and the remote compile measured <=45 s (vs 276-958 s unrolled in round
+2), so a single-dispatch k_hi sample amortizes compile well inside the
+driver budget.  A sample rejected as poisoned is retried once in a
+fresh subprocess.
 
 The reported number is the best VALID sample's k*n/wall — a throughput the
 device provably sustained during that window (all overheads inflate wall,
@@ -72,21 +80,19 @@ _T_START = time.perf_counter()
 
 CONFIGS = {
     # name: (n_layers_per_iteration, k_lo, k_hi, per_layer_floor_seconds)
-    # One program per config (k is a runtime fori_loop bound over the
-    # n-layer scan): the k=1 warm and every k sample share one HLO and
-    # therefore one remote compile (served from the service's
-    # cross-process program cache after the warm).  k_hi is sized so the
-    # post-warm measurement window stays tens of seconds at the measured
-    # round-2 rates — the whole 4-config pass must fit ~560 s.  Floors:
-    # each layer runs >=100 sequential kernels (BP while_loop +
-    # per-bucket factorization chains) at >=1 us launch latency each —
-    # per-layer times below these mean nothing executed.
-    "chi10": (2005, 1, 127, 5e-5),
+    # k_hi sizing for the ~560 s budget at the measured rates (0.4 ms
+    # chi10 / 0.33 ms heavyhex layers, <=45 s scan-groups compiles):
+    # chi10 k=191 ~ 155 s compute, heavyhex k=255 ~ 22 s, chi32 k=24
+    # ~ 60 s, chi64 k=8 ~ 100 s — plus one compile each.  Floors: each
+    # layer runs >=100 sequential kernels (BP while_loop + per-bucket
+    # factorization chains) at >=1 us launch latency each — per-layer
+    # times below these mean nothing executed.
+    "chi10": (2005, 1, 191, 5e-5),
     # heavyhex true per-layer measured ≤0.33 ms (possibly ~0.15 ms with a
     # warm program cache): keep the floor 3-6× below so a genuinely fast
     # run is never rejected, while sub-50 µs claims still are
     "heavyhex": (255, 1, 255, 5e-5),
-    "chi32": (255, 1, 16, 5e-4),
+    "chi32": (255, 1, 24, 5e-4),
     "chi64": (63, 1, 8, 1e-3),
 }
 
@@ -173,25 +179,23 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
     op = np.asarray(op_matrix("Z", 2))
     center = len(spec.vertices) // 2
 
-    def run_n(st, k_arr):
-        # k·n layers inside ONE program, dispatched ONCE: each service
-        # dispatch costs ~2 s of round-trip (measured: a 255-dispatch
-        # chain carried ~510 s of overhead that a single 2M-layer
-        # fori_loop program did not), so the work knob must be
-        # in-program, not a host-side dispatch loop.  k is a RUNTIME
-        # bound (read from a small int vector input — 0-d scalars are
-        # unreliable on this runtime) so all samples of a config share
-        # one compiled program and the warm k=1 dispatch eats the whole
-        # remote compile for the k_hi samples that follow.
-        def rep(_i, s):
+    def run_n(st):
+        # k·n layers inside ONE program (nested scan), dispatched ONCE:
+        # each service dispatch costs ~2 s of round-trip (measured: a
+        # 255-dispatch chain carried ~510 s of overhead that a single
+        # 2M-layer fori_loop program did not), so the work knob must be
+        # in-program, not a host-side dispatch loop.  k must be a STATIC
+        # scan length: the dynamic-bound variant is pathological on this
+        # runtime (see the module docstring).
+        def rep(s, _):
             def body(s2, _):
                 s2, _errs = layer_fn(s2)
                 return s2, None
 
             s, _ = jax.lax.scan(body, s, None, length=n)
-            return s
+            return s, None
 
-        st = jax.lax.fori_loop(0, k_arr[0], rep, st)
+        st, _ = jax.lax.scan(rep, st, None, length=k)
         # whole real-valued vector: the axon runtime can download full real
         # arrays but (usually) not 0-d scalars — see CLAUDE.md
         z = jnp.real(local_expectations(spec, st, op))
@@ -204,13 +208,12 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
     copts = (
         {"xla_tpu_scoped_vmem_limit_kib": 65536} if config == "chi64" else None
     )
-    k_in = np.full((8,), k, np.int32)
     compiled = (
-        jax.jit(run_n).lower(state, k_in).compile(compiler_options=copts)
+        jax.jit(run_n).lower(state).compile(compiler_options=copts)
     )  # no device execution
 
     t0 = time.perf_counter()
-    st2, z = compiled(state, k_in)  # ONE async dispatch for all k·n layers
+    st2, z = compiled(state)  # ONE async dispatch for all k·n layers
     t_first = time.perf_counter() - t0
     t_dispatch = t_first
     z_val = None
@@ -236,86 +239,6 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
             }
         )
     )
-
-
-def run_probe2(config: str, n: int, k: int = 1, seed: int = 0) -> None:
-    """Two-phase timing sample in ONE process: dispatch the shared
-    program twice (k=1 then k=k, unique input bytes each), then force the
-    two syncs in order.  The first download attempt blocks through
-    remote-compile + the k=1 execution; the second blocks through the
-    k·n-layer execution ONLY — so ``wall2/(k·n)`` is a compile-free
-    per-layer bound even on days when the service caches nothing across
-    processes (measured 2026-08-17: three processes of an identical HLO
-    each paid a fresh 335–530 s compile).
-
-    Both dispatches are issued before any download, because the first
-    failed download poisons further *dispatches* — already-queued work
-    may still drain.  If the runtime instead kills the queued program,
-    wall2 collapses to ~0 and the validity filter rejects the sample
-    (fallback: the classic --probe flow)."""
-    jax = _configure_jax()
-    import jax.numpy as jnp
-    import numpy as np
-
-    from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
-    from tensornetworkquantumsimulator_tpu.parallel import local_expectations
-
-    spec, state1, layer_fn = _build(config, seed)
-    _, state2, _ = _build(config, seed + 999_983)  # distinct input bytes
-    op = np.asarray(op_matrix("Z", 2))
-    center = len(spec.vertices) // 2
-
-    def run_n(st, k_arr):
-        def rep(_i, s):
-            def body(s2, _):
-                s2, _errs = layer_fn(s2)
-                return s2, None
-
-            s, _ = jax.lax.scan(body, s, None, length=n)
-            return s
-
-        st = jax.lax.fori_loop(0, k_arr[0], rep, st)
-        z = jnp.real(local_expectations(spec, st, op))
-        return st, z
-
-    copts = (
-        {"xla_tpu_scoped_vmem_limit_kib": 65536} if config == "chi64" else None
-    )
-    k1 = np.full((8,), 1, np.int32)
-    k2 = np.full((8,), k, np.int32)
-    compiled = jax.jit(run_n).lower(state1, k1).compile(compiler_options=copts)
-
-    t0 = time.perf_counter()
-    _st1, z1 = compiled(state1, k1)  # remote compile happens here
-    _st2, z2 = compiled(state2, k2)  # queued behind it, no recompile
-    z1_val = z2_val = None
-    try:
-        z1_val = float(np.asarray(z1)[center])
-    except Exception:
-        pass
-    t1 = time.perf_counter()
-    try:
-        z2_val = float(np.asarray(z2)[center])
-    except Exception:
-        pass
-    t2 = time.perf_counter()
-    print(
-        json.dumps(
-            {
-                "config": config,
-                "n": n,
-                "k": k,
-                "mode": "probe2",
-                # phase walls: [compile + 1*n layers, k*n layers]
-                "wall1_seconds": t1 - t0,
-                "wall_seconds": t2 - t1,
-                "sync_seconds": t2 - t1,
-                "z1": z1_val,
-                "z": z2_val,
-            }
-        )
-    )
-
 
 _SAMPLE_COUNTER = [0]
 
@@ -349,15 +272,15 @@ def _sample(config: str, n: int, k: int, mode: str = "--probe") -> dict | None:
 def _measure(config: str) -> dict:
     """-> {"per_layer": best valid sec/layer (or None), "z": ..., "quality"}.
 
-    Sampling order is WARM FIRST (VERDICT r2 item 1): a k=k_lo subprocess
-    eats the remote compile into the service's cross-process program
-    cache (all k values share one HLO — k is a runtime bound), so the
-    k_hi measurement subprocess that follows is compute-only and its
-    k*n/wall is a tight bound.  A k_hi sample that comes back invalid
-    (poisoned dispatch chain: instant sync failure / sub-floor wall) is
-    retried once in a fresh subprocess — cheap, for the same cache
-    reason.  The warm record itself doubles as the k-monotonicity
-    fallback partner.
+    Sampling order is k_hi FIRST: with the scan-groups HLO the remote
+    compile is ~45 s, so the k_hi sample is already compile-amortized
+    and self-valid when its sync blocks.  A k_hi sample that comes back
+    invalid (poisoned dispatch chain: instant sync failure / sub-floor
+    wall) is retried once in a fresh subprocess (VERDICT r2 item 1);
+    the k_lo probe runs only if the sync tier never lands, as the
+    k-monotonicity fallback partner.  (A cross-process warm was
+    measured useless on 2026-08-17: the service compiled the identical
+    HLO freshly in each process.)
 
     Validity per the module docstring: real wall, real (blocking) sync or
     a downloaded z, and per-layer >= the config's physical floor.  All
@@ -404,40 +327,6 @@ def _measure(config: str) -> dict:
             for l in samples
         )
 
-    # primary: the two-phase single-process probe — phase 1 soaks the
-    # remote compile (and any service queue), phase 2's wall is the
-    # k_hi*n-layer execution alone.  Self-valid when it lands (the sync
-    # IS the phase-2 wall); one retry at a quartered k on failure.
-    for attempt in range(2):
-        if _remaining() < 60.0:
-            break
-        k_try = k_hi if attempt == 0 else max(k_lo + 1, k_hi // 4)
-        rec = _sample(config, n, k_try, mode="--probe2")
-        if rec is None:
-            print(f"# {config} probe2 k={k_try}: failed/timeout",
-                  file=sys.stderr)
-            continue
-        print(
-            "# {config} probe2 n={n} k={k}: compile+1n={w1:.1f}s "
-            "wall2={w2:.1f}s z={z}".format(
-                config=config, n=n, k=k_try,
-                w1=rec.get("wall1_seconds", -1.0), w2=rec["wall_seconds"],
-                z=rec.get("z"),
-            ),
-            file=sys.stderr,
-        )
-        samples.append(rec)
-        if _khi_ok(rec):
-            break
-    best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
-    if best is not None:
-        z_seen = next(
-            (r["z"] for r in samples if r.get("z") is not None), None
-        )
-        return {"per_layer": best, "z": z_seen, "quality": quality}
-
-    # fallback: classic per-process samples (warm first, then k_hi)
-    probe(k_lo)  # warm: compiles the shared program server-side
     for _ in range(max(REPEATS, 2)):  # >=2: one poisoned-sample retry
         rec = probe(k_hi)
         if rec is None and k_hi > 4 * k_lo:
@@ -445,6 +334,9 @@ def _measure(config: str) -> dict:
             rec = probe(k_hi)  # cheaper retry after failure/timeout
         if _khi_ok(rec):
             break
+    best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
+    if best is None or quality != "sync":
+        probe(k_lo)  # k-monotonicity fallback partner
 
     z_seen = next((r["z"] for r in samples if r.get("z") is not None), None)
     best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
@@ -572,12 +464,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--probe2" in sys.argv:
-        i = sys.argv.index("--probe2")
-        k = int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 1
-        seed = int(sys.argv[i + 4]) if len(sys.argv) > i + 4 else 0
-        run_probe2(sys.argv[i + 1], int(sys.argv[i + 2]), k, seed)
-    elif "--probe" in sys.argv:
+    if "--probe" in sys.argv:
         i = sys.argv.index("--probe")
         k = int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 1
         seed = int(sys.argv[i + 4]) if len(sys.argv) > i + 4 else 0
