@@ -85,8 +85,11 @@ def _build(chi=10, x64=False, jit=True, seed=0):
         g, chi=chi, dtype=dtype, state_fn=state_fn
     )
     circuit = BatchedCircuit(layer, g, spec=spec)
+    # scan_groups: ~2.2x smaller HLO -> remote compiles measured <=50 s
+    # instead of 276-958 s (same kernel content; test-equivalent)
     layer_fn = make_layer_fn(
-        circuit, chi=chi, cutoff=1e-10, bp_maxiter=25, jit=jit
+        circuit, chi=chi, cutoff=1e-10, bp_maxiter=25, jit=jit,
+        scan_groups=True,
     )
     op = np.asarray(op_matrix("Z", 2))
     center = spec.vertex_position((3, 3))
@@ -250,7 +253,7 @@ def verify(
 
     # mandatory layers: poisoned chains can't fake a pass (env override
     # for CPU smoke tests only — the TPU ladder always uses the default)
-    FLOOR = int(os.environ.get("TNQS_VERIFY_FLOOR", "150000"))
+    FLOOR = int(os.environ.get("TNQS_VERIFY_FLOOR", "200000"))
 
     def run(st, knobs):
         tol_in = knobs[0]
@@ -335,7 +338,7 @@ def bisect(n_layers: int) -> None:
     # only stop the ladder early, i.e. LOOSEN the reported bound, never
     # tighten it.
     penalty = 3_000_000
-    decision_s = 170.0
+    decision_s = 200.0
     seed_ctr = [0]
 
     def run_verify(tol, pen):
