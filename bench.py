@@ -80,19 +80,20 @@ _T_START = time.perf_counter()
 
 CONFIGS = {
     # name: (n_layers_per_iteration, k_lo, k_hi, per_layer_floor_seconds)
-    # k_hi sizing for the ~560 s budget at the measured rates (0.4 ms
-    # chi10 / 0.33 ms heavyhex layers, <=45 s scan-groups compiles):
-    # chi10 k=191 ~ 155 s compute, heavyhex k=255 ~ 22 s, chi32 k=24
-    # ~ 60 s, chi64 k=8 ~ 100 s — plus one compile each.  Floors: each
-    # layer runs >=100 sequential kernels (BP while_loop + per-bucket
-    # factorization chains) at >=1 us launch latency each — per-layer
-    # times below these mean nothing executed.
-    "chi10": (2005, 1, 191, 5e-5),
+    # k_hi sizing: the shared device's per-layer rate varies ~3x day to
+    # day (0.4 ms best vs ~1.2 ms congested for chi10), so the FIRST
+    # sample per config targets 30-150 s of compute even on a slow day
+    # — land a valid number, then let the refinement loop escalate k
+    # with whatever budget is left.  Floors: each layer runs >=100
+    # sequential kernels (BP while_loop + per-bucket factorization
+    # chains) at >=1 us launch latency each — per-layer times below
+    # these mean nothing executed.
+    "chi10": (2005, 1, 63, 5e-5),
     # heavyhex true per-layer measured ≤0.33 ms (possibly ~0.15 ms with a
     # warm program cache): keep the floor 3-6× below so a genuinely fast
     # run is never rejected, while sub-50 µs claims still are
     "heavyhex": (255, 1, 255, 5e-5),
-    "chi32": (255, 1, 24, 5e-4),
+    "chi32": (255, 1, 12, 5e-4),
     "chi64": (63, 1, 8, 1e-3),
 }
 
@@ -250,7 +251,10 @@ def _remaining() -> float:
 def _sample(config: str, n: int, k: int, mode: str = "--probe") -> dict | None:
     """Run one probe subprocess; returns the probe record or None."""
     _SAMPLE_COUNTER[0] += 1
-    timeout = max(60.0, min(_remaining(), 1200.0))
+    # cap a single probe to ~55% of the remaining budget: one runaway
+    # sample must not eat the whole run (measured: a congested-day k=191
+    # sample burned the entire 560 s and left every config null)
+    timeout = max(120.0, min(_remaining() * 0.55, 1200.0))
     try:
         proc = subprocess.run(
             [
