@@ -331,13 +331,17 @@ def _measure(config: str) -> dict:
             for l in samples
         )
 
-    for _ in range(max(REPEATS, 2)):  # >=2: one poisoned-sample retry
+    for attempt in range(max(REPEATS, 4)):
         rec = probe(k_hi)
-        if rec is None and k_hi > 4 * k_lo:
-            k_hi = max(k_lo + 1, k_hi // 4)
-            rec = probe(k_hi)  # cheaper retry after failure/timeout
         if _khi_ok(rec):
             break
+        # a timed-out probe usually leaves the remote compile finishing
+        # server-side, so the SAME-k retry is compute-only via the
+        # cross-process program cache (measured: heavyhex k=63 retry
+        # 3.2 s after two timeouts); only shrink k — a NEW HLO and a
+        # fresh compile — after two same-k failures
+        if rec is None and attempt >= 1 and k_hi > 4 * k_lo:
+            k_hi = max(k_lo + 1, k_hi // 4)
     best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
     if best is None or quality != "sync":
         probe(k_lo)  # k-monotonicity fallback partner
