@@ -92,7 +92,7 @@ CONFIGS = {
     # heavyhex true per-layer measured ≤0.33 ms (possibly ~0.15 ms with a
     # warm program cache): keep the floor 3-6× below so a genuinely fast
     # run is never rejected, while sub-50 µs claims still are
-    "heavyhex": (255, 1, 255, 5e-5),
+    "heavyhex": (255, 1, 63, 5e-5),
     "chi32": (255, 1, 12, 5e-4),
     "chi64": (63, 1, 8, 1e-3),
 }
@@ -254,7 +254,7 @@ def _sample(config: str, n: int, k: int, mode: str = "--probe") -> dict | None:
     # cap a single probe to ~55% of the remaining budget: one runaway
     # sample must not eat the whole run (measured: a congested-day k=191
     # sample burned the entire 560 s and left every config null)
-    timeout = max(120.0, min(_remaining() * 0.55, 1200.0))
+    timeout = max(120.0, min(_remaining() * 0.55, 300.0))
     try:
         proc = subprocess.run(
             [
@@ -442,7 +442,7 @@ def main() -> None:
     # refinement: spend any leftover budget tightening the headline
     # bounds (k*n/wall is a lower bound on throughput; doubling k halves
     # the compile term's share of the wall) — chi10 first, then heavyhex
-    for config in ("chi10", "heavyhex"):
+    for config in ("chi10", "heavyhex", "chi32", "chi64"):
         while _remaining() > 120.0 and results.get(config, {}).get("per_layer"):
             n, k_lo, k_hi, floor = CONFIGS[config]
             if k_hi >= 1023:
