@@ -293,8 +293,6 @@ def _measure(config: str) -> dict:
     (instant sync failure, k_hi faster than k_lo, sub-floor per-layer)
     are each rejected."""
     n, k_lo, k_hi, floor = CONFIGS[config]
-    if _remaining() < 180.0:  # late in the budget: cheaper samples
-        k_hi = max(k_lo, k_hi // 8)
     samples = []
 
     def probe(k):
