@@ -41,8 +41,11 @@ sound better were measured and rejected on 2026-08-17:
 With `make_layer_fn(scan_groups=True)` the layer HLO is ~2.2x smaller
 and the remote compile measured <=45 s (vs 276-958 s unrolled in round
 2), so a single-dispatch k_hi sample amortizes compile well inside the
-driver budget.  A sample rejected as poisoned is retried once in a
-fresh subprocess.
+driver budget.  All four configs sample CONCURRENTLY (remote compiles
+are server-side and overlap freely; sequential sampling starved the
+last two configs on congested days — see _measure_all); poisoned or
+timed-out samples are retried same-k in fresh subprocesses, riding the
+service's cross-process program cache.
 
 The reported number is the best VALID sample's k*n/wall — a throughput the
 device provably sustained during that window (all overheads inflate wall,
@@ -248,105 +251,210 @@ def _remaining() -> float:
     return BUDGET_S - (time.perf_counter() - _T_START)
 
 
-def _sample(config: str, n: int, k: int, mode: str = "--probe") -> dict | None:
-    """Run one probe subprocess; returns the probe record or None."""
+def _launch(config: str, n: int, k: int):
+    """Start one probe subprocess (non-blocking) -> live-probe dict."""
     _SAMPLE_COUNTER[0] += 1
-    # cap a single probe to ~55% of the remaining budget: one runaway
-    # sample must not eat the whole run (measured: a congested-day k=191
-    # sample burned the entire 560 s and left every config null)
-    timeout = max(120.0, min(_remaining() * 0.55, 300.0))
-    try:
-        proc = subprocess.run(
-            [
-                sys.executable, __file__, mode, config, str(n), str(k),
-                str(_SAMPLE_COUNTER[0]),
-            ],
-            capture_output=True,
-            text=True,
-            timeout=timeout,
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                return json.loads(line)
-    except Exception:
-        pass
+    proc = subprocess.Popen(
+        [
+            sys.executable, __file__, "--probe", config, str(n), str(k),
+            str(_SAMPLE_COUNTER[0]),
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    return {"proc": proc, "t0": time.perf_counter(), "k": k}
+
+
+def _reap(live) -> dict | None:
+    """Collect a finished probe's JSON record (None if it printed none)."""
+    out, _ = live["proc"].communicate(timeout=10)
+    for line in (out or "").splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
     return None
 
 
-def _measure(config: str) -> dict:
-    """-> {"per_layer": best valid sec/layer (or None), "z": ..., "quality"}.
+def _khi_ok(rec, samples, n, floor) -> bool:
+    # is THIS high-k record valid on its own (sync tier) or via
+    # k-monotonicity against an earlier lower-k record?  The warm
+    # record alone must never end the loop: a compile-dominated k=1
+    # number is exactly the round-2 heavyhex 0.904 layers/s failure.
+    if rec is None or rec["wall_seconds"] < 2.0:
+        return False
+    if rec["wall_seconds"] / (rec["k"] * n) < floor:
+        return False
+    if rec.get("z") is not None or rec.get("sync_seconds", 0.0) >= 1.0:
+        return True
+    return any(
+        l["k"] < rec["k"] and rec["wall_seconds"] > l["wall_seconds"]
+        for l in samples
+    )
 
-    Sampling order is k_hi FIRST: with the scan-groups HLO the remote
-    compile is ~45 s, so the k_hi sample is already compile-amortized
-    and self-valid when its sync blocks.  A k_hi sample that comes back
-    invalid (poisoned dispatch chain: instant sync failure / sub-floor
-    wall) is retried once in a fresh subprocess (VERDICT r2 item 1);
-    the k_lo probe runs only if the sync tier never lands, as the
-    k-monotonicity fallback partner.  (A cross-process warm was
-    measured useless on 2026-08-17: the service compiled the identical
-    HLO freshly in each process.)
 
-    Validity per the module docstring: real wall, real (blocking) sync or
-    a downloaded z, and per-layer >= the config's physical floor.  All
-    overheads inflate wall, so k*n/wall is a throughput the device
-    provably sustained — conservative, and the poisoned-chain signatures
-    (instant sync failure, k_hi faster than k_lo, sub-floor per-layer)
-    are each rejected."""
-    n, k_lo, k_hi, floor = CONFIGS[config]
-    samples = []
+# Per-probe client-side cap.  A timed-out probe is killed but its remote
+# compile keeps running server-side, so the SAME-k retry usually lands
+# compute-only via the service's cross-process program cache (measured:
+# heavyhex k=63 retry 3.2 s after two 300 s timeouts).
+PROBE_CAP_S = 300.0
 
-    def probe(k):
-        if _remaining() < 60.0:
-            print(f"# budget exhausted before {config} k={k}", file=sys.stderr)
-            return None
-        rec = _sample(config, n, k)
-        if rec is None:
-            print(f"# {config} n={n} k={k}: probe failed/timeout", file=sys.stderr)
-            return None
-        print(
-            "# {config} n={n} k={k}: wall={w:.1f}s sync={s:.1f}s z={z}".format(
-                config=config, n=n, k=k, w=rec["wall_seconds"],
-                s=rec.get("sync_seconds", -1.0), z=rec.get("z"),
-            ),
-            file=sys.stderr,
+
+def _measure_all(results: dict) -> None:
+    """Concurrent per-config sampling scheduler (round-3 rework).
+
+    Rounds 1-2 sampled configs SEQUENTIALLY and two driver runs ended
+    rc=124 with chi32/chi64 null: on a congested tunnel the first two
+    configs' compile+queue walls (50-500 s each) ate the whole budget.
+    Remote compiles are server-side and overlap freely, so the scheduler
+    now launches ALL four configs' k_hi probes at t=0 and polls:
+
+      - probe finished valid (sync tier per _khi_ok) -> config resolved;
+        any leftover budget keeps launching SAME-k extra samples (fresh
+        seeds, compute-only via the service program cache) since the
+        tunnel is bursty (identical cached programs measured 47 s vs
+        >300 s minutes apart) and the best valid sample is the record;
+      - probe finished poisoned -> immediate same-k relaunch (fresh
+        process un-poisons; the program cache makes it cheap);
+      - probe hit PROBE_CAP_S -> kill + same-k relaunch (the compile
+        survives client death); after two same-k timeouts, shrink k 4x
+        ONLY while the budget still affords a fresh compile (a new k is
+        a new HLO) — late in the budget keep k stable;
+      - near budget end, an unresolved config with a real-wall k_hi
+        sample gets one k_lo probe as its k-monotonicity partner.
+
+    Local tracing/lowering timeshares the single host core, which delays
+    dispatch a little; the dominant wait (remote compile) is fully
+    overlapped.  `results` is updated in place and re-emitted after
+    every landed sample so a driver timeout keeps the best-so-far.
+
+    Budget policy: the base BUDGET_S aims for a clean rc=0 exit, but on
+    a congested window (rehearsal: all four first probes timed out at
+    300 s while a compile that ran 2.5 s minutes earlier queued) some
+    configs stay null at the base deadline.  Completeness beats a clean
+    exit code — incremental emission means a driver kill only truncates
+    — so the deadline EXTENDS to TNQS_BENCH_MAX_S while any config lacks
+    a sync-tier sample, and snaps back once all four are resolved."""
+    max_s = max(BUDGET_S, float(os.environ.get("TNQS_BENCH_MAX_S", "1700")))
+    state = {}
+    for config in CONFIGS:
+        n, k_lo, k_hi, floor = CONFIGS[config]
+        state[config] = {
+            "n": n, "k_lo": k_lo, "k": k_hi, "floor": floor,
+            "samples": [], "timeouts": 0, "live": None,
+            "resolved": False, "klo_done": False,
+        }
+        results[config] = {"per_layer": None, "z": None, "quality": None}
+
+    def rem():
+        deadline = (
+            BUDGET_S
+            if all(st["resolved"] for st in state.values())
+            else max_s
         )
-        samples.append(rec)
-        return rec
+        return deadline - (time.perf_counter() - _T_START)
 
-    def _khi_ok(rec) -> bool:
-        # is THIS high-k record valid on its own (sync tier) or via
-        # k-monotonicity against an earlier lower-k record?  The warm
-        # record alone must never end the loop: a compile-dominated k=1
-        # number is exactly the round-2 heavyhex 0.904 layers/s failure.
-        if rec is None or rec["wall_seconds"] < 2.0:
-            return False
-        if rec["wall_seconds"] / (rec["k"] * n) < floor:
-            return False
-        if rec.get("z") is not None or rec.get("sync_seconds", 0.0) >= 1.0:
-            return True
-        return any(
-            l["k"] < rec["k"] and rec["wall_seconds"] > l["wall_seconds"]
-            for l in samples
+    def record(config, st):
+        best, quality = select_per_layer(
+            st["samples"], st["n"], st["k_lo"], st["k"], st["floor"]
         )
+        z_seen = next(
+            (r["z"] for r in st["samples"] if r.get("z") is not None), None
+        )
+        results[config] = {"per_layer": best, "z": z_seen, "quality": quality}
 
-    for attempt in range(max(REPEATS, 4)):
-        rec = probe(k_hi)
-        if _khi_ok(rec):
+    while True:
+        progressed = False
+        for config, st in state.items():
+            live = st["live"]
+            if live is None:
+                continue
+            rc = live["proc"].poll()
+            age = time.perf_counter() - live["t0"]
+            # fixed cap, NOT min(cap, remaining): a late probe must keep
+            # running to the budget end — killing it early to "retry"
+            # only re-pays ~30-60 s of local lowering, while the live
+            # probe's dispatch is already queued on the server compile
+            # (rehearsal try8: chi64's retries got 136/68/34/17 s caps
+            # and could never even reach dispatch)
+            if rc is None and age < PROBE_CAP_S and rem() > 15.0:
+                continue
+            progressed = True
+            st["live"] = None
+            if rc is None:  # client-side timeout: kill, compile survives
+                live["proc"].kill()
+                try:
+                    live["proc"].communicate(timeout=10)
+                except Exception:
+                    pass
+                st["timeouts"] += 1
+                print(
+                    f"# {config} n={st['n']} k={live['k']}: probe timeout "
+                    f"({age:.0f}s, #{st['timeouts']})",
+                    file=sys.stderr,
+                )
+                # shrink k only while a fresh compile still fits: a new k
+                # is a new HLO; late in the budget the same-k retry rides
+                # the server-side compile already in flight
+                if (
+                    st["timeouts"] >= 2
+                    and st["k"] > 4 * st["k_lo"]
+                    and rem() > 360.0
+                ):
+                    st["k"] = max(st["k_lo"] + 1, st["k"] // 4)
+                    st["timeouts"] = 0
+                continue
+            rec = _reap(live)
+            if rec is None:
+                print(
+                    f"# {config} n={st['n']} k={live['k']}: probe died "
+                    f"(rc={rc})",
+                    file=sys.stderr,
+                )
+                continue
+            print(
+                "# {config} n={n} k={k}: wall={w:.1f}s sync={s:.1f}s z={z}".format(
+                    config=config, n=st["n"], k=rec["k"], w=rec["wall_seconds"],
+                    s=rec.get("sync_seconds", -1.0), z=rec.get("z"),
+                ),
+                file=sys.stderr,
+            )
+            st["samples"].append(rec)
+            if rec["k"] > st["k_lo"] and _khi_ok(rec, st["samples"], st["n"], st["floor"]):
+                st["resolved"] = True
+            record(config, st)
+            _emit(results)
+
+        endgame = rem() < 150.0
+        for config, st in state.items():
+            if st["live"] is not None or rem() < 45.0:
+                continue
+            if not st["resolved"]:
+                if endgame and not st["klo_done"] and any(
+                    r["wall_seconds"] >= 2.0 and r["k"] > st["k_lo"]
+                    for r in st["samples"]
+                ):
+                    # monotonicity partner for an unresolved config
+                    st["klo_done"] = True
+                    st["live"] = _launch(config, st["n"], st["k_lo"])
+                else:
+                    st["live"] = _launch(config, st["n"], st["k"])
+            elif _remaining() > 150.0:
+                # refinement: extra SAME-k samples chase a fast window on
+                # the bursty tunnel; min-per-layer selection keeps the best
+                st["live"] = _launch(config, st["n"], st["k"])
+            progressed = progressed or st["live"] is not None
+        if rem() < 15.0:
             break
-        # a timed-out probe usually leaves the remote compile finishing
-        # server-side, so the SAME-k retry is compute-only via the
-        # cross-process program cache (measured: heavyhex k=63 retry
-        # 3.2 s after two timeouts); only shrink k — a NEW HLO and a
-        # fresh compile — after two same-k failures
-        if rec is None and attempt >= 1 and k_hi > 4 * k_lo:
-            k_hi = max(k_lo + 1, k_hi // 4)
-    best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
-    if best is None or quality != "sync":
-        probe(k_lo)  # k-monotonicity fallback partner
+        if all(st["live"] is None for st in state.values()):
+            break
+        if not progressed:
+            time.sleep(1.0)
 
-    z_seen = next((r["z"] for r in samples if r.get("z") is not None), None)
-    best, quality = select_per_layer(samples, n, k_lo, k_hi, floor)
-    return {"per_layer": best, "z": z_seen, "quality": quality}
+    for st in state.values():  # no stray children past the budget
+        if st["live"] is not None:
+            st["live"]["proc"].kill()
+    for config, st in state.items():
+        record(config, st)
 
 
 def select_per_layer(samples, n, k_lo, k_hi, floor):
@@ -426,47 +534,11 @@ def _emit(results: dict) -> None:
 def main() -> None:
     results: dict = {}
     _emit(results)  # a parseable record exists from second zero
-    for config in ("chi10", "heavyhex", "chi32", "chi64"):
-        if _remaining() < 90.0:
-            print(f"# budget exhausted before {config}", file=sys.stderr)
-            break
-        try:
-            results[config] = _measure(config)
-        except Exception as exc:  # never die without a record
-            print(f"# {config} failed: {exc!r}", file=sys.stderr)
-            results[config] = {"per_layer": None, "z": None, "quality": None}
-        _emit(results)
-
-    # refinement: spend any leftover budget tightening the headline
-    # bounds (k*n/wall is a lower bound on throughput; doubling k halves
-    # the compile term's share of the wall) — chi10 first, then heavyhex
-    for config in ("chi10", "heavyhex", "chi32", "chi64"):
-        while _remaining() > 120.0 and results.get(config, {}).get("per_layer"):
-            n, k_lo, k_hi, floor = CONFIGS[config]
-            if k_hi >= 1023:
-                break
-            k_new = min(2 * k_hi + 1, 1023)
-            # only escalate if the projected wall (measured per-layer rate
-            # × work + warm-cache compile margin) fits what's left —
-            # a timed-out sample wastes the whole budget slice
-            projected = results[config]["per_layer"] * k_new * n + 60.0
-            if projected > _remaining() - 90.0:
-                print(
-                    f"# {config} refinement k={k_new} projected "
-                    f"{projected:.0f}s exceeds the sample budget; stopping",
-                    file=sys.stderr,
-                )
-                break
-            CONFIGS[config] = (n, k_lo, k_new, floor)
-            print(f"# refining {config} with k={k_new}", file=sys.stderr)
-            try:
-                r2 = _measure(config)
-            except Exception as exc:
-                print(f"# {config} refinement failed: {exc!r}", file=sys.stderr)
-                break
-            if r2.get("per_layer") and r2["per_layer"] < results[config]["per_layer"]:
-                results[config] = r2
-            _emit(results)
+    try:
+        _measure_all(results)
+    except Exception as exc:  # never die without a record
+        print(f"# scheduler failed: {exc!r}", file=sys.stderr)
+    _emit(results)
 
 
 if __name__ == "__main__":

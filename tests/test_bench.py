@@ -91,3 +91,83 @@ def test_emit_is_parseable_with_no_results(capsys):
     rec = json.loads(line)
     assert rec["metric"] == "tfim_5x5_chi10_layers_per_sec"
     assert rec["value"] is None
+
+
+class _FakeProc:
+    def __init__(self):
+        self.killed = False
+
+    def poll(self):
+        return 0
+
+    def kill(self):
+        self.killed = True
+
+    def communicate(self, timeout=None):
+        return "", ""
+
+
+def test_scheduler_resolves_all_configs_concurrently(monkeypatch):
+    """_measure_all fills every config from concurrent probes, retrying a
+    poisoned first sample (round-2 heavyhex failure mode) same-k."""
+    launches = []
+    heavyhex_tries = [0]
+
+    def fake_launch(config, n, k):
+        launches.append((config, k))
+        import time as _t
+
+        return {"proc": _FakeProc(), "t0": _t.perf_counter(), "k": k, "cfg": config}
+
+    def fake_reap(live):
+        k = live["k"]
+        config = live["cfg"]
+        if config == "heavyhex" and heavyhex_tries[0] == 0:
+            heavyhex_tries[0] += 1
+            return _rec(k, 0.4, sync=0.001)  # poisoned chain
+        return _rec(k, 50.0, sync=50.0)
+
+    monkeypatch.setattr(bench, "_launch", fake_launch)
+    monkeypatch.setattr(bench, "_reap", fake_reap)
+    # mid-endgame budget: no refinement loop, but retries still allowed
+    import time as _t
+
+    monkeypatch.setattr(bench, "_T_START", _t.perf_counter() - (bench.BUDGET_S - 100.0))
+    results = {}
+    bench._measure_all(results)
+    assert set(results) == set(bench.CONFIGS)
+    for config, res in results.items():
+        assert res["per_layer"] is not None, config
+        assert res["quality"] == "sync"
+    # the poisoned heavyhex sample triggered a same-k retry
+    assert sum(1 for c, _ in launches if c == "heavyhex") == 2
+
+
+def test_scheduler_extends_budget_for_unresolved_configs(monkeypatch):
+    """Past the base budget, unresolved configs keep sampling (deadline
+    extends to TNQS_BENCH_MAX_S); once resolved the loop exits."""
+    tries = {c: 0 for c in bench.CONFIGS}
+
+    def fake_launch(config, n, k):
+        tries[config] += 1
+        import time as _t
+
+        return {"proc": _FakeProc(), "t0": _t.perf_counter(), "k": k, "cfg": config}
+
+    def fake_reap(live):
+        cfg = live["cfg"]
+        if cfg == "chi64" and tries[cfg] < 3:
+            return None  # probe died (congestion) — twice
+        return _rec(live["k"], 50.0, sync=50.0)
+
+    monkeypatch.setattr(bench, "_launch", fake_launch)
+    monkeypatch.setattr(bench, "_reap", fake_reap)
+    import time as _t
+
+    # already past the base budget: only the extension allows sampling
+    monkeypatch.setattr(bench, "_T_START", _t.perf_counter() - bench.BUDGET_S - 10.0)
+    monkeypatch.setenv("TNQS_BENCH_MAX_S", str(bench.BUDGET_S + 2000.0))
+    results = {}
+    bench._measure_all(results)
+    assert tries["chi64"] == 3
+    assert all(res["per_layer"] is not None for res in results.values())
