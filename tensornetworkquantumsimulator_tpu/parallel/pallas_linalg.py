@@ -119,6 +119,13 @@ def _eigh_kernel(br_ref, bi_ref, w_ref, vr_ref, vi_ref, *, n, sweeps):
         absb = m * hyp
         ur = jnp.where(nz, x / hsafe, 1.0)  # u = b/|b| (phase)
         ui = jnp.where(nz, y / hsafe, 0.0)
+        # first-order renormalization: hardware div/sqrt approximations
+        # can leave |u| = 1 ± O(1e-6); a non-unit phase makes J
+        # non-unitary and the error COMPOUNDS over sweeps·(n−1) rounds
+        # (the hardware-vs-interpret physics gap, BASELINE.md round-3
+        # gate).  One Newton step costs 4 VPU ops and squares the error.
+        su = 1.5 - 0.5 * (ur * ur + ui * ui)
+        ur, ui = ur * su, ui * su
         safe = jnp.where(nz, absb, 1.0)
         tau = (c_next - d) / (2.0 * safe)
         # t = sign(τ)/(|τ|+√(1+τ²)); τ→±inf ⇒ t→0 (identity rotation)
@@ -126,7 +133,11 @@ def _eigh_kernel(br_ref, bi_ref, w_ref, vr_ref, vi_ref, *, n, sweeps):
             jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)
         )
         t = jnp.where(nz, t, 0.0)
-        cs = jax.lax.rsqrt(1.0 + t * t)
+        one_t2 = 1.0 + t * t
+        cs = jax.lax.rsqrt(one_t2)
+        # Newton-refine rsqrt (TPU VPU rsqrt is an approximation):
+        # r ← r·(1.5 − 0.5·x·r²) squares the relative error
+        cs = cs * (1.5 - 0.5 * one_t2 * cs * cs)
         sn = t * cs
         CS, SN = pairfull(cs), pairfull(sn)
         UR, UI = pairfull(ur), pairfull(ui)
@@ -194,13 +205,14 @@ def _eigh_kernel(br_ref, bi_ref, w_ref, vr_ref, vi_ref, *, n, sweeps):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sweeps", "block", "interpret")
+    jax.jit, static_argnames=("sweeps", "block", "interpret", "polish")
 )
 def jacobi_eigh(
     h: jax.Array,
     sweeps: int | None = None,
     block: int | None = None,
     interpret: bool | None = None,
+    polish: bool = True,
 ):
     """Batched hermitian eigendecomposition as ONE Pallas TPU kernel.
 
@@ -264,6 +276,26 @@ def jacobi_eigh(
     v = (vr + 1j * vi).astype(h.dtype).transpose(2, 0, 1)[:Bsz]
     # V = Lᵀ W (undo the initial row permutation), then sort ascending
     v = v[:, inv, :]
+    if polish:
+        # Two-pass compensation (BASELINE.md round-3 gate: the raw
+        # kernel's hardware drift is (3e-4, 1e-3] per 10 layers, ~100×
+        # the default path).  The in-kernel f32/VPU rounding shows up as
+        # (a) V drifting from unitarity and (b) absolute eigenvalue
+        # error — which `_pseudo_roots`' 1/√w amplifies ~100× near its
+        # cutoff.  One Newton–Schulz step pulls V to the nearest unitary
+        # (error squared), then a Rayleigh quotient re-extracts w from
+        # the ORIGINAL matrix through the polished V (second-order in
+        # the residual subspace mixing).  Three batched f32 matmuls on
+        # the MXU — negligible next to the kernel's VPU rounds.
+        prec = jax.lax.Precision.HIGHEST
+        vh = jnp.conj(jnp.swapaxes(v, -1, -2))
+        g = jnp.matmul(vh, v, precision=prec)
+        eye = jnp.eye(n, dtype=v.dtype)
+        v = jnp.matmul(v, 1.5 * eye - 0.5 * g, precision=prec)
+        hv = jnp.matmul(h, v, precision=prec)
+        w = jnp.real(jnp.einsum("bji,bji->bi", jnp.conj(v), hv, precision=prec)).astype(
+            jnp.float32
+        )
     order = jnp.argsort(w, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)
     v = jnp.take_along_axis(v, order[:, None, :], axis=-1)

@@ -152,3 +152,34 @@ def test_engine_layer_with_jacobi_eigh(monkeypatch):
     z_all, x_all = run("jacobi", "gram", "polar")
     np.testing.assert_allclose(np.real(z_all), np.real(z_def), atol=2e-3)
     np.testing.assert_allclose(np.real(x_all), np.real(x_def), atol=2e-3)
+
+
+def test_jacobi_eigh_polish_on_ill_conditioned_psd():
+    """The two-pass polish (BASELINE.md round-3 gate follow-up) must hold
+    eigen-accuracy on the `_pseudo_roots` regime — PSD batches whose small
+    eigenvalues sit near the 10·eps cutoff, where 1/sqrt(w) amplifies any
+    eigenvalue error ~100x."""
+    rng = np.random.default_rng(11)
+    B, n = 8, 12
+    q, _ = np.linalg.qr(
+        rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
+    )
+    # spectrum spanning 1 .. 1e-6 (straddles the f32 pseudo-inverse cutoff)
+    w_true = np.logspace(0, -6, n)[None, :] * np.ones((B, 1))
+    a = (q * w_true[:, None, :]) @ np.conj(np.swapaxes(q, -1, -2))
+    a = ((a + np.conj(np.swapaxes(a, -1, -2))) / 2).astype(np.complex64)
+
+    w, v = jacobi_eigh(jnp.asarray(a), interpret=True, polish=True)
+    w, v = np.asarray(w), np.asarray(v)
+    # unitarity after one Newton-Schulz step: error is squared
+    gram = np.einsum("bji,bjk->bik", np.conj(v), v)
+    assert np.abs(gram - np.eye(n)).max() < 3e-6
+    # Rayleigh-refreshed eigenvalues: absolute error at the f32
+    # backward-stable bound, including for the SMALL eigenvalues
+    w_ref = np.linalg.eigvalsh(a.astype(np.complex128))
+    assert np.max(np.abs(np.sort(w, axis=-1) - w_ref)) < 2e-6
+
+    # the raw kernel is allowed to be (and the polish must not be) worse
+    w0, v0 = jacobi_eigh(jnp.asarray(a), interpret=True, polish=False)
+    gram0 = np.einsum("bji,bjk->bik", np.conj(np.asarray(v0)), np.asarray(v0))
+    assert np.abs(gram - np.eye(n)).max() <= np.abs(gram0 - np.eye(n)).max() + 1e-7
