@@ -337,7 +337,15 @@ def bisect(n_layers: int) -> None:
     # cache-miss compile masquerading as the penalty.  A misread can
     # only stop the ladder early, i.e. LOOSEN the reported bound, never
     # tighten it.
-    penalty = 3_000_000
+    # The penalty must dominate the 200 s decision threshold at the speed
+    # of the PATH UNDER TEST: the first jacobi+polish ladder read every
+    # rung "pass" but the control ran 3M penalty layers in 81 s (the
+    # jacobi path executes the penalty workload ~4x faster than the
+    # default path the 3M sizing assumed) and channel_ok=False correctly
+    # voided the run.  Gating a faster path needs a proportionally larger
+    # penalty — a runtime knob, so the resized rerun reuses the cached
+    # compiled program.
+    penalty = int(os.environ.get("TNQS_BISECT_PENALTY", "3000000"))
     decision_s = 200.0
     seed_ctr = [0]
 
