@@ -270,12 +270,24 @@ def verify(
 
         def pbody(_i, s):
             s2, _errs = layer_fn(s)
-            return s2
+            # de-converge: repeated application of one fixed layer drives
+            # the state to a fixed point where every data-dependent
+            # while_loop inside (BP convergence, QDWH) exits almost
+            # immediately — measured 2026-08-17: the jacobi-path penalty
+            # marginal cost collapsed to ~1.4 us/layer (3M→81 s but
+            # 15M→98 s), voiding the channel (control < decision).
+            # Rolling tensors and messages across the vertex axis
+            # scrambles the network every iteration, so each floor and
+            # penalty layer pays the true non-converged per-layer cost.
+            return s2._replace(
+                tensors=jnp.roll(s2.tensors, 1, axis=0),
+                messages=jnp.roll(s2.messages, 1, axis=0),
+            )
 
         st2 = jax.lax.fori_loop(0, steps, pbody, st)
         return z_all(st2)
 
-    # penalties up to 3M hold exactly in f32 (< 2^24)
+    # penalties below 2^24 = 16.7M hold exactly in f32
     knobs = np.array([tol, float(penalty)] + [0.0] * 6, np.float32)
     compiled = jax.jit(run).lower(state, knobs).compile()
     t0 = time.perf_counter()
