@@ -251,13 +251,16 @@ def verify(
     assert ref.shape[0] >= n_layers
     ref = ref[:n_layers]
 
-    # mandatory layers: poisoned chains can't fake a pass (env override
-    # for CPU smoke tests only — the TPU ladder always uses the default)
-    FLOOR = int(os.environ.get("TNQS_VERIFY_FLOOR", "200000"))
+    # mandatory layers: poisoned chains can't fake a pass.  A runtime
+    # knob (like tol/penalty) so ladders can size it without recompiles;
+    # 100k de-converged layers cost ≥ ~25 s on the fastest measured path
+    # while keeping pass walls well under the decision threshold.
+    FLOOR = int(os.environ.get("TNQS_VERIFY_FLOOR", "100000"))
 
     def run(st, knobs):
         tol_in = knobs[0]
         penalty_in = knobs[1].astype(jnp.int32)
+        floor_in = knobs[2].astype(jnp.int32)
 
         def body(s, _):
             s, _errs = layer_fn(s)
@@ -266,7 +269,7 @@ def verify(
 
         st, traj = jax.lax.scan(body, st, None, length=n_layers)
         delta = jnp.max(jnp.abs(traj - ref))
-        steps = jnp.where(delta <= tol_in, FLOOR, FLOOR + penalty_in)
+        steps = jnp.where(delta <= tol_in, floor_in, floor_in + penalty_in)
 
         def pbody(_i, s):
             s2, _errs = layer_fn(s)
@@ -288,7 +291,7 @@ def verify(
         return z_all(st2)
 
     # penalties below 2^24 = 16.7M hold exactly in f32
-    knobs = np.array([tol, float(penalty)] + [0.0] * 6, np.float32)
+    knobs = np.array([tol, float(penalty), float(FLOOR)] + [0.0] * 5, np.float32)
     compiled = jax.jit(run).lower(state, knobs).compile()
     t0 = time.perf_counter()
     out = compiled(state, knobs)
@@ -390,7 +393,8 @@ def bisect(n_layers: int) -> None:
     last_pass, first_fail = None, None
     for tol in ladder:
         status, wall = "error", None
-        for attempt in range(3):  # retry infra errors / ambiguous fails
+        fails = 0
+        for attempt in range(4):  # retry infra errors; confirm fails
             t0 = time.perf_counter()
             rec = run_verify(tol, penalty)
             wall = rec["wall_seconds"] if rec else None
@@ -407,27 +411,43 @@ def bisect(n_layers: int) -> None:
                   file=sys.stderr, flush=True)
             if status == "pass":
                 break
-            # a fail could be a service-cache miss paying the compile:
-            # one fresh-seed retry settles it (two independent >170 s
-            # walls cannot both be compile at the measured cache rates)
-            if status == "fail" and attempt == 0:
-                continue
+            # a single >decision reading can be a queue burst or a
+            # service-cache miss paying the compile; a genuine fail
+            # (floor+penalty ≈ 50× a pass wall) re-reads >decision on a
+            # fresh seed too, so require TWO fail readings — regardless
+            # of how many poisoned/error attempts came between (the
+            # round-3 1e-5 misread was error→228 s, recorded off one
+            # ambiguous reading because the retry keyed on attempt==0)
             if status == "fail":
-                break
-        if status == "pass":
-            last_pass = tol
-        elif status == "error":
-            break  # infra failure: report the bracket found so far
-        else:
+                fails += 1
+                if fails >= 2:
+                    break
+        if fails >= 2:
             first_fail = tol
             break
+        elif status == "pass":
+            last_pass = tol
+        else:
+            break  # infra failure: report the bracket found so far
 
     # channel control: tol=-1 forces the penalty branch (delta ≥ 0 > -1
     # is impossible to pass).  Same program (runtime knobs).  A fast
     # wall here means the chain did not really execute (poisoned) — the
-    # ladder's "pass" walls would then be meaningless.
-    control = run_verify(-1.0, penalty)
-    control_wall = control and control.get("wall_seconds")
+    # ladder's "pass" walls would then be meaningless.  Poisoned chains
+    # hit the control like any rung (round-3: a 0.61 s control voided an
+    # otherwise-complete ladder), so it gets the same retry policy.
+    control_wall = None
+    for _attempt in range(3):
+        control = run_verify(-1.0, penalty)
+        if control is None or not control.get("executed", True):
+            print(
+                f"# control: poisoned/failed chain "
+                f"(wall={control and control.get('wall_seconds')}), retrying",
+                file=sys.stderr, flush=True,
+            )
+            continue
+        control_wall = control.get("wall_seconds")
+        break
     # the control must be distinctly SLOWER than the passes: at least
     # the decision threshold (penalty 3M layers ≥ 300 s even at the
     # fastest measured per-layer time)
