@@ -332,8 +332,35 @@ def bp_update(
 
 def _pseudo_roots(m):
     """(√M, 1/√M) of hermitian environment batches with cutoff zeroing
-    (`utils.jl:18-26`, batched); padded/dummy directions stay exactly zero."""
+    (`utils.jl:18-26`, batched); padded/dummy directions stay exactly zero.
+
+    On the Jacobi path (TNQS_EIGH_ALG ∈ {jacobi, auto-with-small-n}) the
+    WHOLE stage — eigh, polish, clip, both reconstructions — runs as one
+    fused Pallas kernel (`pallas_linalg.jacobi_pseudo_roots`), replacing
+    ~15 launch-bound XLA kernels; TNQS_ROOTS_FUSED=0 keeps the kernel
+    eigh + XLA reconstruction split for A/B."""
     m = 0.5 * (m + jnp.conj(jnp.swapaxes(m, -1, -2)))
+    alg = os.environ.get("TNQS_EIGH_ALG", "default")
+    n = m.shape[-1]
+    is_x64 = jnp.finfo(jnp.zeros((), m.dtype).real.dtype).bits >= 64
+    use_jacobi = m.ndim >= 3 and not is_x64 and (
+        alg == "jacobi"
+        or (
+            alg == "auto"
+            and n <= _JACOBI_AUTO_MAX_N
+            and jax.default_backend() == "tpu"
+        )
+    )
+    if use_jacobi and os.environ.get("TNQS_ROOTS_FUSED", "1") != "0":
+        from .pallas_linalg import jacobi_pseudo_roots, roots_kernel_supported
+
+        flat = m.reshape((-1,) + m.shape[-2:])
+        if roots_kernel_supported(n, flat.shape[0]):
+            root, inv_root = jacobi_pseudo_roots(flat)
+            return (
+                root.reshape(m.shape),
+                inv_root.reshape(m.shape),
+            )
     w, u = _eigh(m)
     eps = jnp.finfo(w.dtype).eps
     wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)

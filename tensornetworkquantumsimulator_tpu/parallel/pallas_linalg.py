@@ -61,9 +61,13 @@ def _lay0(n: int) -> np.ndarray:
     return out
 
 
-def _eigh_kernel(br_ref, bi_ref, w_ref, vr_ref, vi_ref, *, n, sweeps):
+def _jacobi_rounds(Br, Bi, *, n, sweeps):
+    """The parallel-ordered cyclic Jacobi sweep loop on [n, n, G] re/im
+    planes.  Shared by the eigh kernel and the fused pseudo-roots kernel;
+    returns ``(Br, Bi, Wr, Wi)`` with B diagonalized and W the accumulated
+    rotations (eigenvectors as columns, in the adjacent-pair layout)."""
     f32 = jnp.float32
-    G = br_ref.shape[-1]
+    G = Br.shape[-1]
     row3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
     col3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
     eye3 = (row3 == col3).astype(f32)
@@ -193,12 +197,18 @@ def _eigh_kernel(br_ref, bi_ref, w_ref, vr_ref, vi_ref, *, n, sweeps):
         Wr, Wi = reseat(Wr, 1), reseat(Wi, 1)
         return Br, Bi, Wr, Wi
 
-    Br, Bi = br_ref[:], bi_ref[:]
     Wr = jnp.zeros((n, n, G), f32) + eye3
     Wi = jnp.zeros((n, n, G), f32)
-    Br, Bi, Wr, Wi = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, sweeps * (n - 1), round_body, (Br, Bi, Wr, Wi)
     )
+
+
+def _eigh_kernel(br_ref, bi_ref, w_ref, vr_ref, vi_ref, *, n, sweeps):
+    Br, Bi, Wr, Wi = _jacobi_rounds(br_ref[:], bi_ref[:], n=n, sweeps=sweeps)
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    eye3 = (row3 == col3).astype(jnp.float32)
     w_ref[:] = jnp.sum(Br * eye3, axis=1)
     vr_ref[:] = Wr
     vi_ref[:] = Wi
@@ -300,3 +310,170 @@ def jacobi_eigh(
     w = jnp.take_along_axis(w, order, axis=-1)
     v = jnp.take_along_axis(v, order[:, None, :], axis=-1)
     return w, v
+
+
+# ---------------------------------------------------------------------------
+# fused pseudo-roots kernel: eigh → polish → cutoff-clipped √M, 1/√M
+# ---------------------------------------------------------------------------
+#
+# The simple-update environment stage (`engine._pseudo_roots`,
+# `utils.jl:18-26` semantics) is eigh + eigenvalue clip + FOUR dense
+# reconstructions (U·√w·U†, U·w^{-1/2}·U†) plus, on the Jacobi path, the
+# two-pass polish (3 matmuls) and an argsort — ~15 XLA kernel launches
+# after the eigh kernel returns, each paying launch latency and an HBM
+# round-trip of the [B, n, n] batch.  At χ ≤ 24 the whole layer is
+# launch-bound (BASELINE.md: 0.10 ms/layer with eigh fused, the rest
+# XLA), so this kernel keeps EVERYTHING in VMEM: Jacobi rounds, in-kernel
+# Newton–Schulz unitarity polish, Rayleigh eigenvalue re-extraction from
+# the original matrix, cutoff clip, and both root reconstructions — one
+# Mosaic launch, two [B, n, n] outputs.  Eigenvalue ordering is skipped
+# entirely (roots are basis-function reconstructions, sort-invariant).
+#
+# The matmul-shaped steps run as n-step unrolled outer-product
+# accumulations on [n, n, G] planes (the lane-batched layout cannot feed
+# the MXU); at n ≤ 24 that is ~6·n plane passes ≈ 25% of the Jacobi
+# rounds' traffic — cheap next to the ~15 launches it removes.  VERDICT
+# round-2 item 3 scoping note: fusing the FULL simple update (QR at
+# M = χ³ rows, theta SVD at n = 4χd) into the kernel was analyzed and
+# rejected — those stages are VPU-bandwidth-bound in this layout (the
+# n = 40 eigh A/B in BASELINE.md measured 4× slower than the whole
+# default layer), while XLA runs them on the MXU.
+
+
+def _cmm_planes(ar, ai, br, bi, n, mode):
+    """Complex matmul on [n, n, G] planes via n unrolled outer products.
+
+    mode "NN": C = A·B (contract A's col k with B's row k)
+    mode "hN": C = A†·B (contract rows i; C[k,l] = Σ_i conj(A[i,k]) B[i,l])
+    """
+    cr = jnp.zeros_like(ar)
+    ci = jnp.zeros_like(ai)
+    for k in range(n):
+        if mode == "NN":
+            xr, xi = ar[:, k][:, None, :], ai[:, k][:, None, :]
+            yr, yi = br[k][None, :, :], bi[k][None, :, :]
+        else:  # "hN": conj(A) row i becomes the output-row index
+            xr, xi = ar[k][:, None, :], -ai[k][:, None, :]
+            yr, yi = br[k][None, :, :], bi[k][None, :, :]
+        cr = cr + xr * yr - xi * yi
+        ci = ci + xr * yi + xi * yr
+    return cr, ci
+
+
+def _roots_kernel(
+    br_ref, bi_ref, rr_ref, ri_ref, sr_ref, si_ref, *, n, sweeps, polish
+):
+    f32 = jnp.float32
+    Ar, Ai = br_ref[:], bi_ref[:]
+    Br, Bi, Wr, Wi = _jacobi_rounds(Ar, Ai, n=n, sweeps=sweeps)
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    eye3 = (row3 == col3).astype(f32)
+    w = jnp.sum(Br * eye3, axis=1)  # [n, G] (layout order — never sorted)
+
+    if polish:
+        # Newton–Schulz: W ← W·(1.5·I − 0.5·W†W) (unitarity error squared)
+        gr, gi = _cmm_planes(Wr, Wi, Wr, Wi, n, "hN")
+        mr = 1.5 * eye3 - 0.5 * gr
+        mi = -0.5 * gi
+        Wr, Wi = _cmm_planes(Wr, Wi, mr, mi, n, "NN")
+        # Rayleigh re-extraction from the ORIGINAL (permuted-basis) matrix:
+        # w[k] = Re Σ_i conj(W[i,k]) (A·W)[i,k]
+        awr, awi = _cmm_planes(Ar, Ai, Wr, Wi, n, "NN")
+        w = jnp.sum(Wr * awr + Wi * awi, axis=0)  # [n, G]
+
+    # cutoff clip (`utils.jl:18-26`; identical to engine._pseudo_roots)
+    eps = jnp.finfo(f32).eps
+    wmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    good = w > 10.0 * eps * jnp.maximum(wmax, eps)
+    safe = jnp.where(good, w, 1.0)
+    sqw = jnp.where(good, jnp.sqrt(safe), 0.0)
+    isqw = jnp.where(good, 1.0 / jnp.sqrt(safe), 0.0)
+
+    # root = Σ_k f(w_k) · W[:,k] ⊗ conj(W[:,k])  (both roots in one pass)
+    rr = jnp.zeros((n, n) + Ar.shape[2:], f32)
+    ri = jnp.zeros_like(rr)
+    sr = jnp.zeros_like(rr)
+    si = jnp.zeros_like(rr)
+    for k in range(n):
+        cr_, ci_ = Wr[:, k], Wi[:, k]  # [n, G]
+        pr = cr_[:, None, :] * cr_[None, :, :] + ci_[:, None, :] * ci_[None, :, :]
+        pi = ci_[:, None, :] * cr_[None, :, :] - cr_[:, None, :] * ci_[None, :, :]
+        fk = sqw[k][None, None, :]
+        gk = isqw[k][None, None, :]
+        rr = rr + fk * pr
+        ri = ri + fk * pi
+        sr = sr + gk * pr
+        si = si + gk * pi
+    rr_ref[:] = rr
+    ri_ref[:] = ri
+    sr_ref[:] = sr
+    si_ref[:] = si
+
+
+def roots_kernel_supported(n: int, batch: int) -> bool:
+    """Shape gate for the fused kernel (even n; unroll- and VMEM-bounded)."""
+    return n % 2 == 0 and 4 <= n <= 40 and batch > 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sweeps", "block", "interpret", "polish")
+)
+def jacobi_pseudo_roots(
+    h: jax.Array,
+    sweeps: int | None = None,
+    block: int | None = None,
+    interpret: bool | None = None,
+    polish: bool = True,
+):
+    """(√M, 1/√M) of a hermitian PSD batch as ONE Pallas TPU kernel.
+
+    ``h``: [B, n, n] complex64 hermitian batch.  Returns ``(root,
+    inv_root)`` with eigenvalues ≤ 10·ε·λmax zeroed in both — drop-in for
+    the batched environment pseudo-roots (`engine._pseudo_roots`,
+    reference `utils.jl:18-26`).  Callers gate on
+    ``roots_kernel_supported`` and fall back to the XLA path otherwise.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    Bsz, n, _ = h.shape
+    assert roots_kernel_supported(n, Bsz)
+    if sweeps is None:
+        sweeps = default_sweeps(n)
+    if block is None:
+        block = 128
+
+    lay = _lay0(n)
+    inv = np.argsort(lay).astype(np.int32)
+    hp = h[:, lay][:, :, lay]  # adjacent-pair basis
+    br = jnp.real(hp).astype(jnp.float32)
+    bi = jnp.imag(hp).astype(jnp.float32)
+    pad = (-Bsz) % block
+    br = jnp.pad(br, ((0, pad), (0, 0), (0, 0))).transpose(1, 2, 0)
+    bi = jnp.pad(bi, ((0, pad), (0, 0), (0, 0))).transpose(1, 2, 0)
+    Bp = Bsz + pad
+
+    spec3 = pl.BlockSpec((n, n, block), lambda i: (0, 0, i))
+    rr, ri, sr, si = pl.pallas_call(
+        functools.partial(_roots_kernel, n=n, sweeps=sweeps, polish=polish),
+        grid=(Bp // block,),
+        in_specs=[spec3, spec3],
+        out_specs=[spec3, spec3, spec3, spec3],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, n, Bp), jnp.float32) for _ in range(4)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(br, bi)
+
+    def unpack(xr, xi):
+        m = (xr + 1j * xi).astype(h.dtype).transpose(2, 0, 1)[:Bsz]
+        return m[:, inv][:, :, inv]  # undo the layout permutation
+
+    return unpack(rr, ri), unpack(sr, si)

@@ -8,6 +8,8 @@ import pytest
 from tensornetworkquantumsimulator_tpu.parallel.pallas_linalg import (
     default_sweeps,
     jacobi_eigh,
+    jacobi_pseudo_roots,
+    roots_kernel_supported,
 )
 
 
@@ -183,3 +185,158 @@ def test_jacobi_eigh_polish_on_ill_conditioned_psd():
     w0, v0 = jacobi_eigh(jnp.asarray(a), interpret=True, polish=False)
     gram0 = np.einsum("bji,bjk->bik", np.conj(np.asarray(v0)), np.asarray(v0))
     assert np.abs(gram - np.eye(n)).max() <= np.abs(gram0 - np.eye(n)).max() + 1e-7
+
+
+def _xla_pseudo_roots(a):
+    """The engine's XLA reference path, forced (TNQS_ROOTS_FUSED=0 +
+    default eigh) so kernel tests compare against the production math."""
+    import os
+
+    from tensornetworkquantumsimulator_tpu.parallel import engine
+
+    old = {
+        k: os.environ.get(k) for k in ("TNQS_EIGH_ALG", "TNQS_ROOTS_FUSED")
+    }
+    os.environ["TNQS_EIGH_ALG"] = "default"
+    os.environ["TNQS_ROOTS_FUSED"] = "0"
+    try:
+        r, s = engine._pseudo_roots(jnp.asarray(a))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return np.asarray(r), np.asarray(s)
+
+
+def test_fused_pseudo_roots_matches_xla_path():
+    """One-kernel eigh→polish→clip→√M,1/√M vs the engine's XLA stage on
+    the `_pseudo_roots` regime: PSD env batches incl. spectra straddling
+    the 10·eps cutoff and exact identity (padded-slot) envs."""
+    rng = np.random.default_rng(3)
+    B, n = 6, 12
+    q, _ = np.linalg.qr(
+        rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
+    )
+    # spectrum ill-conditioned but clear of the 10·ε·λmax ≈ 1.2e-6 clip
+    # on BOTH sides: values within f32 noise of the cutoff make the
+    # zero-or-keep decision legitimately path-dependent (a rank-1
+    # projector flip), which is not what this test checks
+    w_true = np.concatenate(
+        [np.logspace(0, -5, n - 2), [1e-9, 1e-9]]
+    )[None, :] * np.ones((B, 1))
+    a = (q * w_true[:, None, :]) @ np.conj(np.swapaxes(q, -1, -2))
+    a = ((a + np.conj(np.swapaxes(a, -1, -2))) / 2).astype(np.complex64)
+    a[-1] = np.eye(n)  # a padded/dummy slot
+
+    root, inv = jacobi_pseudo_roots(jnp.asarray(a), interpret=True)
+    root, inv = np.asarray(root), np.asarray(inv)
+    r_ref, s_ref = _xla_pseudo_roots(a)
+
+    # reconstruction agreement: root·root ≈ A.  Element-wise agreement
+    # with the XLA path is NOT asserted on this batch: √M amplifies f32
+    # eigen-perturbations by ~1/(2√λ) ≈ 500× near the 1e-6 end of the
+    # spectrum, so two correct f32 algorithms differ at ~1e-4 there —
+    # the well-conditioned batch below pins element-wise agreement.
+    assert np.linalg.norm(root @ root - a) / np.linalg.norm(a) < 2e-5
+    # inv_root: basis-independent invariants.  (Cross-path element-wise
+    # projector agreement is bounded by ε·λmax/λmin_kept ≈ 1e-2 here —
+    # the resolved subspace itself is only determined to that angle.)
+    p = root @ inv
+    assert (
+        np.linalg.norm(p @ root - root) / np.linalg.norm(root) < 1e-4
+    )  # root·inv acts as identity on the range
+    # both paths must make the same keep/zero decisions (rank parity)
+    rank = np.real(np.trace(p, axis1=-2, axis2=-1))
+    rank_ref = np.real(np.trace(r_ref @ s_ref, axis1=-2, axis2=-1))
+    np.testing.assert_allclose(rank, rank_ref, atol=0.05)
+    np.testing.assert_allclose(rank[:-1], n - 2, atol=0.05)  # 2 null dirs
+    # identity env maps to exact identity roots (mask correctness)
+    assert np.abs(root[-1] - np.eye(n)).max() < 1e-6
+    assert np.abs(inv[-1] - np.eye(n)).max() < 1e-6
+
+    # well-conditioned batch: element-wise agreement with the XLA path
+    w_wc = (0.1 + np.linspace(0, 1, n))[None, :] * np.ones((B, 1))
+    a_wc = (q * w_wc[:, None, :]) @ np.conj(np.swapaxes(q, -1, -2))
+    a_wc = ((a_wc + np.conj(np.swapaxes(a_wc, -1, -2))) / 2).astype(
+        np.complex64
+    )
+    r_wc, s_wc = jacobi_pseudo_roots(jnp.asarray(a_wc), interpret=True)
+    r_wc_ref, s_wc_ref = _xla_pseudo_roots(a_wc)
+    assert np.abs(np.asarray(r_wc) - r_wc_ref).max() < 2e-5
+    assert np.abs(np.asarray(s_wc) - s_wc_ref).max() < 2e-4
+
+
+def test_fused_pseudo_roots_rank_deficient():
+    """Large null space (bond-dim-1 padded environments): null directions
+    must be EXACTLY zeroed in both roots, like the XLA clip."""
+    rng = np.random.default_rng(5)
+    B, n, r = 4, 10, 3
+    q = rng.standard_normal((B, n, r)) + 1j * rng.standard_normal((B, n, r))
+    a = np.einsum("bik,bjk->bij", q, np.conj(q)).astype(np.complex64)
+    a = (a + np.conj(np.swapaxes(a, -1, -2))) / 2
+    root, inv = jacobi_pseudo_roots(jnp.asarray(a), interpret=True)
+    root, inv = np.asarray(root), np.asarray(inv)
+    assert np.linalg.norm(root @ root - a) / np.linalg.norm(a) < 5e-6
+    # pseudo-inverse property on the range: root·inv·root ≈ root
+    assert (
+        np.linalg.norm(root @ inv @ root - root) / np.linalg.norm(root) < 1e-4
+    )
+    w_ref = np.linalg.eigvalsh(a.astype(np.complex128))
+    assert (w_ref[:, : n - r] < 1e-5).all()  # really rank-deficient
+
+
+def test_roots_kernel_supported_gate():
+    assert roots_kernel_supported(10, 1)
+    assert not roots_kernel_supported(9, 1)  # odd n
+    assert not roots_kernel_supported(44, 1)  # VMEM/unroll bound
+    assert not roots_kernel_supported(10, 0)  # empty batch
+
+
+def test_engine_layer_with_fused_roots(monkeypatch):
+    """Full batched Trotter layer: TNQS_EIGH_ALG=jacobi with the fused
+    roots kernel vs the same path with TNQS_ROOTS_FUSED=0 (kernel eigh +
+    XLA reconstruction) — the fusion must not move the physics."""
+    import jax.numpy as jnp
+
+    from tensornetworkquantumsimulator_tpu import (
+        edge_color,
+        named_grid,
+        tensornetworkstate,
+    )
+    from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        BatchedCircuit,
+        batched_from_tns,
+        local_expectations,
+        make_layer_fn,
+    )
+
+    g = named_grid((3, 3))
+    chi = 4
+    psi0 = tensornetworkstate(jnp.complex64, lambda v: "X+", g, "S=1/2")
+    layer = [("Rx", [v], 0.5) for v in g.vertices()]
+    layer += [
+        ("Rzz", pair, 0.25)
+        for group in edge_color(g, 4)
+        for pair in group
+    ]
+    z_op = jnp.asarray(op_matrix("Z", 2))
+
+    def run(fused):
+        monkeypatch.setenv("TNQS_EIGH_ALG", "jacobi")
+        monkeypatch.setenv("TNQS_ROOTS_FUSED", "1" if fused else "0")
+        spec, state = batched_from_tns(psi0, chi=chi)
+        circuit = BatchedCircuit(layer, g, spec=spec)
+        layer_fn = make_layer_fn(
+            circuit, chi=chi, cutoff=1e-8, normalize_tensors=True,
+            bp_maxiter=40, bp_tolerance=1e-7,
+        )
+        for _ in range(2):
+            state, _ = layer_fn(state)
+        return np.asarray(local_expectations(spec, state, z_op))
+
+    z_fused = run(True)
+    z_split = run(False)
+    np.testing.assert_allclose(np.real(z_fused), np.real(z_split), atol=5e-5)
