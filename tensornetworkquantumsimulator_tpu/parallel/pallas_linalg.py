@@ -372,11 +372,17 @@ def _roots_kernel(
     w = jnp.sum(Br * eye3, axis=1)  # [n, G] (layout order — never sorted)
 
     if polish:
-        # Newton–Schulz: W ← W·(1.5·I − 0.5·W†W) (unitarity error squared)
-        gr, gi = _cmm_planes(Wr, Wi, Wr, Wi, n, "hN")
-        mr = 1.5 * eye3 - 0.5 * gr
-        mi = -0.5 * gi
-        Wr, Wi = _cmm_planes(Wr, Wi, mr, mi, n, "NN")
+        # Newton–Schulz: W ← W·(1.5·I − 0.5·W†W), TWICE — each pass
+        # squares the unitarity error, so two passes drive the kernel's
+        # ~1e-6 rotation drift to rounding level.  The hardware physics
+        # ladder measured the single-pass path at (3e-5, 1e-4] per 10
+        # layers vs the ≤3e-5 promotion bar (BASELINE.md round 3); the
+        # second pass costs 2 more n-step plane matmuls (~2% kernel time)
+        for _ in range(2):
+            gr, gi = _cmm_planes(Wr, Wi, Wr, Wi, n, "hN")
+            mr = 1.5 * eye3 - 0.5 * gr
+            mi = -0.5 * gi
+            Wr, Wi = _cmm_planes(Wr, Wi, mr, mi, n, "NN")
         # Rayleigh re-extraction from the ORIGINAL (permuted-basis) matrix:
         # w[k] = Re Σ_i conj(W[i,k]) (A·W)[i,k]
         awr, awi = _cmm_planes(Ar, Ai, Wr, Wi, n, "NN")
