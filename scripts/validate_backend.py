@@ -383,11 +383,18 @@ def bisect(n_layers: int) -> None:
         except subprocess.TimeoutExpired:
             return {"wall_seconds": 3600.0, "executed": True}
 
-    t0 = time.perf_counter()
-    warm = run_verify(1e9, penalty)  # tol=1e9 always passes: floor-only
-    print(f"# warm (compile) wall="
-          f"{warm and warm.get('wall_seconds')} "
-          f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr, flush=True)
+    # tol=1e9 always passes: floor-only.  Retried on poisoned chains —
+    # an unexecuted warm run compiles nothing, so the first rung would
+    # pay the remote compile and misread as a fail (round-3 run 4: warm
+    # wall 0.62 s, executed=False)
+    for _attempt in range(3):
+        t0 = time.perf_counter()
+        warm = run_verify(1e9, penalty)
+        print(f"# warm (compile) wall="
+              f"{warm and warm.get('wall_seconds')} "
+              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr, flush=True)
+        if warm is not None and warm.get("executed", True):
+            break
 
     ladder = [1e-3, 3e-4, 1e-4, 3e-5, 1e-5, 3e-6]
     last_pass, first_fail = None, None
