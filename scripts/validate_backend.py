@@ -311,8 +311,14 @@ def verify(
                 "seed": seed,
                 # wall below the floor workload means the chain never
                 # executed (poisoned) — the parent treats it as an infra
-                # error, not a pass
-                "executed": bool(wall >= 10.0),
+                # error, not a pass.  15 s default: fast-FAILED chains
+                # (round 3) block 5–15 s before raising while executing
+                # nothing, so the old 10 s threshold let one masquerade
+                # as a pass (a fake pass TIGHTENS the reported bound —
+                # the one misread direction the ladder cannot absorb)
+                "executed": bool(
+                    wall >= float(os.environ.get("TNQS_VERIFY_MIN_WALL", "15.0"))
+                ),
                 "wall_seconds": wall,
             }
         ),
