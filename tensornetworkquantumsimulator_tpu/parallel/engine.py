@@ -54,15 +54,14 @@ def _svd_alg() -> str:
 # divide-and-conquer.  "auto" applies it only to SMALL matrices
 # (n ≤ 24) on TPU, where full-layer walls measured 4–14× faster
 # (chi10: 48.6 s / 29.3 s for 511k / 1.02M layers vs 205.6 s default).
-# CAUTION — auto is NOT the default yet: those walls violate
-# k-monotonicity (k=511 faster than k=255) and imply ≤0.03 ms/layer,
-# consistent with degenerate data (NaN/zero collapse making QDWH
-# while_loops exit instantly) rather than real speed; the CPU
-# interpreter A/B passes at 5e-5 but Mosaic-on-hardware physics is
-# unproven.  Validation protocol (timing channel, compile-free):
-# same-HLO second samples of verify(tol=1e-3) vs verify(tol=-1) with
-# unique input seeds — OK physics ⇒ pass-rung wall ≪ control wall;
-# NaN collapse ⇒ equal walls.  See STATUS.md round-3 candidates.
+# Hardware physics state (timing-channel ladders, BASELINE.md round 3):
+# raw kernel (3e-4, 1e-3] per 10 layers — rejected; compensated kernel
+# (in-kernel rotation renorm + Newton–Schulz polish + Rayleigh, fused
+# roots) (3e-5, 1e-4]; double-NS variant is the pending promotion
+# candidate against the ≤3e-5 bar (the default path's bound is ≤3e-6).
+# Speed: fused auto path sustains ≤0.092 ms/layer on the chi10 bench
+# workload (4.4× the 0.40 ms default).  auto stays opt-in until a
+# ladder clears the bar with channel_ok=true.
 _JACOBI_AUTO_MAX_N = 24
 
 
