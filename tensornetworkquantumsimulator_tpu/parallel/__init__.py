@@ -36,7 +36,12 @@ from .loopcorrection import (
 )
 from .truncate import batched_truncate
 from .sharded_bmps import make_sharded_grid_bmps, make_sharded_planar_bmps
-from .sharded_layer import build_layer_groups, make_sharded_layer
+from .sharded_layer import (
+    build_layer_groups,
+    make_sharded_bond_expectations,
+    make_sharded_layer,
+    make_sharded_site_expectations,
+)
 from .sharding import ShardedBPSpec, make_sharded_bp_update, shard_spec
 from .sharding2d import Sharded2DSpec, make_sharded_layer_2d, shard2d_spec
 from .structure import BatchedGraphSpec, SlotPairBucket, compile_graph

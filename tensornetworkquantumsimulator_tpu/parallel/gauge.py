@@ -55,6 +55,38 @@ def _eig_roots(m, rel_cutoff):
     return root, inv_root
 
 
+def _edge_gauge_transforms(X, Y, dtype, rel_cutoff):
+    """Per-edge Vidal-gauge bond transforms from the two messages.
+
+    X/Y are [B, χ, χ] batches (X = the u→v message stored at v, Y = the
+    v→u message stored at u).  Returns (a_u, a_v, ss): absorb a_u into
+    u's bond leg, a_v into v's, and replace both messages with diag(ss).
+
+    Complex-correct construction (see gauge.py): the outgoing message
+    transforms as m' = Aᵀ m Ā, so C = conj(√X)·√Y and the inverse roots
+    enter conjugated; then m'_e = m'_ē = diag(s) exactly and the state is
+    preserved (A_u A_vᵀ = conj(X^{-1/2}) C Y^{-1/2} = 1)."""
+    rootX, inv_rootX = _eig_roots(X, rel_cutoff)
+    rootY, inv_rootY = _eig_roots(Y, rel_cutoff)
+    ce = jnp.einsum(
+        "eij,ejk->eik", jnp.conj(rootX), rootY, precision=_PRECISION
+    )
+    uu, ss, vvh = jnp.linalg.svd(ce, full_matrices=False)
+    sqrt_s = jnp.sqrt(ss).astype(dtype)
+    a_u = (
+        jnp.einsum("eij,ejk->eik", jnp.conj(inv_rootX), uu,
+                   precision=_PRECISION)
+        * sqrt_s[:, None, :]
+    )
+    v = jnp.swapaxes(vvh, -1, -2)  # V̄ = Vhᵀ in the (l, new) layout
+    a_v = (
+        jnp.einsum("eij,ejk->eik", jnp.conj(inv_rootY), v,
+                   precision=_PRECISION)
+        * sqrt_s[:, None, :]
+    )
+    return a_u, a_v, ss
+
+
 def _absorb_on_slot(tensors, idx, slot, transforms):
     """tensors[idx] ← Σ_l T[..., l(slot), ...] A[l, l'] (unique idx rows)."""
     t = tensors[idx]
@@ -80,27 +112,8 @@ def batched_symmetric_gauge(
     X = state.messages[edges[:, 1], edges[:, 3]]  # sent by u, arriving at v
     Y = state.messages[edges[:, 0], edges[:, 2]]  # sent by v, arriving at u
 
-    rootX, inv_rootX = _eig_roots(X, rel_cutoff)
-    rootY, inv_rootY = _eig_roots(Y, rel_cutoff)
-
-    # Complex-correct construction (see gauge.py): the outgoing message
-    # transforms as m' = Aᵀ m Ā, so C = conj(√X)·√Y and the inverse roots
-    # enter conjugated; then m'_e = m'_ē = diag(s) exactly and the state is
-    # preserved (A_u A_vᵀ = conj(X^{-1/2}) C Y^{-1/2} = 1).
-    ce = jnp.einsum(
-        "eij,ejk->eik", jnp.conj(rootX), rootY, precision=_PRECISION
-    )
-    uu, ss, vvh = jnp.linalg.svd(ce, full_matrices=False)
-    sqrt_s = jnp.sqrt(ss).astype(state.tensors.dtype)
-
-    a_u = (
-        jnp.einsum("eij,ejk->eik", jnp.conj(inv_rootX), uu, precision=_PRECISION)
-        * sqrt_s[:, None, :]
-    )
-    v = jnp.swapaxes(vvh, -1, -2)  # V̄ = Vhᵀ in the (l, new) layout
-    a_v = (
-        jnp.einsum("eij,ejk->eik", jnp.conj(inv_rootY), v, precision=_PRECISION)
-        * sqrt_s[:, None, :]
+    a_u, a_v, ss = _edge_gauge_transforms(
+        X, Y, state.tensors.dtype, rel_cutoff
     )
 
     tensors = state.tensors
