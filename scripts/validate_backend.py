@@ -367,7 +367,15 @@ def bisect(n_layers: int) -> None:
     # penalty — a runtime knob, so the resized rerun reuses the cached
     # compiled program.
     penalty = int(os.environ.get("TNQS_BISECT_PENALTY", "3000000"))
-    decision_s = 200.0
+    # The decision threshold must exceed the service queue depth, which on
+    # congested evenings sustains 500-700 s (2026-08-17: a floor-only warm
+    # run took 98 s in-process behind a ~600 s client queue, and rung
+    # walls inflated past the old fixed 200 s, misreading passes as
+    # fails).  Size the pair so penalty×per-layer ≫ decision ≫ queue:
+    # e.g. decision 500 s with a 2M-layer penalty (~1000 s on the
+    # de-converged jacobi path).  Runtime knobs — the cached compiled
+    # program is reused across resizings.
+    decision_s = float(os.environ.get("TNQS_BISECT_DECISION_S", "200"))
     seed_ctr = [0]
 
     def run_verify(tol, pen):

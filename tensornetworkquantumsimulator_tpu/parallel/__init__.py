@@ -39,8 +39,10 @@ from .sharded_bmps import make_sharded_grid_bmps, make_sharded_planar_bmps
 from .sharded_layer import (
     build_layer_groups,
     make_sharded_bond_expectations,
+    make_sharded_gauge,
     make_sharded_layer,
     make_sharded_site_expectations,
+    make_sharded_truncate,
 )
 from .sharding import ShardedBPSpec, make_sharded_bp_update, shard_spec
 from .sharding2d import Sharded2DSpec, make_sharded_layer_2d, shard2d_spec

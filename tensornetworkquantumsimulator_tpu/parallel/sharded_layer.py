@@ -199,6 +199,7 @@ def make_sharded_layer(
     one_site_first: bool = True,
     final_update: bool = True,
     axis: str = "v",
+    initial_update: bool = False,
 ):
     """Build the jitted fully-SPMD Trotter layer
     ``state -> (state, truncation_errors)``.
@@ -270,7 +271,10 @@ def make_sharded_layer(
             )
 
         errs = []
-        applied = False
+        # initial_update forces a BP refresh before the first group even
+        # when no one-site gate dirtied the messages (batched_truncate
+        # semantics: every group is preceded by an update)
+        applied = initial_update
         if gate1 is not None and one_site_first:
             tensors = one_site(tensors)
             applied = True
@@ -431,11 +435,13 @@ def _build_bond_tables(sspec: ShardedBPSpec):
         v_tab = np.zeros((S, B), np.int32)
         valid = np.zeros((S, B), bool)
         pos_tab = np.full((S, B), -1, np.int64)
+        v_pairs: list = [[] for _ in range(S)]
         for s, lst in enumerate(per_shard):
             for i, (lu, lv, pos) in enumerate(lst):
                 u_tab[s, i], valid[s, i], pos_tab[s, i] = lu, True, pos
                 if not with_dir:
                     v_tab[s, i] = lv
+                    v_pairs[s].append((lv, i))
         if with_dir:
             # partner positions, laid out in the SENDER shard's row at the
             # computing shard's lane index (the ppermute then aligns them)
@@ -443,7 +449,12 @@ def _build_bond_tables(sspec: ShardedBPSpec):
                 sender = (s + with_dir) % S
                 for i, (_, lv, _) in enumerate(lst):
                     v_tab[sender, i] = lv
-        return u_tab, v_tab, valid, pos_tab
+                    v_pairs[sender].append((lv, i))
+        u_inv, u_wr = _inverse_table(
+            [[(lu, i) for i, (lu, _, _) in enumerate(lst)]
+             for lst in per_shard], Vl)
+        v_inv, v_wr = _inverse_table(v_pairs, Vl)
+        return u_tab, v_tab, valid, pos_tab, u_inv, u_wr, v_inv, v_wr
 
     out = []
     for (su, sv), entries in sorted(intra.items()):
@@ -534,3 +545,145 @@ def make_sharded_bond_expectations(sspec: ShardedBPSpec, mesh: Mesh, op1,
         return jnp.take(flat, order_j)
 
     return bond_fn
+
+
+def _absorb_rows(rows, slot, transforms):
+    """rows[e] ← Σ_l T[..., l(slot), ...] A[l, l'] on gathered rows."""
+    t2 = jnp.moveaxis(rows, 1 + slot, -1)
+    t2 = jnp.einsum("e...l,elm->e...m", t2, transforms,
+                    precision=_PRECISION)
+    return jnp.moveaxis(t2, -1, 1 + slot)
+
+
+def make_sharded_gauge(sspec: ShardedBPSpec, mesh: Mesh,
+                       rel_cutoff: float | None = None, axis: str = "v"):
+    """Jitted ``state -> (state, spectra[E, χ])``: Vidal/symmetric gauge
+    (`symmetric_gauge.jl:85-114`) on the vertex-sharded state.
+
+    Identical math to `gauge.batched_symmetric_gauge` — each directed
+    (vertex, slot) pair belongs to exactly one edge, so per-bucket
+    sequential processing reads/writes disjoint message slots and the
+    result is bitwise the single-chip one.  Each edge is gauged on the
+    shard owning its u vertex; cross-shard edges halo-in the partner's
+    stored message (one `ppermute`) and halo-out the partner's bond
+    transform + new diagonal message (one more).  Spectra come back in
+    ``spec.edges`` order."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from .gauge import _edge_gauge_transforms
+
+    spec = sspec.spec
+    S = sspec.num_shards
+    buckets = _build_bond_tables(sspec)
+
+    offsets = []
+    off = 0
+    for b in buckets:
+        offsets.append(off)
+        off += b[3].shape[1]
+    b_total = off
+    order = np.zeros(len(spec.edges), np.int64)
+    for b, boff in zip(buckets, offsets):
+        pos_tab = b[6]
+        for s in range(S):
+            for i in range(pos_tab.shape[1]):
+                if pos_tab[s, i] >= 0:
+                    order[pos_tab[s, i]] = s * b_total + boff + i
+
+    left = [(i, (i - 1) % S) for i in range(S)]
+    right = [(i, (i + 1) % S) for i in range(S)]
+    flat_tables = []
+    for b in buckets:
+        flat_tables += [jnp.asarray(t) for t in b[3:11]]
+    flat_tables = tuple(flat_tables)
+
+    def body(tensors, messages, *tables):
+        rc = rel_cutoff
+        if rc is None:
+            rc = 1e3 * float(
+                jnp.finfo(jnp.zeros((), tensors.dtype).real.dtype).eps
+            )
+        it = iter(tables)
+        outs = []
+        for (su, sv, dir_, *_unused) in buckets:
+            u_tab, v_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+            _pos = next(it)
+            u_inv, u_wr = next(it)[0], next(it)[0]
+            v_inv, v_wr = next(it)[0], next(it)[0]
+            Y = messages[u_tab, su]          # v→u message, stored at u
+            Xs = messages[v_tab, sv]         # u→v message, stored at v
+            if dir_ == +1:                   # v lives on the next shard
+                X = jax.lax.ppermute(Xs, axis, perm=left)
+            elif dir_ == -1:
+                X = jax.lax.ppermute(Xs, axis, perm=right)
+            else:
+                X = Xs
+            a_u, a_v, ss = _edge_gauge_transforms(X, Y, tensors.dtype, rc)
+            s_diag = jax.vmap(jnp.diag)(ss.astype(messages.dtype))
+            # u side (always local to the computing shard)
+            tu = _absorb_rows(tensors[u_tab], su, a_u)
+            tensors = _select_rows(tensors, tu, u_inv, u_wr)
+            messages = messages.at[:, su].set(
+                _select_rows(messages[:, su], s_diag, u_inv, u_wr))
+            # v side
+            if dir_ == 0:
+                tv = _absorb_rows(tensors[v_tab], sv, a_v)
+                tensors = _select_rows(tensors, tv, v_inv, v_wr)
+                messages = messages.at[:, sv].set(
+                    _select_rows(messages[:, sv], s_diag, v_inv, v_wr))
+            else:
+                payload = jnp.stack(
+                    [a_v, s_diag.astype(a_v.dtype)], axis=1)  # [B,2,χ,χ]
+                back = right if dir_ == +1 else left
+                payload = jax.lax.ppermute(payload, axis, perm=back)
+                a_v_r = payload[:, 0]
+                s_diag_r = payload[:, 1].astype(messages.dtype)
+                tv = _absorb_rows(tensors[v_tab], sv, a_v_r)
+                tensors = _select_rows(tensors, tv, v_inv, v_wr)
+                messages = messages.at[:, sv].set(
+                    _select_rows(messages[:, sv], s_diag_r, v_inv, v_wr))
+            outs.append(jnp.where(valid[:, None], ss, 0.0))
+        return tensors, messages, jnp.concatenate(outs)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(axis),) * len(flat_tables),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    order_j = jnp.asarray(order)
+
+    @jax.jit
+    def gauge_fn(state: BatchedState):
+        t, m, flat = fn(state.tensors, state.messages, *flat_tables)
+        return BatchedState(t, m), jnp.take(flat, order_j, axis=0)
+
+    return gauge_fn
+
+
+def make_sharded_truncate(
+    sspec: ShardedBPSpec,
+    mesh: Mesh,
+    chi: int,
+    cutoff: float = 0.0,
+    bp_maxiter: int = 30,
+    bp_tolerance: float | None = None,
+    normalize_tensors: bool = True,
+    axis: str = "v",
+    site_dim: int = 2,
+):
+    """Sharded bond truncation (`truncate.jl:12-38`, BP flavor): identity
+    two-site gates on every edge, color group by color group with halo-BP
+    refreshes — exactly `truncate.batched_truncate` but as one SPMD
+    shard_map program (it IS `make_sharded_layer` with the identity
+    gate)."""
+    d = site_dim
+    gate = np.eye(d * d).reshape(d, d, d, d)
+    return make_sharded_layer(
+        sspec, mesh, gate, None, chi, cutoff=cutoff,
+        normalize_tensors=normalize_tensors, bp_maxiter=bp_maxiter,
+        bp_tolerance=bp_tolerance, axis=axis, initial_update=True,
+    )

@@ -391,3 +391,96 @@ def test_sharded_bp_measurement_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(bond_fn(sharded)), ref_bond, atol=1e-11
     )
+
+
+def test_sharded_gauge_matches_batched():
+    """Sharded Vidal gauge == single-device batched_symmetric_gauge
+    (tensors, messages, and edge spectra in spec.edges order)."""
+    from tensornetworkquantumsimulator_tpu.parallel.gauge import (
+        batched_symmetric_gauge,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.sharded_layer import (
+        make_sharded_gauge,
+    )
+
+    nx, ny, chi = 8, 4, 3
+    S = 8
+    g = named_grid((nx, ny), periodic=True)
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+    state = bp_update(spec, state, maxiter=60, tolerance=1e-12)
+
+    ref_state, ref_ss = batched_symmetric_gauge(spec, state)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    sh = NamedSharding(mesh, P("v"))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    gauge_fn = make_sharded_gauge(sspec, mesh)
+    out_state, out_ss = gauge_fn(sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(out_ss), np.asarray(ref_ss), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.messages), np.asarray(ref_state.messages),
+        atol=1e-10,
+    )
+
+
+def test_sharded_truncate_matches_batched():
+    """Sharded truncation (identity-gate layer) == batched_truncate."""
+    from tensornetworkquantumsimulator_tpu.parallel.sharded_layer import (
+        make_sharded_truncate,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.truncate import (
+        batched_truncate,
+    )
+
+    nx, ny, chi = 8, 4, 3
+    S = 4
+    g = named_grid((nx, ny))
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+
+    tol = 1e-10
+    ref_state, ref_errs = batched_truncate(
+        spec, state, chi=chi, cutoff=1e-8, bp_maxiter=30, bp_tolerance=tol
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    sh = NamedSharding(mesh, P("v"))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    trunc = make_sharded_truncate(
+        sspec, mesh, chi=chi, cutoff=1e-8, bp_maxiter=30, bp_tolerance=tol
+    )
+    out_state, out_errs = trunc(sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out_errs)[np.asarray(out_errs) > 1e-14]),
+        np.sort(np.asarray(ref_errs)[np.asarray(ref_errs) > 1e-14]),
+        rtol=1e-6,
+    )
