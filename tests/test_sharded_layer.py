@@ -484,3 +484,64 @@ def test_sharded_truncate_matches_batched():
         np.sort(np.asarray(ref_errs)[np.asarray(ref_errs) > 1e-14]),
         rtol=1e-6,
     )
+
+
+def test_sharded_gauge_and_measurement_heavyhex():
+    """Degree-3 heavy-hex through the sharded gauge + BP measurement
+    (none of the new sharded ops are grid-only)."""
+    from tensornetworkquantumsimulator_tpu import heavy_hexagonal_lattice
+    from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+    from tensornetworkquantumsimulator_tpu.parallel.engine import (
+        bond_expectations,
+        local_expectations,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.gauge import (
+        batched_symmetric_gauge,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.sharded_layer import (
+        make_sharded_bond_expectations,
+        make_sharded_gauge,
+        make_sharded_site_expectations,
+    )
+
+    g = heavy_hexagonal_lattice(3, 3)  # V=68 = 4x17
+    chi, S = 2, 4
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+    state = bp_update(spec, state, maxiter=60, tolerance=1e-12)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    sh = NamedSharding(mesh, P("v"))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+
+    z = np.asarray(op_matrix("Z", 2))
+    ref_site = np.asarray(local_expectations(spec, state, jnp.asarray(z)))
+    ref_bond = np.asarray(
+        bond_expectations(spec, state, jnp.asarray(z), jnp.asarray(z))
+    )
+    site_fn = make_sharded_site_expectations(sspec, mesh, z)
+    bond_fn = make_sharded_bond_expectations(sspec, mesh, z, z)
+    np.testing.assert_allclose(
+        np.asarray(site_fn(sharded)), ref_site, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(bond_fn(sharded)), ref_bond, atol=1e-11
+    )
+
+    ref_state, ref_ss = batched_symmetric_gauge(spec, state)
+    out_state, out_ss = make_sharded_gauge(sspec, mesh)(sharded)
+    np.testing.assert_allclose(
+        np.asarray(out_ss), np.asarray(ref_ss), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-10,
+    )
