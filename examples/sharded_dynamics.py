@@ -1,0 +1,108 @@
+"""Pod-scale SPMD demo: the full op pipeline on a device-sharded state.
+
+Kicked-Ising dynamics on an 8x4 grid with the vertex axis sharded over
+every available device (`jax.sharding.Mesh`): evolve (halo-exchange
+Trotter layers), gauge (sharded Vidal gauge -> entanglement spectra),
+truncate, and measure (sharded BP site/bond expectations + sharded
+boundary-MPS norm) — the state is never gathered to one chip.
+
+No reference counterpart (`/root/reference` has no multi-device code);
+this is the TPU-native pod story of SURVEY §2's "must introduce" items.
+Run on a CPU host it uses 8 virtual devices:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python examples/sharded_dynamics.py
+"""
+
+import os
+
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tensornetworkquantumsimulator_tpu import named_grid
+from tensornetworkquantumsimulator_tpu.models.gates import gate_matrix
+from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+from tensornetworkquantumsimulator_tpu.parallel import (
+    BatchedState,
+    batched_product_state,
+    make_sharded_bond_expectations,
+    make_sharded_gauge,
+    make_sharded_layer,
+    make_sharded_site_expectations,
+    make_sharded_truncate,
+    shard_spec,
+)
+from tensornetworkquantumsimulator_tpu.parallel.sharded_bmps import (
+    make_sharded_grid_bmps,
+)
+
+
+def main(n_layers=10, chi=4):
+    devices = np.array(jax.devices())
+    S = len(devices)
+    nx, ny = S, 4
+    g = named_grid((nx, ny))
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+    mesh = Mesh(devices, ("v",))
+    sh = NamedSharding(mesh, P("v"))
+
+    print(f"{nx}x{ny} grid over {S} devices ({jax.default_backend()})")
+
+    _, state = batched_product_state(g, chi=chi, spec=spec)
+    state = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+
+    dt, hx, J = 0.25, 1.0, 0.5
+    gate2 = np.asarray(gate_matrix("Rzz", 2 * J * dt)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 2 * hx * dt))
+    layer = make_sharded_layer(
+        sspec, mesh, gate2, gate1, chi=chi, cutoff=1e-12, bp_maxiter=25
+    )
+    z = np.asarray(op_matrix("Z", 2))
+    site_fn = make_sharded_site_expectations(sspec, mesh, z)
+    bond_fn = make_sharded_bond_expectations(sspec, mesh, z, z)
+
+    for l in range(n_layers):
+        state, errs = layer(state)
+        zs = np.asarray(site_fn(state)).real
+        print(f"layer {l + 1:2d}: max trunc err {float(np.max(np.asarray(errs))):.3e}"
+              f"  <Z>center {zs[spec.vertex_position((nx // 2, ny // 2))]:+.6f}")
+
+    zz = np.asarray(bond_fn(state)).real
+    print(f"<ZZ> over {len(spec.edges)} edges: mean {zz.mean():+.6f}")
+
+    gauge_fn = make_sharded_gauge(sspec, mesh)
+    state_g, spectra = gauge_fn(state)
+    ent = np.asarray(spectra)
+    ent = ent / ent.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sv = -np.nansum(np.where(ent > 0, ent * np.log(ent), 0.0), axis=1)
+    print(f"entanglement entropy across edges: max {sv.max():.4f}")
+
+    trunc = make_sharded_truncate(sspec, mesh, chi=chi, cutoff=1e-8)
+    state_t, terrs = trunc(state_g)
+    print(f"truncate: max err {float(np.max(np.asarray(terrs))):.3e}")
+
+    norm_fn, _ = make_sharded_grid_bmps(
+        spec, nx, ny, Mesh(devices, ("r",)), kmps=4, niters=3
+    )
+    lz, _ = norm_fn(state_t.tensors)
+    print(f"sharded boundary-MPS log|Z| (unnormalized): "
+          f"{float(np.asarray(lz).real):.6f}")
+
+
+if __name__ == "__main__":
+    main()

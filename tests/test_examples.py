@@ -46,3 +46,7 @@ def test_boundarymps_example():
 
 def test_batched_gauge_loopcorrections_example():
     _load("batched_gauge_loopcorrections").main(nl=2, nx=3, ny=3, chi=3)
+
+
+def test_sharded_dynamics_example():
+    _load("sharded_dynamics").main(n_layers=2, chi=2)
