@@ -21,7 +21,12 @@ from .engine import (
     local_expectations,
     local_rdms,
 )
-from .boundarymps import PlanarBMPSSpec, make_grid_bmps, make_planar_bmps
+from .boundarymps import (
+    PlanarBMPSSpec,
+    derive_planar_columns,
+    make_grid_bmps,
+    make_planar_bmps,
+)
 from .certified_sampling import (
     make_grid_certified_sampler,
     make_planar_certified_sampler,

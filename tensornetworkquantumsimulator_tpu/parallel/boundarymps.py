@@ -13,8 +13,11 @@ planar lattice (heavy-hex, Lieb, comb trees — every lattice the reference's
 `partition_by="row"` handles, `boundarympscache.jl:139-167`) via
 :class:`PlanarBMPSSpec`, which realizes the reference's pseudo-planar
 bond-1 fill-in edges (`boundarympscache.jl:554-569`) as identity *wire*
-tensors on a global column grid.  Non-column-aligned planar graphs fall
-back to the generic engine (`engines/boundarymps.py`).
+tensors on a global column grid.  When vertex names don't provide aligned
+columns (integer names, sheared/diagonal couplings), a valid assignment is
+derived from the graph structure (:func:`derive_planar_columns`); only
+lattices with two bonds between one vertex and an adjacent row (or
+non-path rows) fall back to the generic engine (`engines/boundarymps.py`).
 
 Conventions: rows are indexed by the first coordinate; a strand flowing
 into row r carries the (ket, bra) pair of the bonds between r-1 and r.
@@ -95,6 +98,222 @@ def identity_strand(W: int, K: int, chi: int, dtype) -> jax.Array:
     return jnp.asarray(m)
 
 
+def derive_planar_columns(spec: BatchedGraphSpec, row_of=None) -> dict:
+    """Derive a column assignment that makes ``PlanarBMPSSpec`` feasible.
+
+    The reference's boundary-MPS cache needs no column geometry at all: it
+    sorts each row and threads pseudo-planar bond-1 edges through the gaps
+    (`boundarympscache.jl:554-569`).  The batched engine, by contrast, lays
+    rows out on a *global* column grid, so lattices whose vertex names do
+    not directly provide aligned columns (integer names from
+    ``build_graph_from_circuit``, sheared/diagonal couplings, …) need a
+    column assignment derived from the graph structure.  This computes one:
+
+    - inter-row edges force equal columns (union-find groups);
+    - each row's induced subgraph must be a disjoint union of paths, whose
+      traversal order gives strict ``col`` inequalities along the row;
+    - path orientations and the order of a row's components are searched
+      (backtracking, small per-lattice) so the resulting constraint digraph
+      over groups is acyclic; a topological order then assigns columns.
+
+    Feasibility requires each vertex to carry at most one bond to the row
+    above and one to the row below (the reference's MPO strands allow more;
+    such lattices stay on the generic engine).  Returns ``{vertex: column}``.
+    Raises ``ValueError`` when no assignment exists.
+    """
+    import itertools
+
+    if row_of is None:
+        row_of = lambda v: float(v[0])  # noqa: E731
+    verts = spec.vertices
+    n = len(verts)
+    row_vals = sorted({row_of(v) for v in verts})
+    r_pos = {k: i for i, k in enumerate(row_vals)}
+    row = [r_pos[row_of(v)] for v in verts]
+    nrows = len(row_vals)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    within = [dict() for _ in range(nrows)]  # row -> {i: [nbrs]}
+    up = [None] * n
+    down = [None] * n
+    for (iu, iv, _su, _sv) in spec.edges:
+        ru, rv = row[iu], row[iv]
+        if ru == rv:
+            within[ru].setdefault(iu, []).append(iv)
+            within[ru].setdefault(iv, []).append(iu)
+        elif abs(ru - rv) == 1:
+            lo, hi = (iu, iv) if ru < rv else (iv, iu)
+            if down[lo] is not None or up[hi] is not None:
+                raise ValueError(
+                    "a vertex has two bonds to one adjacent row: the 4-role "
+                    "batched layout cannot host it (use the generic engine)"
+                )
+            down[lo], up[hi] = hi, lo
+            ra, rb = find(iu), find(iv)
+            if ra != rb:
+                parent[ra] = rb
+        else:
+            raise ValueError(
+                f"edge {verts[iu]}–{verts[iv]} spans non-adjacent rows under "
+                "this row_of: no path partition exists"
+            )
+
+    grp = [find(i) for i in range(n)]
+    # a column group may hold at most one vertex per row
+    seen = {}
+    for i in range(n):
+        key = (grp[i], row[i])
+        if key in seen:
+            raise ValueError(
+                "two same-row vertices are chained to one column by "
+                "inter-row edges: no planar column assignment exists"
+            )
+        seen[key] = i
+
+    # per-row path components, in deterministic traversal order
+    comps = []  # comps[r] = list of vertex-index lists
+    for r in range(nrows):
+        members = [i for i in range(n) if row[i] == r]
+        adj = within[r]
+        for i, nb in adj.items():
+            if len(nb) > 2:
+                raise ValueError(
+                    f"row {row_vals[r]} induced subgraph is not a union of "
+                    "paths (a vertex has 3 within-row neighbours)"
+                )
+        unvisited = set(members)
+        row_comps = []
+        for i in sorted(members):
+            if i not in unvisited:
+                continue
+            if len(adj.get(i, [])) >= 2:
+                continue  # start walks at endpoints / singletons only
+            walk, prev, cur = [], None, i
+            while True:
+                walk.append(cur)
+                unvisited.discard(cur)
+                nxt = [w for w in adj.get(cur, []) if w != prev]
+                if not nxt:
+                    break
+                prev, cur = cur, nxt[0]
+            row_comps.append(walk)
+        if unvisited:
+            raise ValueError(
+                f"row {row_vals[r]} induced subgraph contains a cycle: "
+                "each partition must be a path (`utils.jl:2-16`)"
+            )
+        comps.append(row_comps)
+
+    # backtracking over (component order, orientation) per row; the
+    # constraint digraph over groups must stay acyclic
+    succ = {}  # group -> set of groups that must sit at larger columns
+
+    def acyclic():
+        state = {}  # 0=visiting, 1=done
+
+        def dfs(u):
+            state[u] = 0
+            for w in succ.get(u, ()):
+                s = state.get(w)
+                if s == 0:
+                    return False
+                if s is None and not dfs(w):
+                    return False
+            state[u] = 1
+            return True
+
+        return all(state.get(u) == 1 or dfs(u) for u in list(succ))
+
+    budget = [200000]
+
+    def place(r):
+        if r == nrows:
+            return True
+        row_comps = comps[r]
+        nperm = 1
+        for k in range(2, len(row_comps) + 1):
+            nperm *= k
+        orders = (
+            itertools.permutations(row_comps)
+            if nperm <= 720
+            else [tuple(row_comps)]  # cap: canonical order only
+        )
+        for perm in orders:
+            orient_opts = [
+                ((False, True) if len(c) > 1 else (False,)) for c in perm
+            ]
+            for orients in itertools.product(*orient_opts):
+                budget[0] -= 1
+                if budget[0] <= 0:
+                    raise ValueError(
+                        "column derivation search budget exhausted"
+                    )
+                chain = []
+                for c, o in zip(perm, orients):
+                    chain.extend(reversed(c) if o else c)
+                new = []
+                ok = True
+                for a, b in zip(chain, chain[1:]):
+                    ga, gb = grp[a], grp[b]
+                    if ga == gb:
+                        ok = False
+                        break
+                    new.append((ga, gb))
+                if not ok:
+                    continue
+                added = []
+                for ga, gb in new:
+                    s = succ.setdefault(ga, set())
+                    if gb not in s:
+                        s.add(gb)
+                        added.append((ga, gb))
+                if acyclic() and place(r + 1):
+                    return True
+                for ga, gb in added:
+                    succ[ga].discard(gb)
+        return False
+
+    if not place(0):
+        raise ValueError(
+            "no column assignment found: the lattice is not row-partitionable "
+            "into aligned paths (use the generic engine)"
+        )
+
+    # longest-path layering over the group digraph -> compact columns:
+    # col(b) = 1 + max col over predecessors satisfies every strict
+    # inequality while packing unrelated groups into shared columns (two
+    # same-row vertices are always chain-ordered, so they never collide)
+    groups = sorted({grp[i] for i in range(n)})
+    indeg = {g: 0 for g in groups}
+    for u, ws in succ.items():
+        for w in ws:
+            indeg[w] += 1
+    from heapq import heapify, heappop, heappush
+
+    ready = [g for g in groups if indeg[g] == 0]
+    heapify(ready)
+    order = {}
+    done = 0
+    while ready:
+        u = heappop(ready)
+        order.setdefault(u, 0)
+        done += 1
+        for w in sorted(succ.get(u, ())):
+            order[w] = max(order.get(w, 0), order[u] + 1)
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                heappush(ready, w)
+    assert done == len(groups)
+    return {verts[i]: order[grp[i]] for i in range(n)}
+
+
 class PlanarBMPSSpec:
     """Column-aligned path-partition spec: batched boundary MPS beyond grids.
 
@@ -124,7 +343,24 @@ class PlanarBMPSSpec:
         if row_of is None:
             row_of = lambda v: float(v[0])
         if col_of is None:
-            col_of = lambda v: float(v[1])
+            # coordinate columns first (all shipped lattices); when the
+            # vertex names don't provide aligned columns, derive an
+            # assignment from the graph structure (`derive_planar_columns`
+            # — the batched analogue of the reference's pseudo-planar
+            # fill-in, `boundarympscache.jl:554-569`)
+            try:
+                self._build(spec, row_of, lambda v: float(v[1]))
+                return
+            except (ValueError, TypeError, IndexError) as default_err:
+                try:
+                    cols = derive_planar_columns(spec, row_of)
+                except ValueError:
+                    raise default_err from None
+                self._build(spec, row_of, lambda v: cols[v])
+                return
+        self._build(spec, row_of, col_of)
+
+    def _build(self, spec: BatchedGraphSpec, row_of, col_of):
         self.spec = spec
         rows = sorted({row_of(v) for v in spec.vertices})
         cols = sorted({col_of(v) for v in spec.vertices})

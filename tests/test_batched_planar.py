@@ -125,7 +125,9 @@ def test_planar_certified_sampling_product_state_deterministic():
 
 
 def test_planar_spec_rejects_nonaligned():
-    # a diagonal edge is not column-aligned: must fall back loudly
+    # a lone diagonal edge is no longer rejected (columns are derived);
+    # genuinely infeasible is two bonds from one vertex to one adjacent
+    # row (a triangle spanning two rows) — must fall back loudly
     from tensornetworkquantumsimulator_tpu.parallel import compile_graph
     from tensornetworkquantumsimulator_tpu.parallel.boundarymps import (
         PlanarBMPSSpec,
@@ -134,5 +136,92 @@ def test_planar_spec_rejects_nonaligned():
 
     g = NamedGraph([(1, 1), (2, 2)])
     g.add_edge_inplace(NamedEdge((1, 1), (2, 2)))
+    PlanarBMPSSpec(compile_graph(g))  # derived columns make this fine
+
+    g = NamedGraph([(1, 1), (2, 1), (2, 2)])
+    g.add_edge_inplace(NamedEdge((1, 1), (2, 1)))
+    g.add_edge_inplace(NamedEdge((1, 1), (2, 2)))
+    g.add_edge_inplace(NamedEdge((2, 1), (2, 2)))
     with pytest.raises(ValueError):
         PlanarBMPSSpec(compile_graph(g))
+
+
+def _sheared_grid(nx, ny):
+    from tensornetworkquantumsimulator_tpu.utils.lattices import NamedGraph
+
+    g = NamedGraph()
+    for r in range(nx):
+        for c in range(ny):
+            g.add_vertex_inplace((r, c))
+    for r in range(nx):
+        for c in range(ny - 1):
+            g.add_edge_inplace((r, c), (r, c + 1))
+    for r in range(nx - 1):
+        for c in range(ny - 1):
+            g.add_edge_inplace((r, c), (r + 1, c + 1))
+    return g
+
+
+def test_planar_bmps_derived_columns_sheared_grid():
+    # diagonal inter-row edges: the coordinate-default columns are NOT
+    # aligned, so PlanarBMPSSpec derives an assignment from the graph
+    # (derive_planar_columns) — batched path, no generic fallback
+    from tensornetworkquantumsimulator_tpu.parallel.boundarymps import (
+        PlanarBMPSSpec,
+        derive_planar_columns,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.structure import compile_graph
+
+    g = _sheared_grid(4, 4)
+    spec0 = compile_graph(g)
+    cols = derive_planar_columns(spec0)
+    # shear needs exactly nx+ny-1 columns (one per diagonal group)
+    assert len(set(cols.values())) == 7
+    assert PlanarBMPSSpec(spec0).W == 7
+
+    chi = 2
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=chi)
+    psi = tnqs.normalize(psi, alg="bp")
+    spec, state = batched_from_tns(psi, chi=chi)
+    norm_fn, expect_fn = make_planar_bmps(spec, kmps=16, niters=25)
+    z_exact = tnqs.norm_sqr(psi, alg="exact")
+    np.testing.assert_allclose(
+        np.real(_z(norm_fn, state.tensors)), np.real(z_exact), rtol=1e-10
+    )
+    z_vals = np.asarray(expect_fn(state.tensors, jnp.asarray(op_matrix("Z", 2))))
+    for v in [(0, 0), (1, 2), (3, 3)]:
+        i = spec.vertex_position(v)
+        ref = tnqs.expect(psi, ("Z", [v]), alg="exact")
+        np.testing.assert_allclose(z_vals[i], np.real(ref), atol=1e-10)
+
+
+def test_planar_bmps_derived_columns_integer_names():
+    # vertex names carry no geometry at all (build_graph_from_circuit
+    # style): only row_of is supplied, columns are derived
+    from tensornetworkquantumsimulator_tpu.utils.lattices import NamedGraph
+    from tensornetworkquantumsimulator_tpu.parallel.structure import compile_graph
+    from tensornetworkquantumsimulator_tpu.parallel.boundarymps import PlanarBMPSSpec
+
+    hh = heavy_hexagonal_lattice(2, 2)
+    vs = list(hh.vertices())
+    lbl = {v: i for i, v in enumerate(vs)}
+    g = NamedGraph()
+    for v in vs:
+        g.add_vertex_inplace(lbl[v])
+    for e in hh.edges():
+        g.add_edge_inplace(lbl[e.src], lbl[e.dst])
+    rows = {lbl[v]: float(v[0]) for v in vs}
+    spec0 = compile_graph(g)
+    assert PlanarBMPSSpec(spec0, row_of=lambda v: rows[v]).nrows == 5
+
+    chi = 2
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=chi)
+    psi = tnqs.normalize(psi, alg="bp")
+    spec, state = batched_from_tns(psi, chi=chi)
+    norm_fn, _ = make_planar_bmps(
+        spec, kmps=16, niters=25, row_of=lambda v: rows[v]
+    )
+    z_exact = tnqs.norm_sqr(psi, alg="exact")
+    np.testing.assert_allclose(
+        np.real(_z(norm_fn, state.tensors)), np.real(z_exact), rtol=1e-8
+    )
