@@ -44,9 +44,11 @@ from .sharded_bmps import make_sharded_grid_bmps, make_sharded_planar_bmps
 from .sharded_layer import (
     build_layer_groups,
     make_sharded_bond_expectations,
+    make_sharded_bond_rdms,
     make_sharded_gauge,
     make_sharded_layer,
     make_sharded_site_expectations,
+    make_sharded_site_rdms,
     make_sharded_truncate,
 )
 from .sharding import ShardedBPSpec, make_sharded_bp_update, shard_spec

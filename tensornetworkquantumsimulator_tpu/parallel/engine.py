@@ -883,3 +883,27 @@ def bond_expectations(
         for j, e in enumerate(entries):
             results[e[0]] = vals[j]
     return jnp.stack(results)
+
+
+def bond_rdms(spec: BatchedGraphSpec, state: BatchedState) -> jax.Array:
+    """Trace-normalized 2-site RDMs ρ[e, s, s', c, c'] for every graph
+    edge — the batched counterpart of ``reduced_density_matrix`` with
+    ``alg="bp"`` on an edge's endpoints (`rdm.jl:49-70`: Steiner tree of
+    two adjacent vertices = the edge itself).  Index order: (ket_u,
+    bra_u, ket_v, bra_v), edges in ``spec.edges`` order."""
+    buckets: dict = {}
+    for pos, (iu, iv, su, sv) in enumerate(spec.edges):
+        buckets.setdefault((su, sv), []).append((pos, iu, iv))
+    d = state.tensors.shape[-1]
+    results = [None] * len(spec.edges)
+    for (su, sv), entries in sorted(buckets.items()):
+        u_idx = jnp.asarray([e[1] for e in entries], dtype=jnp.int32)
+        v_idx = jnp.asarray([e[2] for e in entries], dtype=jnp.int32)
+        eu = _site_transfer(state, u_idx, su)  # [B, l, l', s, s']
+        ev = _site_transfer(state, v_idx, sv)
+        rho = jnp.einsum("bopsz,bopcx->bszcx", eu, ev, precision=_PRECISION)
+        tr = jnp.einsum("bsscc->b", rho)
+        rho = rho / tr[:, None, None, None, None]
+        for j, e in enumerate(entries):
+            results[e[0]] = rho[j]
+    return jnp.stack(results).reshape(len(spec.edges), d, d, d, d)

@@ -547,6 +547,112 @@ def make_sharded_bond_expectations(sspec: ShardedBPSpec, mesh: Mesh, op1,
     return bond_fn
 
 
+def make_sharded_site_rdms(sspec: ShardedBPSpec, mesh: Mesh,
+                           axis: str = "v"):
+    """Jitted ``state -> [V, d, d]`` of trace-normalized 1-site RDMs
+    (`rdm.jl:49-70`, single-vertex Steiner tree) on the vertex-sharded
+    state — vertex-local given converged messages, so zero collectives."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from .engine import local_rdms
+
+    spec = sspec.spec
+
+    def body(tensors, messages):
+        rho = local_rdms(spec, BatchedState(tensors, messages))
+        tr = jnp.einsum("vss->v", rho)
+        return rho / tr[:, None, None]
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis)
+    )
+
+    @jax.jit
+    def rdm_fn(state: BatchedState):
+        return fn(state.tensors, state.messages)
+
+    return rdm_fn
+
+
+def make_sharded_bond_rdms(sspec: ShardedBPSpec, mesh: Mesh,
+                           axis: str = "v"):
+    """Jitted ``state -> [E, d, d, d, d]`` of trace-normalized 2-site RDMs
+    (ket_u, bra_u, ket_v, bra_v) for every edge of ``spec.edges`` (order
+    preserved) on the vertex-sharded state — the sharded counterpart of
+    `engine.bond_rdms`, with the same one-`ppermute`-per-cross-bucket
+    halo discipline as `make_sharded_bond_expectations`."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from .engine import _site_transfer
+
+    spec = sspec.spec
+    S = sspec.num_shards
+    buckets = _build_bond_tables(sspec)
+
+    offsets = []
+    off = 0
+    for b in buckets:
+        offsets.append(off)
+        off += b[3].shape[1]
+    b_total = off
+    order = np.zeros(len(spec.edges), np.int64)
+    for b, boff in zip(buckets, offsets):
+        pos_tab = b[6]
+        for s in range(S):
+            for i in range(pos_tab.shape[1]):
+                if pos_tab[s, i] >= 0:
+                    order[pos_tab[s, i]] = s * b_total + boff + i
+
+    left = [(i, (i - 1) % S) for i in range(S)]
+    right = [(i, (i + 1) % S) for i in range(S)]
+    flat_tables = []
+    for b in buckets:
+        flat_tables += [jnp.asarray(b[3]), jnp.asarray(b[4]),
+                        jnp.asarray(b[5])]
+    flat_tables = tuple(flat_tables)
+
+    def body(tensors, messages, *tables):
+        st = BatchedState(tensors, messages)
+        it = iter(tables)
+        outs = []
+        for (su, sv, dir_, *_unused) in buckets:
+            u_tab, v_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+            eu = _site_transfer(st, u_tab, su)  # [B, l, l', s, s']
+            ev = _site_transfer(st, v_tab, sv)
+            if dir_ == +1:
+                ev = jax.lax.ppermute(ev, axis, perm=left)
+            elif dir_ == -1:
+                ev = jax.lax.ppermute(ev, axis, perm=right)
+            rho = jnp.einsum("bopsz,bopcx->bszcx", eu, ev,
+                             precision=_PRECISION)
+            tr = jnp.einsum("bsscc->b", rho)
+            rho = rho / jnp.where(valid, tr, 1.0)[:, None, None, None, None]
+            outs.append(jnp.where(
+                valid[:, None, None, None, None], rho, 0.0))
+        return jnp.concatenate(outs)  # [B_total, d, d, d, d] per shard
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(axis),) * len(flat_tables),
+        out_specs=P(axis),
+    )
+    order_j = jnp.asarray(order)
+
+    @jax.jit
+    def rdm_fn(state: BatchedState):
+        flat = fn(state.tensors, state.messages, *flat_tables)
+        return jnp.take(flat, order_j, axis=0)
+
+    return rdm_fn
+
+
 def _absorb_rows(rows, slot, transforms):
     """rows[e] ← Σ_l T[..., l(slot), ...] A[l, l'] on gathered rows."""
     t2 = jnp.moveaxis(rows, 1 + slot, -1)
