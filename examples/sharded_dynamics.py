@@ -103,6 +103,23 @@ def main(n_layers=10, chi=4):
     print(f"sharded boundary-MPS log|Z| (unnormalized): "
           f"{float(np.asarray(lz).real):.6f}")
 
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        make_sharded_loopcorrections,
+    )
+
+    zlc_fn = make_sharded_loopcorrections(
+        sspec, mesh, g, max_configuration_size=4
+    )
+    # max size 3 admits no cycle, so that run returns plain Z_BP; the
+    # ratio is the plaquette-series correction factor 1 + Σ_configs Π w
+    zbp_fn = make_sharded_loopcorrections(
+        sspec, mesh, g, max_configuration_size=3
+    )
+    zlc = complex(np.asarray(zlc_fn(state_t)))
+    zbp = complex(np.asarray(zbp_fn(state_t)))
+    print(f"sharded loop correction factor Z_lc/Z_BP (plaquette series): "
+          f"{zlc / zbp:+.8f}")
+
 
 if __name__ == "__main__":
     main()

@@ -415,7 +415,11 @@ def bisect(n_layers: int) -> None:
     for tol in ladder:
         status, wall = "error", None
         fails = 0
-        for attempt in range(4):  # retry infra errors; confirm fails
+        # poisoned chains arrive in streaks on congested evenings (round 3:
+        # three consecutive sub-7 s unexecuted walls on one rung), so infra
+        # errors get their own larger budget and do not consume the
+        # fail-confirmation attempts
+        for attempt in range(8):  # retry infra errors; confirm fails
             t0 = time.perf_counter()
             rec = run_verify(tol, penalty)
             wall = rec["wall_seconds"] if rec else None
@@ -458,7 +462,7 @@ def bisect(n_layers: int) -> None:
     # hit the control like any rung (round-3: a 0.61 s control voided an
     # otherwise-complete ladder), so it gets the same retry policy.
     control_wall = None
-    for _attempt in range(3):
+    for _attempt in range(5):
         control = run_verify(-1.0, penalty)
         if control is None or not control.get("executed", True):
             print(

@@ -122,13 +122,47 @@ def _polar_once(mat):
     return q, m
 
 
+def _chol_once(mat):
+    """One CholeskyQR pass: A = Q·L† from the Gram's Cholesky factor.
+
+    Unlike :func:`_polar_once` (gram *eigh*), this is pure MXU work: two
+    [m,k]×[k,k] matmuls + one k×k Cholesky + a triangular solve — the
+    tall-skinny QR shape of the χ≥64 QR-reduce ([χ²d, χd]) where XLA's
+    Householder serializes over columns.  A relative ridge keeps the
+    factor finite when A has zero-padded bond columns (rank-deficient
+    Gram); those null columns come back as ~0 rows of M, which the
+    simple-update kernel already treats as weightless (same contract as
+    the polar path's spectrum cutoff)."""
+    h = jnp.conj(jnp.swapaxes(mat, -1, -2))
+    gram = h @ mat  # [B, k, k]
+    k = gram.shape[-1]
+    eps = jnp.finfo(gram.real.dtype).eps
+    tr = jnp.einsum("...ii->...", gram).real
+    ridge = (10.0 * k * eps * (tr / k + eps)).astype(gram.dtype)
+    gram = gram + ridge[..., None, None] * jnp.eye(k, dtype=gram.dtype)
+    ell = jnp.linalg.cholesky(gram)  # lower, gram = L L†
+    q = jax.lax.linalg.triangular_solve(
+        ell, mat, left_side=False, lower=True,
+        transpose_a=True, conjugate_a=True,
+    )  # x L† = A
+    return q, jnp.conj(jnp.swapaxes(ell, -1, -2))
+
+
 def _qr_split(mat):
-    if os.environ.get("TNQS_QR_ALG", "default") != "polar":
+    alg = os.environ.get("TNQS_QR_ALG", "default")
+    if alg == "cholqr2":
+        # CholeskyQR2: the Gram squares the condition number, so one pass
+        # leaves Q†Q − I ~ κ²ε; the second pass acts on the near-isometric
+        # Q₁ (κ ≈ 1) and restores orthogonality to ~ε.  M = M₂M₁ keeps
+        # A = Q·M.  Accuracy caveat as for "polar": directions below
+        # √ε·σmax are not resolved — opt-in for large-χ exploration.
+        q1, m1 = _chol_once(mat)
+        q, m2 = _chol_once(q1)
+        return q, m2 @ m1
+    if alg != "polar":
         return jnp.linalg.qr(mat)
-    # Two passes (CholeskyQR2-style): the Gram squares the condition
-    # number, so one pass leaves Q†Q − I ~ κ²ε (measured 4e-4 drift on a
-    # c64 Trotter layer); the second pass acts on the near-isometric Q₁
-    # (κ ≈ 1) and restores orthogonality to ~ε.  M = M₂M₁ keeps A = Q·M.
+    # Two passes (CholeskyQR2-style, with gram eighs so TNQS_EIGH_ALG=
+    # jacobi turns each into one Pallas kernel): see accuracy note above.
     q1, m1 = _polar_once(mat)
     q, m2 = _polar_once(q1)
     return q, m2 @ m1

@@ -1,0 +1,288 @@
+"""Sharded loop corrections: Z ≈ Z_BP · (1 + Σ_configs Π_components w)
+on the vertex-sharded state, with no all-gather of the network.
+
+The SPMD counterpart of :mod:`parallel.loopcorrection` (reference:
+`src/MessagePassing/loopcorrection.jl:3-16`), completing the sharded op
+set (evolve / gauge / truncate / measure / sample / loop-corrected Z).
+The distribution strategy follows the lattice structure:
+
+- **Z_BP** (`abstractbeliefpropagationcache.jl:252-267`): vertex scalars
+  are shard-local; edge pair scalars reuse the bond-bucket halo tables
+  (one ``ppermute`` per cross-shard slot-pair bucket) and both log-sums
+  are ``psum``-reduced.
+- **rescale** (`abstractbeliefpropagationcache.jl:269-291`): the same
+  buckets pair-normalize the two stored messages of every edge — the
+  cross-shard partner's correction travels back with one ``ppermute`` —
+  then each shard normalizes its own vertices.
+- **loop weights** (`loopcorrection.jl:19-91`): every leaf-free
+  configuration component is owned by the strip shard holding its
+  minimal vertex; the rows of the next shard that its configurations
+  touch are halo'd in with ONE ``ppermute`` (tensor + message rows), and
+  the owner runs the *identical* batched kernels
+  (:func:`loopcorrection._bucket_weights` /
+  :func:`loopcorrection._general_weights`) on the extended local state.
+  Components spanning more than two adjacent strips are rejected at
+  compile time (use wider strips or a smaller configuration size).
+- **correction sum**: component weights are scalars, so one
+  ``all_gather`` of the [n_components]-vector makes the configuration
+  products replicated — O(components) ICI bytes, independent of χ.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .engine import BatchedState, _PRECISION, local_rdms
+from .loopcorrection import (
+    LoopConfigurations,
+    _bucket_weights,
+    _general_weights,
+)
+from .sharded_layer import _build_bond_tables, _select_rows
+from .sharding import ShardedBPSpec
+
+
+def _build_loop_tables(sspec: ShardedBPSpec, configurations):
+    """Assign each loop component to its owner shard and remap its vertex
+    positions into the owner's extended-local index space
+    ``[0, Vl + H)`` (local rows, then halo rows received from the next
+    shard).  Returns per-bucket padded tables, the send table, and the
+    old-flat-index → (S·total)-flat permutation used to re-point
+    ``configurations.groups`` at the all_gathered weight vector."""
+    spec = sspec.spec
+    S = sspec.num_shards
+    Vl = spec.num_vertices // S
+
+    send: list = [[] for _ in range(S)]  # local rows shard s sends to s-1
+
+    def owner_of(ivs):
+        shards = sorted({int(p) // Vl for p in ivs})
+        if len(shards) == 1:
+            return shards[0]
+        if len(shards) == 2:
+            a, b = shards
+            if (a + 1) % S == b:
+                return a
+            if (b + 1) % S == a:  # periodic wrap {0, S-1}
+                return b
+        raise ValueError(
+            "loop configuration spans more than two adjacent strip "
+            "shards: use wider strips (fewer shards) or a smaller "
+            "max_configuration_size"
+        )
+
+    def remap(p, owner):
+        p = int(p)
+        if p // Vl == owner:
+            return p % Vl
+        lst = send[p // Vl]
+        lp = p % Vl
+        if lp not in lst:
+            lst.append(lp)
+        return Vl + lst.index(lp)
+
+    all_buckets = [("c", idx, slots) for idx, slots in configurations.buckets]
+    all_buckets += [
+        ("g", idx, sig) for idx, sig in configurations.general_buckets
+    ]
+
+    bucket_tabs = []  # (kind, sig/slots, idx_tab [S, Pb, L], valid [S, Pb])
+    row_lane = []  # per bucket: [(owner, lane)] per row
+    for kind, idx, sig in all_buckets:
+        per_shard: list = [[] for _ in range(S)]
+        lanes = []
+        for row in idx:
+            owner = owner_of(row)
+            lanes.append((owner, len(per_shard[owner])))
+            per_shard[owner].append([remap(p, owner) for p in row])
+        Pb = max(1, max(len(l) for l in per_shard))
+        L = idx.shape[1]
+        idx_tab = np.zeros((S, Pb, L), np.int32)
+        valid = np.zeros((S, Pb), bool)
+        for s, lst in enumerate(per_shard):
+            for i, r in enumerate(lst):
+                idx_tab[s, i] = r
+                valid[s, i] = True
+        bucket_tabs.append((kind, sig, idx_tab, valid))
+        row_lane.append(lanes)
+
+    H = max(1, max(len(l) for l in send))
+    send_tab = np.zeros((S, H), np.int32)
+    for s, lst in enumerate(send):
+        send_tab[s, : len(lst)] = lst
+
+    # old flat layout (batched): bucket rows in order; new: s*total + off + lane
+    total = sum(t[3].shape[1] for t in bucket_tabs)
+    perm = np.zeros(
+        sum(len(lanes) for lanes in row_lane), np.int64
+    )
+    k = 0
+    off = 0
+    for (kind, sig, idx_tab, valid), lanes in zip(bucket_tabs, row_lane):
+        for owner, lane in lanes:
+            perm[k] = owner * total + off + lane
+            k += 1
+        off += idx_tab.shape[1]
+    groups = {
+        n: perm[g] for n, g in configurations.groups.items()
+    }
+    return bucket_tabs, send_tab, groups, total
+
+
+def make_sharded_loopcorrections(
+    sspec: ShardedBPSpec,
+    mesh: Mesh,
+    g,
+    max_configuration_size: int = 4,
+    configurations: LoopConfigurations | None = None,
+    axis: str = "v",
+):
+    """Build the jitted ``state -> Z`` loop-corrected partition function on
+    the vertex-sharded state (same series as
+    `loopcorrection.loopcorrected_partitionfunction`, matching it to float
+    roundoff).  ``state`` must be at a BP fixed point (run the sharded BP
+    update first), sharded on ``mesh[axis]``."""
+    try:
+        from jax import shard_map as _shard_map_raw
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _shard_map_raw
+
+    def shard_map(f, **kw):
+        # the replicated-scalar output (psum'd Z_BP × all_gathered weight
+        # products) is beyond the static replication checker — same
+        # check_vma/check_rep opt-out as parallel/sharded_bmps.py
+        try:
+            return _shard_map_raw(f, check_vma=False, **kw)
+        except TypeError:  # pragma: no cover - older jax kwarg name
+            return _shard_map_raw(f, check_rep=False, **kw)
+
+    spec = sspec.spec
+    S = sspec.num_shards
+    if configurations is None:
+        configurations = LoopConfigurations(spec, g, max_configuration_size)
+    bucket_tabs, send_tab, groups, _total = _build_loop_tables(
+        sspec, configurations
+    )
+    bond_buckets = _build_bond_tables(sspec)
+
+    left = [(i, (i - 1) % S) for i in range(S)]
+    right = [(i, (i + 1) % S) for i in range(S)]
+
+    flat_tables: list = []
+    for b in bond_buckets:  # u_tab, v_tab, valid, u_inv, u_wr, v_inv, v_wr
+        flat_tables += [jnp.asarray(b[3]), jnp.asarray(b[4]),
+                        jnp.asarray(b[5]), jnp.asarray(b[7]),
+                        jnp.asarray(b[8]), jnp.asarray(b[9]),
+                        jnp.asarray(b[10])]
+    flat_tables.append(jnp.asarray(send_tab))
+    for (_kind, _sig, idx_tab, valid) in bucket_tabs:
+        flat_tables += [jnp.asarray(idx_tab), jnp.asarray(valid)]
+    flat_tables = tuple(flat_tables)
+    groups_j = {n: jnp.asarray(g_) for n, g_ in groups.items()}
+
+    def body(tensors, messages, *tables):
+        it = iter(tables)
+        cdtype = jnp.result_type(tensors.dtype, jnp.complex64)
+
+        # ---- Z_BP vertex part on the un-rescaled state ----
+        st0 = BatchedState(tensors, messages)
+        zv = jnp.einsum("vss->v", local_rdms(spec, st0)).astype(cdtype)
+        log_zv = jax.lax.psum(jnp.sum(jnp.log(zv)), axis)
+
+        # ---- edge pair scalars + message pair-normalization ----
+        # (`beliefpropagationcache.jl:129-142`; bond-bucket halo tables)
+        log_se = jnp.zeros((), cdtype)
+        for (su, sv, dir_, *_unused) in bond_buckets:
+            u_tab, v_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+            u_inv, u_wr = next(it)[0], next(it)[0]
+            v_inv, v_wr = next(it)[0], next(it)[0]
+            Y = messages[u_tab, su]  # v→u message, stored at u (local)
+            Xs = messages[v_tab, sv]  # u→v message, stored at v
+            if dir_ == +1:  # v lives on the next shard
+                X = jax.lax.ppermute(Xs, axis, perm=left)
+            elif dir_ == -1:
+                X = jax.lax.ppermute(Xs, axis, perm=right)
+            else:
+                X = Xs
+            se = jnp.einsum("eab,eab->e", X, Y, precision=_PRECISION)
+            log_se = log_se + jnp.sum(
+                jnp.where(valid, jnp.log(se.astype(cdtype)), 0.0)
+            )
+            inv_root = (
+                1.0 / jnp.sqrt(se.astype(messages.dtype))
+            )[:, None, None]
+            messages = messages.at[:, su].set(
+                _select_rows(messages[:, su], Y * inv_root, u_inv, u_wr)
+            )
+            newX = X * inv_root
+            if dir_ == 0:
+                messages = messages.at[:, sv].set(
+                    _select_rows(messages[:, sv], newX, v_inv, v_wr)
+                )
+            else:
+                back = right if dir_ == +1 else left
+                newX = jax.lax.ppermute(newX, axis, perm=back)
+                messages = messages.at[:, sv].set(
+                    _select_rows(messages[:, sv], newX, v_inv, v_wr)
+                )
+        log_se = jax.lax.psum(log_se, axis)
+        zbp = jnp.exp(log_zv - log_se)
+
+        # ---- vertex normalization on the pair-normalized messages ----
+        # (`abstractbeliefpropagationcache.jl:269-291`)
+        st1 = BatchedState(tensors, messages)
+        zv2 = jnp.einsum("vss->v", local_rdms(spec, st1))
+        scale = 1.0 / jnp.sqrt(zv2.astype(tensors.dtype))
+        tensors = tensors * scale.reshape(
+            (-1,) + (1,) * (tensors.ndim - 1)
+        )
+
+        # ---- halo in the next shard's rescaled rows ----
+        stab = next(it)[0]  # [H]
+        recv_t = jax.lax.ppermute(tensors[stab], axis, perm=left)
+        recv_m = jax.lax.ppermute(messages[stab], axis, perm=left)
+        st = BatchedState(
+            jnp.concatenate([tensors, recv_t], axis=0),
+            jnp.concatenate([messages, recv_m], axis=0),
+        )
+
+        # ---- component weights with the batched kernels ----
+        ws = []
+        for (kind, sig, _idx_tab, _valid) in bucket_tabs:
+            idx, valid = next(it)[0], next(it)[0]
+            if kind == "c":
+                w = _bucket_weights(spec, st, idx, sig)
+            else:
+                w = _general_weights(spec, st, idx, sig)
+            ws.append(jnp.where(valid, w, 0.0))
+        if ws:
+            wg = jax.lax.all_gather(jnp.concatenate(ws), axis)
+            flat = wg.reshape(-1)
+            corr = jnp.zeros((), flat.dtype)
+            for _n, gidx in groups_j.items():
+                corr = corr + jnp.sum(jnp.prod(flat[gidx], axis=1))
+        else:
+            corr = jnp.zeros((), cdtype)
+        return (zbp * (1 + corr)).astype(cdtype)
+
+    # tables are consumed in the exact order they were flattened:
+    # bond buckets (7 each), send table, loop buckets (2 each)
+    assert 7 * len(bond_buckets) + 1 + 2 * len(bucket_tabs) == len(
+        flat_tables
+    )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(axis),) * len(flat_tables),
+        out_specs=P(),
+    )
+
+    @jax.jit
+    def z_fn(state: BatchedState):
+        return fn(state.tensors, state.messages, *flat_tables)
+
+    return z_fn

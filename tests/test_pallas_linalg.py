@@ -155,6 +155,48 @@ def test_engine_layer_with_jacobi_eigh(monkeypatch):
     np.testing.assert_allclose(np.real(z_all), np.real(z_def), atol=2e-3)
     np.testing.assert_allclose(np.real(x_all), np.real(x_def), atol=2e-3)
 
+    # cholqr2: pure-MXU QR-reduce (gram → cholesky → triangular solve,
+    # twice) — the tall-skinny χ≥64 candidate; same √ε Gram accuracy
+    # contract as "polar"
+    z_cq, x_cq = run("default", "default", "cholqr2")
+    np.testing.assert_allclose(np.real(z_cq), np.real(z_def), atol=2e-3)
+    np.testing.assert_allclose(np.real(x_cq), np.real(x_def), atol=2e-3)
+
+
+def test_cholqr2_split_reconstructs_and_is_isometric():
+    """TNQS_QR_ALG=cholqr2: A = Q·M with Q†Q = I on the range, including
+    rank-deficient inputs (zero-padded bond columns)."""
+    import os
+
+    from tensornetworkquantumsimulator_tpu.parallel.engine import _qr_split
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(5, 96, 24)) + 1j * rng.normal(size=(5, 96, 24))
+    a = a.astype(np.complex128)
+    a[2, :, -6:] = 0.0  # rank-deficient batch member
+    old = os.environ.get("TNQS_QR_ALG")
+    os.environ["TNQS_QR_ALG"] = "cholqr2"
+    try:
+        q, m = _qr_split(jnp.asarray(a))
+    finally:
+        if old is None:
+            os.environ.pop("TNQS_QR_ALG", None)
+        else:
+            os.environ["TNQS_QR_ALG"] = old
+    q = np.asarray(q)
+    m = np.asarray(m)
+    np.testing.assert_allclose(q @ m, a, atol=1e-10)
+    qhq = np.conj(np.swapaxes(q, -1, -2)) @ q
+    # exact isometry on full-rank members; on the rank-deficient member
+    # only the range directions must be orthonormal
+    eye = np.eye(24)
+    for b in range(5):
+        if b == 2:
+            np.testing.assert_allclose(qhq[b][:18, :18], eye[:18, :18],
+                                       atol=1e-8)
+        else:
+            np.testing.assert_allclose(qhq[b], eye, atol=1e-8)
+
 
 def test_jacobi_eigh_polish_on_ill_conditioned_psd():
     """The two-pass polish (BASELINE.md round-3 gate follow-up) must hold
