@@ -56,3 +56,11 @@ from .sharding import ShardedBPSpec, make_sharded_bp_update, shard_spec
 from .sharding2d import Sharded2DSpec, make_sharded_layer_2d, shard2d_spec
 from .structure import BatchedGraphSpec, SlotPairBucket, compile_graph
 from .trotter import BatchedCircuit, make_expectation_fn, make_layer_fn
+from .variational import (
+    Hamiltonian,
+    bp_sweeps,
+    ground_state,
+    heisenberg_hamiltonian,
+    make_energy_fn,
+    tfim_hamiltonian,
+)

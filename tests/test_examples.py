@@ -50,3 +50,10 @@ def test_batched_gauge_loopcorrections_example():
 
 def test_sharded_dynamics_example():
     _load("sharded_dynamics").main(n_layers=2, chi=2)
+
+
+def test_variational_ground_state_example():
+    e = _load("variational_ground_state").main(
+        nx=2, ny=2, chi=2, steps=150, lr=5e-2
+    )
+    assert e < -10.0  # 2x2 TFIM hx=3: descent clearly underway
