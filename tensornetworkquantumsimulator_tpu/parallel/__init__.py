@@ -10,6 +10,15 @@ from .convert import (
     batched_product_state,
     batched_to_tns,
 )
+from .ensemble import (
+    ensemble_fn,
+    make_ensemble_expectation_fn,
+    make_field_layer_fn,
+    rot1,
+    rot2,
+    stack_states,
+    unstack_states,
+)
 from .engine import (
     BatchedState,
     apply_color_group,

@@ -57,3 +57,10 @@ def test_variational_ground_state_example():
         nx=2, ny=2, chi=2, steps=150, lr=5e-2
     )
     assert e < -10.0  # 2x2 TFIM hx=3: descent clearly underway
+
+
+def test_disorder_ensemble_example():
+    zbar = _load("disorder_ensemble").main(
+        nx=3, ny=3, chi=2, n_layers=2, n_ensemble=3
+    )
+    assert zbar.shape == (2,) and 0.5 < zbar[-1] < zbar[0] <= 1.0
