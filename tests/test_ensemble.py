@@ -148,3 +148,37 @@ def test_ensemble_broadcast_shared_angles():
     z = np.asarray(expect_fn(estate))
     # identical initial states + shared angles → identical realizations
     np.testing.assert_allclose(z[0], z[1], atol=1e-12)
+
+
+def test_ensemble_axis_shards_over_mesh():
+    """The ensemble axis is embarrassingly parallel: sharding estate one
+    realization per device compiles and runs under auto-SPMD."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.array(jax.devices()[:8])
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    g = named_grid((3, 3))
+    chi, E = 2, 8
+    psi0 = tensornetworkstate(jnp.complex64, lambda v: "↑", g, "S=1/2")
+    spec, s0 = batched_from_tns(psi0, chi=chi)
+    _, layer = make_field_layer_fn(
+        g, chi=chi, spec=spec, bp_maxiter=5, bp_tolerance=1e-6, jit=False,
+    )
+    mesh = Mesh(devices, ("e",))
+    sh = NamedSharding(mesh, P("e"))
+    estate = jax.device_put(stack_states([s0] * E), sh)
+    rng = np.random.default_rng(3)
+    site = jax.device_put(
+        jnp.asarray(rng.uniform(0.1, 0.9, (E, spec.num_vertices)),
+                    jnp.float32), sh)
+    bond = jax.device_put(
+        jnp.asarray(rng.uniform(0.1, 0.9, (E, len(spec.edges))),
+                    jnp.float32), sh)
+    estate, _ = ensemble_fn(layer)(estate, site, bond)
+    z = make_ensemble_expectation_fn(spec, op_matrix("Z", 2),
+                                     real_output=True)(estate)
+    assert np.all(np.isfinite(np.asarray(z))) and z.shape == (
+        E, spec.num_vertices)
