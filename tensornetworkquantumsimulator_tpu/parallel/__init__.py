@@ -68,6 +68,7 @@ from .trotter import BatchedCircuit, make_expectation_fn, make_layer_fn
 from .variational import (
     Hamiltonian,
     bp_sweeps,
+    ensemble_ground_state,
     ground_state,
     heisenberg_hamiltonian,
     make_energy_fn,

@@ -211,3 +211,54 @@ def ground_state(
 
     params, msgs, energies = run(params, state.messages)
     return BatchedState(_join_params(params, is_complex), msgs), energies
+
+
+def ensemble_ground_state(
+    spec: BatchedGraphSpec,
+    estate: BatchedState,
+    ham: Hamiltonian,
+    **kwargs,
+):
+    """Vmapped :func:`ground_state`: E disorder realizations of the
+    Hamiltonian optimize in ONE XLA program.
+
+    ``estate`` carries a leading ensemble axis (see
+    :func:`~.ensemble.stack_states`).  Every coefficient in ``ham`` must
+    either be a scalar (shared across the ensemble) or an array with an
+    explicit leading ensemble axis ``[E, ...]`` — e.g. random per-site
+    fields ``[E, V]`` or per-edge couplings ``[E, num_edges]``.
+
+    Returns ``(estate, energies[E, steps])``.  No reference counterpart:
+    disorder-averaged ground-state studies there cost E full runs."""
+    E = estate.tensors.shape[0]
+
+    def prep(c):
+        c = np.asarray(c)
+        if c.ndim == 0:
+            return np.broadcast_to(c, (E,)).copy()
+        if c.shape[0] != E:
+            raise ValueError(
+                f"coefficient array {c.shape} lacks the leading ensemble "
+                f"axis (expected first dim {E}); use a scalar for shared "
+                "coefficients"
+            )
+        return c
+
+    site_cs = tuple(prep(c) for _, c in ham.site_terms)
+    bond_cs = tuple(prep(c) for _, _, c in ham.bond_terms)
+
+    def one(tensors, messages, scs, bcs):
+        h = Hamiltonian(
+            tuple((op, c) for (op, _), c in zip(ham.site_terms, scs)),
+            tuple(
+                (ou, ov, c)
+                for (ou, ov, _), c in zip(ham.bond_terms, bcs)
+            ),
+        )
+        return ground_state(
+            spec, BatchedState(tensors, messages), h, **kwargs
+        )
+
+    return jax.vmap(one)(
+        estate.tensors, estate.messages, site_cs, bond_cs
+    )

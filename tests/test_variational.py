@@ -90,3 +90,43 @@ def test_ground_state_complex_loopy():
     # BP-environment accuracy on a 4-cycle at hx=3 is percent-level
     assert abs(e_final - e0) / abs(e0) < 0.05
     assert e_final < float(energies[0])
+
+
+def test_ensemble_ground_state_matches_single_runs():
+    """E disorder realizations (different hx per site) optimized in one
+    vmapped program == per-realization ground_state runs."""
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        Hamiltonian,
+        ensemble_ground_state,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.ensemble import (
+        stack_states,
+    )
+
+    g = named_grid((3, 1))  # path: BP exact
+    spec, s0 = batched_product_state(g, chi=2, dtype=np.float64)
+    s0 = _noised(spec, s0, 0.1, seed=2)
+    E, V = 2, spec.num_vertices
+    rng = np.random.default_rng(5)
+    hx = rng.uniform(1.5, 3.0, (E, V))
+    X = np.array([[0.0, 1.0], [1.0, 0.0]])
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]])
+    ham = Hamiltonian(site_terms=((X, -hx),), bond_terms=((Z, Z, -1.0),))
+    kw = dict(steps=120, learning_rate=5e-2, bp_sweeps_per_eval=10)
+
+    estate, energies = ensemble_ground_state(
+        spec, stack_states([s0] * E), ham, **kw
+    )
+    assert energies.shape == (E, 120)
+
+    for i in range(E):
+        ham_i = Hamiltonian(
+            site_terms=((X, -hx[i]),), bond_terms=((Z, Z, -1.0),)
+        )
+        _, en_i = ground_state(spec, s0, ham_i, **kw)
+        np.testing.assert_allclose(
+            np.asarray(energies[i]), np.asarray(en_i), atol=1e-9
+        )
+
+    # different disorder → different energies
+    assert abs(float(energies[0, -1]) - float(energies[1, -1])) > 1e-3
