@@ -182,3 +182,40 @@ def test_ensemble_axis_shards_over_mesh():
                                      real_output=True)(estate)
     assert np.all(np.isfinite(np.asarray(z))) and z.shape == (
         E, spec.num_vertices)
+
+
+def test_field_layer_heavyhex_matches_generic():
+    """Degree-3 lattice (multiple slot pairs per color group): the
+    parametric layer still matches the generic engine."""
+    from tensornetworkquantumsimulator_tpu.utils.lattices import (
+        heavy_hexagonal_lattice,
+    )
+
+    g = heavy_hexagonal_lattice(1, 1)
+    chi = 3
+    rng = np.random.default_rng(13)
+    psi0 = tensornetworkstate(jnp.complex128, lambda v: "↑", g, "S=1/2")
+    spec, state = batched_from_tns(psi0, chi=chi)
+    _, layer = make_field_layer_fn(
+        g, chi=chi, spec=spec, bp_maxiter=60, bp_tolerance=1e-12,
+    )
+    V, E = spec.num_vertices, len(spec.edges)
+    site_thetas = rng.uniform(0.2, 0.9, size=V)
+    bond_thetas = rng.uniform(0.2, 0.7, size=E)
+    state, _ = layer(state, jnp.asarray(site_thetas),
+                     jnp.asarray(bond_thetas))
+    z_b = local_expectations(spec, state, jnp.asarray(op_matrix("Z", 2)))
+
+    edge_order = [
+        (spec.vertices[iu], spec.vertices[iv]) for iu, iv, _, _ in spec.edges
+    ]
+    circ = _disorder_circuit(g, site_thetas, bond_thetas, edge_order)
+    psi, _ = tnqs.apply_circuit(
+        circ, psi0,
+        apply_kwargs=dict(maxdim=chi, cutoff=1e-12, normalize_tensors=True),
+        bp_update_kwargs=dict(maxiter=60, tolerance=1e-12),
+    )
+    z_g = [tnqs.expect(psi, ("Z", [v]), alg="bp") for v in g.vertices()]
+    np.testing.assert_allclose(
+        np.real(np.asarray(z_b)), np.real(np.asarray(z_g)), atol=5e-7
+    )
