@@ -219,3 +219,39 @@ def test_field_layer_heavyhex_matches_generic():
     np.testing.assert_allclose(
         np.real(np.asarray(z_b)), np.real(np.asarray(z_g)), atol=5e-7
     )
+
+
+def test_ensemble_certified_sampling_composes():
+    """vmap composability: one certified-sampling program draws from every
+    realization of an evolved ensemble."""
+    import jax
+
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        make_grid_certified_sampler,
+    )
+
+    nx, ny, chi, E = 3, 3, 2, 3
+    g = named_grid((nx, ny))
+    psi0 = tensornetworkstate(jnp.complex64, lambda v: "↑", g, "S=1/2")
+    spec, s0 = batched_from_tns(psi0, chi=chi)
+    _, layer = make_field_layer_fn(
+        g, chi=chi, spec=spec, bp_maxiter=10, jit=False,
+    )
+    rng = np.random.default_rng(17)
+    site = jnp.asarray(rng.uniform(0.1, 0.6, (E, spec.num_vertices)),
+                       jnp.float32)
+    bond = jnp.asarray(rng.uniform(0.1, 0.6, (E, len(spec.edges))),
+                       jnp.float32)
+    estate, _ = ensemble_fn(layer)(stack_states([s0] * E), site, bond)
+
+    sampler = make_grid_certified_sampler(
+        spec, nx, ny, norm_rank=2, projected_rank=2
+    )
+    n_samples = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), (E, n_samples))
+    bits, logq, log_poverq = jax.jit(jax.vmap(sampler))(
+        estate.tensors, keys
+    )
+    assert bits.shape[:2] == (E, n_samples)
+    assert np.all(np.isfinite(np.asarray(logq)))
+    assert np.all(np.isfinite(np.asarray(log_poverq)))
