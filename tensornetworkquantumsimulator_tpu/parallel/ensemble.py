@@ -86,7 +86,7 @@ def make_field_layer_fn(
     g,
     chi: int,
     *,
-    site_pauli: str = "X",
+    site_pauli="X",
     bond_pauli: str = "ZZ",
     cutoff: float = 1e-12,
     normalize_tensors: bool = True,
@@ -103,7 +103,11 @@ def make_field_layer_fn(
     ``layer(state, site_thetas, bond_thetas) -> (state, truncation_errors)``:
 
     - ``site_thetas``: scalar or ``[V]`` — per-vertex angle of the 1-site
-      rotation ``exp(-i θ/2 site_pauli)`` applied first;
+      rotation ``exp(-i θ/2 site_pauli)`` applied first.  ``site_pauli``
+      may also be a sequence (e.g. ``("X", "Z")`` for a kicked-Ising
+      layer with both transverse and longitudinal fields), in which case
+      ``site_thetas`` broadcasts to ``[S, V]`` (pass ``[S, 1]`` for one
+      scalar per rotation) and the rotations apply in sequence;
     - ``bond_thetas``: scalar or ``[E]`` (``spec.edges`` order) — per-edge
       angle of the 2-site rotation applied per edge-color group with a BP
       refresh between groups, exactly where
@@ -134,10 +138,16 @@ def make_field_layer_fn(
         for group in spec.color_groups
     )
 
+    site_paulis = (
+        (site_pauli,) if isinstance(site_pauli, str) else tuple(site_pauli)
+    )
+    S = len(site_paulis)
+
     def layer(state: BatchedState, site_thetas, bond_thetas):
-        site_thetas = jnp.broadcast_to(jnp.asarray(site_thetas), (V,))
+        site_thetas = jnp.broadcast_to(jnp.asarray(site_thetas), (S, V))
         bond_thetas = jnp.broadcast_to(jnp.asarray(bond_thetas), (E,))
-        state = apply_one_site(state, rot1(site_pauli, site_thetas))
+        for k, p in enumerate(site_paulis):
+            state = apply_one_site(state, rot1(p, site_thetas[k]))
         errs = []
         for group, tables in zip(spec.color_groups, group_tables):
             # the 1-site sweep already touched every vertex, so every group

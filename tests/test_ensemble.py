@@ -255,3 +255,38 @@ def test_ensemble_certified_sampling_composes():
     assert bits.shape[:2] == (E, n_samples)
     assert np.all(np.isfinite(np.asarray(logq)))
     assert np.all(np.isfinite(np.asarray(log_poverq)))
+
+
+def test_field_layer_multi_site_paulis_matches_generic():
+    """site_pauli=("X","Z") (kicked-Ising with longitudinal field)."""
+    g = named_grid((3, 3))
+    chi = 3
+    rng = np.random.default_rng(23)
+    psi0 = tensornetworkstate(jnp.complex128, lambda v: "↑", g, "S=1/2")
+    spec, state = batched_from_tns(psi0, chi=chi)
+    _, layer = make_field_layer_fn(
+        g, chi=chi, spec=spec, site_pauli=("X", "Z"),
+        bp_maxiter=60, bp_tolerance=1e-12,
+    )
+    V, E = spec.num_vertices, len(spec.edges)
+    thetas = rng.uniform(0.2, 0.9, size=(2, V))
+    bond = rng.uniform(0.2, 0.7, size=E)
+    state, _ = layer(state, jnp.asarray(thetas), jnp.asarray(bond))
+    z_b = local_expectations(spec, state, jnp.asarray(op_matrix("Z", 2)))
+
+    verts = list(g.vertices())
+    circ = [("Rx", [v], float(thetas[0, i])) for i, v in enumerate(verts)]
+    circ += [("Rz", [v], float(thetas[1, i])) for i, v in enumerate(verts)]
+    circ += [
+        ("Rzz", [spec.vertices[iu], spec.vertices[iv]], float(bond[k]))
+        for k, (iu, iv, _, _) in enumerate(spec.edges)
+    ]
+    psi, _ = tnqs.apply_circuit(
+        circ, psi0,
+        apply_kwargs=dict(maxdim=chi, cutoff=1e-12, normalize_tensors=True),
+        bp_update_kwargs=dict(maxiter=60, tolerance=1e-12),
+    )
+    z_g = [tnqs.expect(psi, ("Z", [v]), alg="bp") for v in verts]
+    np.testing.assert_allclose(
+        np.real(np.asarray(z_b)), np.real(np.asarray(z_g)), atol=5e-7
+    )
