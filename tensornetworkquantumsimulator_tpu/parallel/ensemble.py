@@ -144,10 +144,25 @@ def make_field_layer_fn(
     S = len(site_paulis)
 
     def layer(state: BatchedState, site_thetas, bond_thetas):
-        site_thetas = jnp.broadcast_to(jnp.asarray(site_thetas), (S, V))
+        site_thetas = jnp.asarray(site_thetas)
+        if S > 1 and site_thetas.ndim == 1 and site_thetas.shape[0] == S == V:
+            # [S] and [V] are indistinguishable here; [V] (shared across
+            # rotations) would broadcast silently into wrong gates
+            raise ValueError(
+                f"site_thetas shape ({S},) is ambiguous with {S} rotations "
+                f"on {V} vertices; pass [S, 1] (per-rotation scalars) or "
+                f"[S, V] explicitly"
+            )
+        site_thetas = jnp.broadcast_to(site_thetas, (S, V))
         bond_thetas = jnp.broadcast_to(jnp.asarray(bond_thetas), (E,))
-        for k, p in enumerate(site_paulis):
-            state = apply_one_site(state, rot1(p, site_thetas[k]))
+        # compose the S rotations into ONE per-vertex gate (a [V, 2, 2]
+        # matmul chain) so the hot loop pays a single tensor contraction
+        gate = rot1(site_paulis[0], site_thetas[0])
+        for k in range(1, S):
+            gate = jnp.einsum(
+                "vpq,vqr->vpr", rot1(site_paulis[k], site_thetas[k]), gate
+            )
+        state = apply_one_site(state, gate)
         errs = []
         for group, tables in zip(spec.color_groups, group_tables):
             # the 1-site sweep already touched every vertex, so every group

@@ -223,29 +223,39 @@ def ensemble_ground_state(
     Hamiltonian optimize in ONE XLA program.
 
     ``estate`` carries a leading ensemble axis (see
-    :func:`~.ensemble.stack_states`).  Every coefficient in ``ham`` must
-    either be a scalar (shared across the ensemble) or an array with an
-    explicit leading ensemble axis ``[E, ...]`` — e.g. random per-site
-    fields ``[E, V]`` or per-edge couplings ``[E, num_edges]``.
+    :func:`~.ensemble.stack_states`).  Coefficients in ``ham`` are either
+    *per-realization* — an array with an explicit leading ensemble axis
+    ``[E, ...]``, e.g. random per-site fields ``[E, V]`` or per-edge
+    couplings ``[E, num_edges]`` — or *shared*: a scalar, or an array
+    broadcastable to ``[V]``/``[num_edges]`` whose leading dim is not
+    ``E`` (it is tiled across realizations).  The one ambiguous shape —
+    a 1-D array of length ``E`` when ``E`` equals the per-term size —
+    raises; disambiguate with ``[E, 1]`` or an explicit ``[E, n]``.
 
     Returns ``(estate, energies[E, steps])``.  No reference counterpart:
     disorder-averaged ground-state studies there cost E full runs."""
     E = estate.tensors.shape[0]
+    V = estate.tensors.shape[1]
+    n_edges = len(spec.edges)
 
-    def prep(c):
+    def prep(c, n, what):
         c = np.asarray(c)
         if c.ndim == 0:
             return np.broadcast_to(c, (E,)).copy()
-        if c.shape[0] != E:
+        if c.ndim == 1 and c.shape[0] == E == n:
             raise ValueError(
-                f"coefficient array {c.shape} lacks the leading ensemble "
-                f"axis (expected first dim {E}); use a scalar for shared "
-                "coefficients"
+                f"{what} coefficient of shape ({E},) is ambiguous: "
+                f"ensemble size E={E} equals the per-term size n={n}; "
+                f"pass [E, 1] for per-realization scalars or [E, {n}] "
+                "explicitly"
             )
-        return c
+        if c.shape[0] == E:
+            return c  # per-realization (leading ensemble axis)
+        # shared across the ensemble: tile a [n]-broadcastable array
+        return np.broadcast_to(c, (E,) + c.shape)
 
-    site_cs = tuple(prep(c) for _, c in ham.site_terms)
-    bond_cs = tuple(prep(c) for _, _, c in ham.bond_terms)
+    site_cs = tuple(prep(c, V, "site") for _, c in ham.site_terms)
+    bond_cs = tuple(prep(c, n_edges, "bond") for _, _, c in ham.bond_terms)
 
     def one(tensors, messages, scs, bcs):
         h = Hamiltonian(

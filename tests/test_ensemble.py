@@ -290,3 +290,19 @@ def test_field_layer_multi_site_paulis_matches_generic():
     np.testing.assert_allclose(
         np.real(np.asarray(z_b)), np.real(np.asarray(z_g)), atol=5e-7
     )
+
+
+def test_multi_pauli_ambiguous_site_thetas_raises():
+    """S rotations on S vertices: a 1-D length-S theta vector is ambiguous
+    and must be rejected (it would broadcast into wrong gates)."""
+    import pytest
+
+    g = named_grid((2, 1))  # V = 2
+    spec, s0 = batched_from_tns(
+        tensornetworkstate(jnp.complex128, lambda v: "↑", g, "S=1/2"), chi=2
+    )
+    _, layer = make_field_layer_fn(
+        g, chi=2, spec=spec, site_pauli=("X", "Z"), bp_maxiter=5, jit=False,
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        layer(s0, jnp.asarray([0.3, 0.4]), 0.5)

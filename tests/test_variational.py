@@ -124,9 +124,47 @@ def test_ensemble_ground_state_matches_single_runs():
             site_terms=((X, -hx[i]),), bond_terms=((Z, Z, -1.0),)
         )
         _, en_i = ground_state(spec, s0, ham_i, **kw)
+        # vmap/XLA may reorder reductions and adam amplifies ULP-level
+        # differences over the trajectory — compare loosely, not bitwise
         np.testing.assert_allclose(
-            np.asarray(energies[i]), np.asarray(en_i), atol=1e-9
+            np.asarray(energies[i]), np.asarray(en_i), atol=1e-6
         )
 
     # different disorder → different energies
     assert abs(float(energies[0, -1]) - float(energies[1, -1])) > 1e-3
+
+
+def test_ensemble_ground_state_shared_and_ambiguous_coeffs():
+    """Shared non-uniform coefficient arrays tile across the ensemble;
+    the genuinely ambiguous shape (1-D length E == per-term size) raises."""
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        Hamiltonian,
+        ensemble_ground_state,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.ensemble import (
+        stack_states,
+    )
+
+    g = named_grid((3, 1))
+    spec, s0 = batched_product_state(g, chi=2, dtype=np.float64)
+    s0 = _noised(spec, s0, 0.1, seed=4)
+    X = np.array([[0.0, 1.0], [1.0, 0.0]])
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]])
+    kw = dict(steps=40, learning_rate=5e-2, bp_sweeps_per_eval=8)
+
+    # shared per-site field [V] with E=2 != V=3: tiled, equals explicit
+    hx = np.array([1.5, 2.0, 2.5])
+    ham_shared = Hamiltonian(((X, -hx),), ((Z, Z, -1.0),))
+    ham_explicit = Hamiltonian(
+        ((X, -np.broadcast_to(hx, (2, 3)).copy()),), ((Z, Z, -1.0),)
+    )
+    est = stack_states([s0] * 2)
+    _, en_s = ensemble_ground_state(spec, est, ham_shared, **kw)
+    _, en_e = ensemble_ground_state(spec, est, ham_explicit, **kw)
+    np.testing.assert_allclose(np.asarray(en_s), np.asarray(en_e))
+
+    # ambiguous: E == V == 3 with a 1-D length-3 coefficient
+    est3 = stack_states([s0] * 3)
+    ham_amb = Hamiltonian(((X, -hx),), ((Z, Z, -1.0),))
+    with pytest.raises(ValueError, match="ambiguous"):
+        ensemble_ground_state(spec, est3, ham_amb, **kw)
