@@ -462,16 +462,31 @@ def bisect(n_layers: int) -> None:
     # hit the control like any rung (round-3: a 0.61 s control voided an
     # otherwise-complete ladder), so it gets the same retry policy.
     control_wall = None
+    # a fast-FAILED chain can read executed=True (it blocks 5-35 s before
+    # raising while running nothing — round-3: a 35.5 s "control" against a
+    # 32M-layer penalty, i.e. 1.1 us/layer, voided an all-pass ladder), so
+    # the control additionally enforces a physical wall floor: penalty
+    # layers at the fastest de-converged per-layer time ever measured
+    # (60 us on the double-NS jacobi path; default floor uses 20 us for
+    # margin).  Anything faster cannot have executed the penalty.
+    ctl_min = penalty * float(
+        os.environ.get("TNQS_BISECT_CONTROL_MIN_PER_LAYER", "2e-5")
+    )
     for _attempt in range(5):
         control = run_verify(-1.0, penalty)
-        if control is None or not control.get("executed", True):
+        wall_c = control and control.get("wall_seconds")
+        if (
+            control is None
+            or not control.get("executed", True)
+            or (wall_c is not None and wall_c < ctl_min)
+        ):
             print(
                 f"# control: poisoned/failed chain "
-                f"(wall={control and control.get('wall_seconds')}), retrying",
+                f"(wall={wall_c}, physical floor {ctl_min:.0f}s), retrying",
                 file=sys.stderr, flush=True,
             )
             continue
-        control_wall = control.get("wall_seconds")
+        control_wall = wall_c
         break
     # the control must be distinctly SLOWER than the passes: at least
     # the decision threshold (penalty 3M layers ≥ 300 s even at the
