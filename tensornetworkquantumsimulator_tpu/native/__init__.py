@@ -1,9 +1,16 @@
 """Native (C++) runtime components, loaded via ctypes.
 
 `libpathopt.so` — exact contraction-order DP (the counterpart of the
-reference's TensorOperations.optimaltree).  Built lazily with g++ on first
-use; the pure-Python opt_einsum search is the fallback, so the framework
-works without a toolchain."""
+reference's TensorOperations.optimaltree).
+`libsubgraphs.so` — leaf-free edge-induced subgraph enumeration for the
+BP loop-correction series (counterpart of NamedGraphs'
+edgeinduced_subgraphs_no_leaves, `loopcorrection.jl:11-12`); the pure
+Python enumeration is O(minutes) at max_configuration_size=10, the
+native one O(ms).
+
+Both are built lazily with g++ on first use; the pure-Python
+implementations are the fallback, so the framework works without a
+toolchain."""
 
 from __future__ import annotations
 
@@ -13,60 +20,61 @@ import subprocess
 import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_HERE, "libpathopt.so")
 _lock = threading.Lock()
-_lib = None
-_build_failed = False
+_libs: dict = {}
+_failed: set = set()
 
 
-def _build() -> bool:
-    src = os.path.join(_HERE, "pathopt.cpp")
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH, src],
-            check=True,
-            capture_output=True,
-            timeout=120,
+def _get_lib(stem: str, configure) -> "ctypes.CDLL | None":
+    """Build (if stale) + load + configure `lib{stem}.so` from `{stem}.cpp`."""
+    if stem in _libs:
+        return _libs[stem]
+    if stem in _failed:
+        return None
+    with _lock:
+        if stem in _libs:
+            return _libs[stem]
+        src = os.path.join(_HERE, f"{stem}.cpp")
+        lib_path = os.path.join(_HERE, f"lib{stem}.so")
+        stale = not os.path.exists(lib_path) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(lib_path)
         )
-        return True
-    except Exception:
-        return False
+        if stale:
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", lib_path, src],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                _failed.add(stem)
+                return None
+        try:
+            lib = ctypes.CDLL(lib_path)
+            configure(lib)
+            _libs[stem] = lib
+            return lib
+        except OSError:
+            _failed.add(stem)
+            return None
+
+
+def _configure_pathopt(lib):
+    lib.optimal_path.restype = ctypes.c_int
+    lib.optimal_path.argtypes = [
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int),
+    ]
 
 
 def get_pathopt():
-    """Return the loaded library or None if unavailable."""
-    global _lib, _build_failed
-    if _lib is not None:
-        return _lib
-    if _build_failed:
-        return None
-    with _lock:
-        if _lib is not None:
-            return _lib
-        src = os.path.join(_HERE, "pathopt.cpp")
-        stale = not os.path.exists(_LIB_PATH) or (
-            os.path.exists(src)
-            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
-        )
-        if stale:
-            if not _build():
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-            lib.optimal_path.restype = ctypes.c_int
-            lib.optimal_path.argtypes = [
-                ctypes.c_int,
-                ctypes.c_int,
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.POINTER(ctypes.c_uint64),
-                ctypes.POINTER(ctypes.c_int),
-            ]
-            _lib = lib
-            return _lib
-        except OSError:
-            _build_failed = True
-            return None
+    """Return the loaded pathopt library or None if unavailable."""
+    return _get_lib("pathopt", _configure_pathopt)
 
 
 def optimal_path_native(inputs: list, dims: dict):
@@ -101,3 +109,63 @@ def optimal_path_native(inputs: list, dims: dict):
     if rc != 0:
         return None
     return [(out[2 * i], out[2 * i + 1]) for i in range(n - 1)]
+
+
+def _configure_subgraphs(lib):
+    lib.enumerate_leaffree.restype = ctypes.c_longlong
+    lib.enumerate_leaffree.argtypes = [
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_longlong,
+        ctypes.c_int,
+    ]
+
+
+def get_subgraphs():
+    """Return the loaded subgraph-enumeration library or None."""
+    return _get_lib("subgraphs", _configure_subgraphs)
+
+
+def leaffree_subsets_native(edge_pairs, n_vertices, max_edges):
+    """All vertex-disjoint unions of leaf-free connected edge subsets with
+    <= max_edges edges, as lists of edge indices into `edge_pairs` — or
+    None when the native library is unavailable / the graph exceeds the
+    256-edge/256-vertex bitset capacity.
+
+    `edge_pairs` is a list of (src_index, dst_index) vertex-index pairs.
+    """
+    lib = get_subgraphs()
+    n_edges = len(edge_pairs)
+    if lib is None or n_edges == 0 or max_edges is None or max_edges <= 0:
+        return None if lib is None else []
+    if n_edges > 256 or n_vertices > 256:
+        return None
+    words = (n_edges + 63) // 64
+    src = (ctypes.c_int * n_edges)(*[p[0] for p in edge_pairs])
+    dst = (ctypes.c_int * n_edges)(*[p[1] for p in edge_pairs])
+    cap = 1 << 16
+    while True:
+        out = (ctypes.c_uint64 * (cap * words))()
+        total = lib.enumerate_leaffree(
+            n_vertices, n_edges, src, dst, max_edges, out, cap, words
+        )
+        if total < 0:
+            return None
+        if total <= cap:
+            break
+        cap = int(total)
+    results = []
+    for i in range(total):
+        idxs = []
+        for w in range(words):
+            bits = out[i * words + w]
+            while bits:
+                b = bits & (-bits)
+                idxs.append(w * 64 + b.bit_length() - 1)
+                bits ^= b
+        results.append(idxs)
+    return results

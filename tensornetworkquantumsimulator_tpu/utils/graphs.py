@@ -455,9 +455,49 @@ def edgeinduced_subgraphs_no_leaves(g: NamedGraph, max_edges: int) -> list:
 
     Returns a list of NamedGraph (possibly disconnected unions of
     vertex-disjoint leaf-free components).
+
+    Dispatches to the native C++ bitset enumerator
+    (`native/subgraphs.cpp`) when available — the pure-Python enumeration
+    below is O(minutes) at max_edges=10 on a 5×5 grid (124 s measured),
+    the native one O(ms) — and falls back to Python without a toolchain.
+    Both paths produce the identical sorted list
+    (`tests/test_graphs.py` cross-checks them).
     """
     if max_edges is None or max_edges <= 0:
         return []
+    edges = g.edges()
+
+    native_sets = _leaffree_edge_sets_native(g, edges, max_edges)
+    if native_sets is not None:
+        out = []
+        for es in sorted(native_sets, key=lambda s: (len(s), sorted(s))):
+            sub = NamedGraph()
+            for i in sorted(es):
+                e = edges[i]
+                sub.add_vertex_inplace(e.src)
+                sub.add_vertex_inplace(e.dst)
+                sub.add_edge_inplace(e)
+            out.append(sub)
+        return out
+    return _edgeinduced_subgraphs_no_leaves_py(g, max_edges)
+
+
+def _leaffree_edge_sets_native(g: NamedGraph, edges: list, max_edges: int):
+    """Edge-index sets from the native enumerator, or None (no toolchain /
+    graph exceeds the 256-edge/vertex bitset capacity)."""
+    try:
+        from ..native import leaffree_subsets_native
+    except Exception:
+        return None
+    verts = {v: i for i, v in enumerate(g.vertices())}
+    pairs = [(verts[e.src], verts[e.dst]) for e in edges]
+    sets = leaffree_subsets_native(pairs, len(verts), max_edges)
+    return None if sets is None else [frozenset(s) for s in sets]
+
+
+def _edgeinduced_subgraphs_no_leaves_py(g: NamedGraph, max_edges: int) -> list:
+    """Pure-Python fallback (and parity oracle) for
+    `edgeinduced_subgraphs_no_leaves`."""
     edges = g.edges()
     eidx = {frozenset((e.src, e.dst)): k for k, e in enumerate(edges)}
 

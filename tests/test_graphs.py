@@ -84,3 +84,38 @@ def test_loop_correlations():
     corrs = loop_correlations(psi, 4)
     assert len(corrs) == 4  # four plaquettes
     assert all(0 <= c <= 1 for c in corrs)
+
+
+def test_native_leaffree_enumeration_matches_python():
+    """The C++ bitset enumerator (native/subgraphs.cpp) and the pure-Python
+    fallback produce the identical configuration set (the 'generalized
+    loops' of loopcorrection.jl:11-12)."""
+    import pytest
+
+    from tensornetworkquantumsimulator_tpu.native import get_subgraphs
+    from tensornetworkquantumsimulator_tpu.utils.graphs import (
+        _edgeinduced_subgraphs_no_leaves_py,
+        _leaffree_edge_sets_native,
+        edgeinduced_subgraphs_no_leaves,
+    )
+
+    if get_subgraphs() is None:
+        pytest.skip("no native toolchain")
+
+    def canon(graphs):
+        return sorted(
+            tuple(sorted((str(e.src), str(e.dst)) for e in sg.edges()))
+            for sg in graphs
+        )
+
+    for g, size in [
+        (named_grid((4, 4)), 8),
+        (named_grid((3, 3), periodic=True), 6),
+        (heavy_hexagonal_lattice(2, 2), 12),
+        (named_comb_tree((3, 3)), 6),  # tree: no loops at all
+    ]:
+        native_sets = _leaffree_edge_sets_native(g, g.edges(), size)
+        assert native_sets is not None
+        nat = edgeinduced_subgraphs_no_leaves(g, size)
+        py = _edgeinduced_subgraphs_no_leaves_py(g, size)
+        assert canon(nat) == canon(py)
