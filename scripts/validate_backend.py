@@ -326,26 +326,79 @@ def verify(
     )
 
 
-def bisect(n_layers: int) -> None:
-    """Bracket the TPU-vs-CPU-c64 max site |Δ| with a descending tolerance
-    ladder of --verify subprocesses (one per tol; each decision is read
-    from wall time).  Records the BASELINE.md physics artifact.
+def _make_run_verify(n_layers: int):
+    """Build the CPU-c64 reference trajectory (cached in /tmp across
+    invocations — regenerating it costs a ~90 s CPU run) and return a
+    ``run_verify(tol, penalty, floor=None)`` closure that launches one
+    --verify subprocess and parses its JSON record.
 
     The CPU reference always runs the default (trusted) factorization
     path, even when the TPU side under test runs with TNQS_EIGH_ALG
     overridden — gating an alternative algorithm means comparing it
     against the established baseline, not against itself."""
-    env_cpu = dict(os.environ, JAX_PLATFORMS="cpu", TNQS_EIGH_ALG="default",
-                   TNQS_SVD_ALG="default", TNQS_QR_ALG="default")
-    proc = subprocess.run(
-        [sys.executable, __file__, "--trajectory", str(n_layers)],
-        capture_output=True, text=True, env=env_cpu, timeout=1800,
-    )
-    rec = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     ref_path = "/tmp/tnqs_verify_ref.json"
-    open(ref_path, "w").write(rec)
-    print(f"# CPU c64 reference trajectory saved ({n_layers} layers)",
-          file=sys.stderr, flush=True)
+    need = True
+    try:
+        cached = json.load(open(ref_path))
+        need = len(cached["trajectory_all"]) < n_layers
+    except Exception:
+        need = True
+    if need:
+        env_cpu = dict(os.environ, JAX_PLATFORMS="cpu",
+                       TNQS_EIGH_ALG="default",
+                       TNQS_SVD_ALG="default", TNQS_QR_ALG="default")
+        proc = subprocess.run(
+            [sys.executable, __file__, "--trajectory", str(n_layers)],
+            capture_output=True, text=True, env=env_cpu, timeout=1800,
+        )
+        rec = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        open(ref_path, "w").write(rec)
+        print(f"# CPU c64 reference trajectory saved ({n_layers} layers)",
+              file=sys.stderr, flush=True)
+    else:
+        print(f"# CPU c64 reference trajectory reused ({ref_path})",
+              file=sys.stderr, flush=True)
+
+    seed_ctr = [int(os.environ.get("TNQS_VERIFY_SEED0", "0"))]
+
+    def run_verify(tol, pen, floor=None):
+        seed_ctr[0] += 1
+        env = dict(os.environ)
+        if floor is not None:
+            env["TNQS_VERIFY_FLOOR"] = str(int(floor))
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--verify", str(tol),
+                 str(n_layers), ref_path, str(pen), str(seed_ctr[0])],
+                capture_output=True, text=True, env=env,
+                timeout=float(os.environ.get("TNQS_VERIFY_TIMEOUT", "3600")),
+            )
+            line = [
+                l for l in proc.stdout.splitlines() if l.startswith("{")
+            ]
+            if not line:
+                print(f"# verify stderr tail: {proc.stderr[-400:]}",
+                      file=sys.stderr, flush=True)
+                return None
+            return json.loads(line[-1])
+        except subprocess.TimeoutExpired:
+            return {"wall_seconds": 3600.0, "executed": True}
+
+    return run_verify
+
+
+def bisect(n_layers: int) -> None:
+    """Bracket the TPU-vs-CPU-c64 max site |Δ| with a descending tolerance
+    ladder of --verify subprocesses (one per tol; each decision is read
+    from wall time).  Records the BASELINE.md physics artifact.
+
+    This is the ABSOLUTE-wall protocol (decision threshold + one big
+    penalty).  It needs the service to execute long programs — on days
+    it kills them (2026-08-18: everything ≳5 min device time returned
+    59–175 s without executing, the same band fast-failed chains
+    occupy), use the slope protocol (``--bisect`` with
+    TNQS_BISECT_MODE=slope, the default — see bisect_slope)."""
+    run_verify = _make_run_verify(n_layers)
 
     # tol and penalty are runtime inputs, so every rung + the control
     # reuse ONE compiled program: the warm run below eats the remote
@@ -376,26 +429,6 @@ def bisect(n_layers: int) -> None:
     # de-converged jacobi path).  Runtime knobs — the cached compiled
     # program is reused across resizings.
     decision_s = float(os.environ.get("TNQS_BISECT_DECISION_S", "200"))
-    seed_ctr = [0]
-
-    def run_verify(tol, pen):
-        seed_ctr[0] += 1
-        try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--verify", str(tol),
-                 str(n_layers), ref_path, str(pen), str(seed_ctr[0])],
-                capture_output=True, text=True, timeout=3600,
-            )
-            line = [
-                l for l in proc.stdout.splitlines() if l.startswith("{")
-            ]
-            if not line:
-                print(f"# verify stderr tail: {proc.stderr[-400:]}",
-                      file=sys.stderr, flush=True)
-                return None
-            return json.loads(line[-1])
-        except subprocess.TimeoutExpired:
-            return {"wall_seconds": 3600.0, "executed": True}
 
     # tol=1e9 always passes: floor-only.  Retried on poisoned chains —
     # an unexecuted warm run compiles nothing, so the first rung would
@@ -506,6 +539,218 @@ def bisect(n_layers: int) -> None:
     }), flush=True)
 
 
+def slope_control(run_verify, label="", p_small=None, p_big=None):
+    """Execution-slope channel control (round-3 protocol, 2026-08-18).
+
+    The single giant-penalty control became unreadable when the service
+    started killing long programs: every program needing ≳5 min of
+    device time returned in 59–175 s WITHOUT executing — the same band
+    fast-failed dispatch chains occupy, so no absolute wall floor can
+    separate "penalty executed" from "chain died".  (An 8M-layer
+    penalty demonstrably ran 476 s the day before; the kill window is
+    load-dependent.)
+
+    This control reads the penalty branch DIFFERENTIALLY instead: it
+    interleaves tol=-1 (forced-penalty) runs between a small and a big
+    penalty that each fit under the kill window — S,B,S,B — and accepts
+    the channel only if BOTH temporally-adjacent pairs show the wall
+    growing with penalty size at a physically plausible per-layer rate:
+
+        wall(B_i) - wall(S_i)  >=  (p_big - p_small) * lo      (i = 1,2)
+
+    A fast-failed chain's wall does not scale with program size (the
+    band is queue/transport noise), so faking a pass needs two
+    independent band draws to land >= ~60 s above their adjacent small
+    draws; a queue burst is common-mode between adjacent runs and
+    cancels in the difference; a burst on a SMALL reading only deflates
+    the difference (fails safe).  If the big point itself never
+    executes (kill window shrank), it is halved and the control
+    restarts — the accepted p_big doubles as the measured kill-window
+    bound for sizing the ladder, and the measured slope is the
+    de-converged per-layer time of the path under test.
+    """
+    lo = float(os.environ.get("TNQS_BISECT_CONTROL_MIN_PER_LAYER", "2e-5"))
+    p_small = p_small or int(os.environ.get("TNQS_CONTROL_P_SMALL", "1000000"))
+    p_big = p_big or int(os.environ.get("TNQS_CONTROL_P_BIG", "4000000"))
+    floor = int(os.environ.get("TNQS_VERIFY_FLOOR", "100000"))
+
+    for _shrink in range(3):
+        seq = []  # (penalty, wall) in temporal order
+        dead_big = 0
+        for rep in range(2):
+            for p in (p_small, p_big):
+                wall = None
+                for _retry in range(3):
+                    rec = run_verify(-1.0, p, floor=floor)
+                    w = rec and rec.get("wall_seconds")
+                    if (rec is not None and rec.get("executed", True)
+                            and w >= (p + floor) * lo):
+                        wall = w
+                        break
+                    print(f"# control{label} P={p}: invalid reading "
+                          f"(wall={w}), retrying", file=sys.stderr, flush=True)
+                print(f"# control{label} P={p}: wall={wall}",
+                      file=sys.stderr, flush=True)
+                seq.append((p, wall))
+                if p == p_big and wall is None:
+                    dead_big += 1
+        pairs = [(seq[i][1], seq[i + 1][1])
+                 for i in range(0, len(seq) - 1, 2)]
+        deltas = [b - s for s, b in pairs if s is not None and b is not None]
+        need = (p_big - p_small) * lo
+        ok = len(deltas) >= 2 and all(d >= need for d in deltas)
+        slope = (min(deltas) / (p_big - p_small)) if deltas else None
+        if ok or dead_big == 0:
+            result = {
+                "p_small": p_small, "p_big": p_big,
+                "walls": [(p, w) for p, w in seq],
+                "deltas": deltas, "required_delta": need,
+                "per_layer_seconds": slope, "ok": bool(ok),
+            }
+            print(f"# control{label}: deltas={deltas} need>={need:.0f}s "
+                  f"-> ok={ok} (per-layer="
+                  f"{slope if slope is None else f'{slope:.2e}'})",
+                  file=sys.stderr, flush=True)
+            return result
+        # the big point keeps dying: assume the kill window shrank
+        p_big = max(p_small * 2, p_big // 2)
+        print(f"# control{label}: big point never executed, shrinking "
+              f"p_big to {p_big}", file=sys.stderr, flush=True)
+    return {"p_small": p_small, "p_big": p_big, "ok": False,
+            "per_layer_seconds": None, "walls": [], "deltas": []}
+
+
+def control(n_layers: int) -> None:
+    """Standalone slope control: probe whether the timing channel is
+    alive right now and measure the de-converged per-layer time of the
+    path under test (honors TNQS_EIGH_ALG etc.).  Prints one JSON."""
+    run_verify = _make_run_verify(n_layers)
+    rec = slope_control(run_verify)
+    print(json.dumps(rec), flush=True)
+
+
+def bisect_slope(n_layers: int) -> None:
+    """Slope-verified tolerance ladder — every reading is differential.
+
+    Protocol (each --verify subprocess shares ONE compiled program via
+    the runtime tol/penalty/floor knobs and the service's cross-process
+    program cache):
+
+      1. warm run (tol=1e9) to eat the remote compile;
+      2. PRE slope control (see slope_control): channel alive + measured
+         per-layer time s + largest penalty p_big that executes today;
+      3. rungs, descending tol.  One reading = a FLOOR SANDWICH
+         [F1, F2, F1] with F1 < F2 both under the kill window and the
+         penalty p_big:
+           - genuine pass: wall ≈ F·s (+queue) and the two adjacent
+             differences w(F2)-w(F1) both land in the physical band
+             [0.3, 3]×(F2-F1)·s — a fast-failed chain is flat and a
+             queue burst inflates a single reading, not a sandwich;
+           - genuine fail: the penalty branch adds p_big·s to every
+             reading, so ≥2 of the 3 walls clear F·s + 0.5·p_big·s —
+             readable even if the F2+penalty program exceeds the kill
+             window (the two F1 readings suffice);
+           - anything else (poisoned, unexecuted, band-straddling) is
+             retried, and an unresolved rung stops the ladder, which can
+             only LOOSEN the reported bracket, never tighten it;
+      4. POST slope control: the channel must still be alive after the
+         last rung (controls bracket the ladder in time, so a mid-ladder
+         service mood change voids the run instead of faking passes).
+
+    channel_ok = pre.ok AND post.ok.
+    """
+    run_verify = _make_run_verify(n_layers)
+
+    # tol=1e9 always passes: floor-only warm to eat the remote compile
+    # (retried: an unexecuted warm compiles nothing)
+    for _attempt in range(3):
+        t0 = time.perf_counter()
+        warm = run_verify(1e9, 1000000, floor=100000)
+        print(f"# warm (compile) wall={warm and warm.get('wall_seconds')} "
+              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr,
+              flush=True)
+        if warm is not None and warm.get("executed", True):
+            break
+
+    pre = slope_control(run_verify, label="/pre")
+    if not pre["ok"]:
+        print(json.dumps({
+            "n_layers": n_layers, "max_site_delta_upper": None,
+            "max_site_delta_lower": None, "channel_ok": False,
+            "control_pre": pre, "control_post": None,
+            "channel": "timing-slope; pre-control found no live channel",
+        }), flush=True)
+        return
+    s = pre["per_layer_seconds"]
+    p_big = pre["p_big"]
+    f1 = int(os.environ.get("TNQS_SLOPE_F1", "1000000"))
+    f2 = int(os.environ.get("TNQS_SLOPE_F2", "3000000"))
+    lo_d, hi_d = 0.3 * (f2 - f1) * s, 3.0 * (f2 - f1) * s
+    fail_at = lambda f: (f + 0.5 * p_big) * s
+
+    ladder = [float(t) for t in os.environ.get(
+        "TNQS_SLOPE_LADDER", "1e-4,3e-5,1e-5,3e-6").split(",")]
+    last_pass, first_fail = None, None
+    for tol in ladder:
+        verdict = "error"
+        for attempt in range(3):
+            walls = []
+            for f in (f1, f2, f1):
+                w = None
+                for _retry in range(3):
+                    rec = run_verify(tol, p_big, floor=f)
+                    wr = rec and rec.get("wall_seconds")
+                    if (rec is not None and rec.get("executed", True)
+                            and wr >= f * 2e-5):
+                        w = wr
+                        break
+                walls.append(w)
+            print(f"# tol={tol:g} sandwich walls={walls}",
+                  file=sys.stderr, flush=True)
+            if any(w is None for w in walls):
+                verdict = "error"
+                continue
+            w1a, w2, w1b = walls
+            n_fail = sum(w >= fail_at(f)
+                         for w, f in zip(walls, (f1, f2, f1)))
+            slope_ok = (lo_d <= w2 - w1a <= hi_d
+                        and lo_d <= w2 - w1b <= hi_d)
+            pass_ok = slope_ok and n_fail == 0
+            if n_fail >= 2:
+                verdict = "fail"
+                break
+            if pass_ok:
+                verdict = "pass"
+                break
+            verdict = "ambiguous"
+            print(f"# tol={tol:g}: ambiguous sandwich (n_fail={n_fail}, "
+                  f"slope_ok={slope_ok}), re-reading", file=sys.stderr,
+                  flush=True)
+        print(f"# tol={tol:g} -> {verdict}", file=sys.stderr, flush=True)
+        if verdict == "pass":
+            last_pass = tol
+        elif verdict == "fail":
+            first_fail = tol
+            break
+        else:
+            break  # unresolved: stop, report the bracket so far
+
+    post = slope_control(run_verify, label="/post",
+                         p_small=pre["p_small"], p_big=p_big)
+    channel_ok = bool(pre["ok"] and post["ok"])
+    print(json.dumps({
+        "n_layers": n_layers,
+        "max_site_delta_upper": last_pass,
+        "max_site_delta_lower": first_fail,
+        "per_layer_seconds": s,
+        "channel_ok": channel_ok,
+        "control_pre": pre, "control_post": post,
+        "channel": "timing-slope (floor-sandwich rungs, interleaved "
+        "differential controls, shared program via runtime knobs); "
+        "downloads UNIMPLEMENTED",
+    }), flush=True)
+
+
 if __name__ == "__main__":
     x64 = "--x64" in sys.argv
     if "--point" in sys.argv:
@@ -519,7 +764,13 @@ if __name__ == "__main__":
         verify(float(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3],
                int(sys.argv[i + 4]),
                int(sys.argv[i + 5]) if len(sys.argv) > i + 5 else 0)
+    elif "--control" in sys.argv:
+        control(int(sys.argv[sys.argv.index("--control") + 1]))
     elif "--bisect" in sys.argv:
-        bisect(int(sys.argv[sys.argv.index("--bisect") + 1]))
+        n = int(sys.argv[sys.argv.index("--bisect") + 1])
+        if os.environ.get("TNQS_BISECT_MODE", "slope") == "abs":
+            bisect(n)
+        else:
+            bisect_slope(n)
     else:
         trajectory(20)
