@@ -573,51 +573,72 @@ def slope_control(run_verify, label="", p_small=None, p_big=None):
     p_small = p_small or int(os.environ.get("TNQS_CONTROL_P_SMALL", "1000000"))
     p_big = p_big or int(os.environ.get("TNQS_CONTROL_P_BIG", "4000000"))
     floor = int(os.environ.get("TNQS_VERIFY_FLOOR", "100000"))
+    max_pairs = int(os.environ.get("TNQS_CONTROL_MAX_PAIRS", "8"))
 
-    for _shrink in range(3):
-        seq = []  # (penalty, wall) in temporal order
-        dead_big = 0
-        for rep in range(2):
-            for p in (p_small, p_big):
-                wall = None
-                for _retry in range(3):
-                    rec = run_verify(-1.0, p, floor=floor)
-                    w = rec and rec.get("wall_seconds")
-                    if (rec is not None and rec.get("executed", True)
-                            and w >= (p + floor) * lo):
-                        wall = w
-                        break
-                    print(f"# control{label} P={p}: invalid reading "
-                          f"(wall={w}), retrying", file=sys.stderr, flush=True)
-                print(f"# control{label} P={p}: wall={wall}",
+    def read_point(p):
+        for _retry in range(3):
+            rec = run_verify(-1.0, p, floor=floor)
+            w = rec and rec.get("wall_seconds")
+            if (rec is not None and rec.get("executed", True)
+                    and w >= (p + floor) * lo):
+                print(f"# control{label} P={p}: wall={w}",
                       file=sys.stderr, flush=True)
-                seq.append((p, wall))
-                if p == p_big and wall is None:
-                    dead_big += 1
-        pairs = [(seq[i][1], seq[i + 1][1])
-                 for i in range(0, len(seq) - 1, 2)]
-        deltas = [b - s for s, b in pairs if s is not None and b is not None]
+                return w
+            print(f"# control{label} P={p}: invalid reading "
+                  f"(wall={w}), retrying", file=sys.stderr, flush=True)
+        print(f"# control{label} P={p}: wall=None", file=sys.stderr,
+              flush=True)
+        return None
+
+    # collect adjacent S,B pairs until TWO show a physical slope.  On a
+    # day when ~half of all medium programs get killed, a rigid S,B,S,B
+    # schedule rarely lands two clean pairs in a row; accumulating valid
+    # pairs keeps the evidence requirement (two independent adjacent
+    # pairs, each with wall growth >= (P_B-P_S)*lo) while tolerating
+    # kill streaks.  Two FLAT pairs (both points read but no slope)
+    # abort: that is the signature of a dead channel, not of kills.
+    deltas_ok, walls, flat, dead_big_streak = [], [], 0, 0
+    pair_attempts = 0
+    while len(deltas_ok) < 2 and pair_attempts < max_pairs and flat < 2:
+        pair_attempts += 1
+        ws = read_point(p_small)
+        wb = read_point(p_big)
+        walls += [(p_small, ws), (p_big, wb)]
+        if wb is None:
+            dead_big_streak += 1
+            if dead_big_streak >= 2:
+                if p_big // 2 < p_small * 2:
+                    p_small = max(250000, p_small // 2)
+                p_big = max(p_small * 2, p_big // 2)
+                dead_big_streak = 0
+                deltas_ok, flat = [], 0  # slope changed meaning: restart
+                print(f"# control{label}: big point keeps dying, "
+                      f"shrinking to ({p_small}, {p_big})",
+                      file=sys.stderr, flush=True)
+            continue
+        dead_big_streak = 0
+        if ws is None:
+            continue
         need = (p_big - p_small) * lo
-        ok = len(deltas) >= 2 and all(d >= need for d in deltas)
-        slope = (min(deltas) / (p_big - p_small)) if deltas else None
-        if ok or dead_big == 0:
-            result = {
-                "p_small": p_small, "p_big": p_big,
-                "walls": [(p, w) for p, w in seq],
-                "deltas": deltas, "required_delta": need,
-                "per_layer_seconds": slope, "ok": bool(ok),
-            }
-            print(f"# control{label}: deltas={deltas} need>={need:.0f}s "
-                  f"-> ok={ok} (per-layer="
-                  f"{slope if slope is None else f'{slope:.2e}'})",
-                  file=sys.stderr, flush=True)
-            return result
-        # the big point keeps dying: assume the kill window shrank
-        p_big = max(p_small * 2, p_big // 2)
-        print(f"# control{label}: big point never executed, shrinking "
-              f"p_big to {p_big}", file=sys.stderr, flush=True)
-    return {"p_small": p_small, "p_big": p_big, "ok": False,
-            "per_layer_seconds": None, "walls": [], "deltas": []}
+        d = wb - ws
+        if d >= need:
+            deltas_ok.append(d)
+        else:
+            flat += 1
+        print(f"# control{label}: pair delta={d:.1f}s (need>="
+              f"{need:.0f}s) -> {'ok' if d >= need else 'FLAT'} "
+              f"[{len(deltas_ok)}/2]", file=sys.stderr, flush=True)
+    need = (p_big - p_small) * lo
+    ok = len(deltas_ok) >= 2
+    slope = (min(deltas_ok) / (p_big - p_small)) if deltas_ok else None
+    print(f"# control{label}: deltas={deltas_ok} flat={flat} -> ok={ok} "
+          f"(per-layer={slope if slope is None else f'{slope:.2e}'})",
+          file=sys.stderr, flush=True)
+    return {
+        "p_small": p_small, "p_big": p_big, "walls": walls,
+        "deltas": deltas_ok, "flat_pairs": flat, "required_delta": need,
+        "per_layer_seconds": slope, "ok": bool(ok),
+    }
 
 
 def control(n_layers: int) -> None:
@@ -683,8 +704,14 @@ def bisect_slope(n_layers: int) -> None:
         return
     s = pre["per_layer_seconds"]
     p_big = pre["p_big"]
-    f1 = int(os.environ.get("TNQS_SLOPE_F1", "1000000"))
-    f2 = int(os.environ.get("TNQS_SLOPE_F2", "3000000"))
+    # rung floor sizes derive from the DISCOVERED kill ceiling: the
+    # control proved programs of p_big layers execute today, so the F2
+    # pass program (f2 layers) must stay <= p_big, while f2-f1 must be
+    # large enough that the floor slope clears queue noise (>= ~40 s at
+    # the measured per-layer speed).  Env overrides for manual sizing.
+    f1 = int(os.environ.get("TNQS_SLOPE_F1", str(max(250000, p_big // 4))))
+    f2_auto = min(p_big, f1 + max(p_big // 2, int(40.0 / s)))
+    f2 = int(os.environ.get("TNQS_SLOPE_F2", str(f2_auto)))
     lo_d, hi_d = 0.3 * (f2 - f1) * s, 3.0 * (f2 - f1) * s
     fail_at = lambda f: (f + 0.5 * p_big) * s
 
