@@ -1,0 +1,110 @@
+"""Unit tests for the slope-verified physics-gate decision logic
+(scripts/validate_backend.py::slope_control) against recorded service
+behaviors: genuine execution, kill streaks, flat fast-fail bands, and
+queue bursts.  Pure logic — run_verify is faked, no TPU or jax.
+
+The protocol exists because the axon service kills long programs
+load-dependently and killed programs return in the same 59-175 s band
+as fast-failed chains (BASELINE.md round-3 'slope-verified gate
+protocol'); these tests pin the acceptance semantics the hardware runs
+rely on.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+spec = importlib.util.spec_from_file_location(
+    "validate_backend",
+    os.path.join(os.path.dirname(__file__), "..", "scripts",
+                 "validate_backend.py"),
+)
+vb = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(vb)
+
+# slope_control defaults: p_small=1M, p_big=4M, floor=100k, lo=2e-5
+S, B4, B2 = 1_000_000, 4_000_000, 2_000_000
+
+
+def make_run_verify(script):
+    """script: list of wall_seconds (or None for a timeout-shaped error)
+    returned in call order, tagged executed via the real >=15 s rule."""
+    calls = []
+
+    def run_verify(tol, pen, floor=None):
+        calls.append((tol, pen, floor))
+        if not script:
+            return {"wall_seconds": 0.5, "executed": False}
+        w = script.pop(0)
+        if w is None:
+            return None
+        return {"wall_seconds": w, "executed": w >= 15.0}
+
+    run_verify.calls = calls
+    return run_verify
+
+
+def test_two_physical_pairs_accept():
+    # 1M -> ~66 s, 4M -> ~250 s at the measured ~60 us/layer
+    rv = make_run_verify([66.0, 250.0, 70.0, 248.0])
+    rec = vb.slope_control(rv)
+    assert rec["ok"] is True
+    # measured per-layer comes from the weakest accepted pair
+    assert rec["per_layer_seconds"] == pytest.approx(178.0 / 3e6)
+
+
+def test_flat_band_rejects():
+    # fast-fail band draws: all walls in 59-175 s but no growth with
+    # program size -> two FLAT pairs abort as a dead channel
+    rv = make_run_verify([120.0, 130.0, 150.0, 140.0])
+    rec = vb.slope_control(rv)
+    assert rec["ok"] is False
+    assert rec["flat_pairs"] == 2
+
+
+def test_kill_streak_tolerated_then_accepts():
+    # big point dies once (sub-floor walls), pair dropped; the next two
+    # pairs are clean -> accept (this run shape lost the first hardware
+    # attempt under the rigid S,B,S,B schedule)
+    rv = make_run_verify([
+        66.0, 0.6, 0.6, 0.6,        # pair 1: S ok, B killed 3x -> drop
+        66.0, 250.0,                # pair 2: clean
+        70.0, 251.0,                # pair 3: clean
+    ])
+    rec = vb.slope_control(rv)
+    assert rec["ok"] is True
+
+
+def test_two_dead_big_pairs_shrink_then_accept_at_smaller_size():
+    # 4M never executes (kill ceiling between 2M and 4M): two dead-big
+    # pairs shrink p_big to 2M and the pair count restarts
+    rv = make_run_verify([
+        66.0, 0.6, 0.6, 0.6,        # pair 1: B dead
+        66.0, 0.6, 0.6, 0.6,        # pair 2: B dead -> shrink to 2M
+        66.0, 128.0,                # pair 3 (2M): delta 62 s >= 20 s
+        66.0, 126.0,                # pair 4 (2M): delta 60 s
+    ])
+    rec = vb.slope_control(rv)
+    assert rec["ok"] is True
+    assert rec["p_big"] == B2
+    assert all(pen in (S, B2, B4) for _t, pen, _f in rv.calls)
+
+
+def test_queue_burst_on_small_fails_safe():
+    # a +165 s queue burst on the small point deflates the delta below
+    # the physical requirement -> FLAT; one clean pair follows, then a
+    # second flat pair aborts: the control never accepts on one pair
+    rv = make_run_verify(
+        [230.0, 250.0] + [66.0, 250.0] + [120.0, 130.0] * 6
+    )
+    rec = vb.slope_control(rv)
+    assert rec["ok"] is False
+
+
+def test_forced_penalty_branch_is_requested():
+    # every control call must force the penalty branch (tol=-1): a
+    # tol that could pass would read the floor, not the penalty
+    rv = make_run_verify([66.0, 250.0, 70.0, 248.0])
+    vb.slope_control(rv)
+    assert all(t == -1.0 for t, _p, _f in rv.calls)
