@@ -574,6 +574,11 @@ def slope_control(run_verify, label="", p_small=None, p_big=None):
     p_big = p_big or int(os.environ.get("TNQS_CONTROL_P_BIG", "4000000"))
     floor = int(os.environ.get("TNQS_VERIFY_FLOOR", "100000"))
     max_pairs = int(os.environ.get("TNQS_CONTROL_MAX_PAIRS", "8"))
+    # a slope below this many absolute seconds is indistinguishable from
+    # queue noise no matter how small the probe sizes get, so the delta
+    # requirement has an absolute floor and shrinking stops where a
+    # genuine ~60 us/layer slope still clears it
+    min_delta = float(os.environ.get("TNQS_CONTROL_MIN_DELTA_S", "40"))
 
     def read_point(p):
         for _retry in range(3):
@@ -608,7 +613,7 @@ def slope_control(run_verify, label="", p_small=None, p_big=None):
             dead_big_streak += 1
             if dead_big_streak >= 2:
                 if p_big // 2 < p_small * 2:
-                    p_small = max(250000, p_small // 2)
+                    p_small = max(750000, p_small // 2)
                 p_big = max(p_small * 2, p_big // 2)
                 dead_big_streak = 0
                 deltas_ok, flat = [], 0  # slope changed meaning: restart
@@ -619,7 +624,7 @@ def slope_control(run_verify, label="", p_small=None, p_big=None):
         dead_big_streak = 0
         if ws is None:
             continue
-        need = (p_big - p_small) * lo
+        need = max((p_big - p_small) * lo, min_delta)
         d = wb - ws
         if d >= need:
             deltas_ok.append(d)
@@ -628,7 +633,7 @@ def slope_control(run_verify, label="", p_small=None, p_big=None):
         print(f"# control{label}: pair delta={d:.1f}s (need>="
               f"{need:.0f}s) -> {'ok' if d >= need else 'FLAT'} "
               f"[{len(deltas_ok)}/2]", file=sys.stderr, flush=True)
-    need = (p_big - p_small) * lo
+    need = max((p_big - p_small) * lo, min_delta)
     ok = len(deltas_ok) >= 2
     slope = (min(deltas_ok) / (p_big - p_small)) if deltas_ok else None
     print(f"# control{label}: deltas={deltas_ok} flat={flat} -> ok={ok} "
