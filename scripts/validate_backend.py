@@ -580,17 +580,31 @@ def slope_control(run_verify, label="", p_small=None, p_big=None):
     # genuine ~60 us/layer slope still clears it
     min_delta = float(os.environ.get("TNQS_CONTROL_MIN_DELTA_S", "40"))
 
+    # once a genuine pair exists, the per-point validity floor tightens
+    # from the universal 2e-5 to 60% of the SESSION's own measured
+    # per-layer speed (from the smallest accepted delta, which queue
+    # inflation can only overstate by its own noise): run C lost two
+    # pairs because kill-band draws (59.7 s for a physically >=115 s
+    # program) cleared the 2e-5 floor and flattened the pair instead of
+    # being retried as the non-executions they were.
+    s_est = [None]
+
+    def point_floor(p):
+        rate = lo if s_est[0] is None else max(lo, 0.6 * s_est[0])
+        return (p + floor) * rate
+
     def read_point(p):
         for _retry in range(3):
             rec = run_verify(-1.0, p, floor=floor)
             w = rec and rec.get("wall_seconds")
             if (rec is not None and rec.get("executed", True)
-                    and w >= (p + floor) * lo):
+                    and w >= point_floor(p)):
                 print(f"# control{label} P={p}: wall={w}",
                       file=sys.stderr, flush=True)
                 return w
             print(f"# control{label} P={p}: invalid reading "
-                  f"(wall={w}), retrying", file=sys.stderr, flush=True)
+                  f"(wall={w}, floor={point_floor(p):.0f}s), retrying",
+                  file=sys.stderr, flush=True)
         print(f"# control{label} P={p}: wall=None", file=sys.stderr,
               flush=True)
         return None
@@ -628,6 +642,7 @@ def slope_control(run_verify, label="", p_small=None, p_big=None):
         d = wb - ws
         if d >= need:
             deltas_ok.append(d)
+            s_est[0] = min(deltas_ok) / (p_big - p_small)
         else:
             flat += 1
         print(f"# control{label}: pair delta={d:.1f}s (need>="

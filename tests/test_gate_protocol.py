@@ -102,6 +102,21 @@ def test_queue_burst_on_small_fails_safe():
     assert rec["ok"] is False
 
 
+def test_kill_band_draw_is_retried_once_speed_is_measured():
+    # run C (2026-08-19): a killed 4M-layer program returned 100 s --
+    # above the universal 2e-5 floor but far below the session's
+    # measured ~61 us/layer physical time -- and flattened the pair.
+    # After the first accepted pair the point floor tightens to 0.6x
+    # the measured speed, so the band draw is retried instead.
+    rv = make_run_verify([
+        66.0, 250.0,          # pair 1 clean -> s_est = 184/3M = 61 us
+        66.0, 100.0, 251.0,   # pair 2: B=100 < 150 s floor -> retried
+    ])
+    rec = vb.slope_control(rv)
+    assert rec["ok"] is True
+    assert rec["flat_pairs"] == 0
+
+
 def test_forced_penalty_branch_is_requested():
     # every control call must force the penalty branch (tol=-1): a
     # tol that could pass would read the floor, not the penalty
