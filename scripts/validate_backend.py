@@ -587,10 +587,15 @@ def slope_control(run_verify, label="", p_small=None, p_big=None):
     # pairs because kill-band draws (59.7 s for a physically >=115 s
     # program) cleared the 2e-5 floor and flattened the pair instead of
     # being retried as the non-executions they were.
+    # ...and the tightening is itself capped at 2x the universal floor:
+    # run D accepted a queue-inflated 1398 s delta (25x physical) whose
+    # s_est raised the 1M-layer point floor to 923 s and locked out
+    # every genuine ~66 s reading thereafter.
     s_est = [None]
 
     def point_floor(p):
-        rate = lo if s_est[0] is None else max(lo, 0.6 * s_est[0])
+        rate = lo if s_est[0] is None else max(lo, min(0.6 * s_est[0],
+                                                       2 * lo))
         return (p + floor) * rate
 
     def read_point(p):
@@ -639,14 +644,24 @@ def slope_control(run_verify, label="", p_small=None, p_big=None):
         if ws is None:
             continue
         need = max((p_big - p_small) * lo, min_delta)
+        # two-sided band: a delta far ABOVE any physical per-layer rate
+        # is a queue burst that happened to hit the big point (run D:
+        # +1398 s on a ~60 s physical slope), not evidence of execution
+        # -- it is retried, neither accepted nor counted flat
+        cap = (p_big - p_small) * float(
+            os.environ.get("TNQS_CONTROL_MAX_PER_LAYER", "5e-4"))
         d = wb - ws
-        if d >= need:
+        if need <= d <= cap:
             deltas_ok.append(d)
             s_est[0] = min(deltas_ok) / (p_big - p_small)
-        else:
+            tag = "ok"
+        elif d < need:
             flat += 1
-        print(f"# control{label}: pair delta={d:.1f}s (need>="
-              f"{need:.0f}s) -> {'ok' if d >= need else 'FLAT'} "
+            tag = "FLAT"
+        else:
+            tag = "INFLATED (queue burst)"
+        print(f"# control{label}: pair delta={d:.1f}s (band "
+              f"[{need:.0f},{cap:.0f}]s) -> {tag} "
               f"[{len(deltas_ok)}/2]", file=sys.stderr, flush=True)
     need = max((p_big - p_small) * lo, min_delta)
     ok = len(deltas_ok) >= 2

@@ -117,6 +117,36 @@ def test_kill_band_draw_is_retried_once_speed_is_measured():
     assert rec["flat_pairs"] == 0
 
 
+def test_inflated_delta_is_a_queue_burst_not_evidence():
+    # run D (2026-08-19): a 1483 s queue wall on the big point produced
+    # a 1398 s "slope" (25x physical).  Deltas above the per-layer cap
+    # are retried -- neither accepted (no fake channel) nor flat (no
+    # dead-channel verdict) -- and do not poison the measured-speed
+    # floor for later points.
+    rv = make_run_verify([
+        85.0, 1685.0,         # delta 1600 > cap (3M*5e-4 = 1500 s)
+        66.0, 250.0,          # clean pair 1
+        70.0, 248.0,          # clean pair 2
+    ])
+    rec = vb.slope_control(rv)
+    assert rec["ok"] is True
+    assert rec["per_layer_seconds"] < 1e-4
+
+
+def test_measured_floor_is_capped():
+    # even after accepting a high-but-in-band slope (delta 1434 s ->
+    # s_est ~4.8e-4), the point floor never exceeds 2x the universal
+    # rate (44 s at 1M layers), so genuine ~66 s small readings are
+    # never locked out the way run D's 923 s floor locked them out
+    rv = make_run_verify([
+        66.0, 1500.0,         # delta 1434, in band -> accepted
+        66.0, 250.0,          # genuine small walls must survive
+        66.0, 251.0,
+    ])
+    rec = vb.slope_control(rv)
+    assert rec["ok"] is True
+
+
 def test_forced_penalty_branch_is_requested():
     # every control call must force the penalty branch (tol=-1): a
     # tol that could pass would read the floor, not the penalty
