@@ -30,6 +30,11 @@ from .engine import (
     local_expectations,
     local_rdms,
 )
+from .correlations import (
+    make_path_correlation_fn,
+    path_correlations,
+    shortest_path,
+)
 from .boundarymps import (
     PlanarBMPSSpec,
     derive_planar_columns,

@@ -1,0 +1,263 @@
+"""Batched arbitrary-distance two-point correlators on the BP path.
+
+The generic engine measures ⟨P_a P_b⟩ for vertices at any graph distance
+through ``expect(psi, ("PP", [a, b]), alg="bp")`` — a Steiner-tree
+contraction (reference semantics: `/root/reference/src/expect.jl:58-83`,
+where the Steiner tree of two vertices is their connecting path).  The
+batched engine previously only offered :func:`~.engine.local_expectations`
+(distance 0) and :func:`~.engine.bond_expectations` (distance 1), so
+correlation functions C(r) = ⟨Z_0 Z_r⟩ − ⟨Z_0⟩⟨Z_r⟩ fell back to the
+~1000× slower generic path.
+
+TPU-native design (static shapes, one jitted program for ALL pairs):
+
+- the connecting paths are found host-side (BFS over the compiled spec's
+  slot tables) at trace time;
+- every *interior* path vertex contributes a χ²×χ² transfer matrix
+  (site leg traced against the identity, incoming BP messages absorbed
+  on all non-path slots).  Interior entries are bucketed by their
+  (slot_prev, slot_next) pattern — the same slot-pair bucketing the
+  engine uses everywhere — so ONE einsum per pattern builds every
+  transfer matrix of that shape across all requested pairs at once;
+- endpoints contribute χ²-vectors (observable applied to the site leg),
+  bucketed by their single open slot;
+- each pair's correlator is then a chain of batched matvecs through a
+  gathered transfer table under ``lax.scan`` (pairs padded to the
+  longest path with an identity transfer), numerator and denominator
+  riding the same scan as a doubled batch.  Per-entry max-abs rescaling
+  of the shared transfer table keeps long f32 chains in range without
+  touching the numer/denom ratio (each T is a shared linear factor).
+
+Cost scales as O(L·χ⁴) per pair — χ ≲ 32 territory; at χ=64 a single
+transfer matrix is 128 MB and boundary-MPS correlators are the better
+tool.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import (
+    _LETTERS,
+    _PRECISION,
+    _absorb,
+    _site_transfer,
+    BatchedState,
+    local_expectations,
+)
+from .structure import BatchedGraphSpec
+
+__all__ = [
+    "make_path_correlation_fn",
+    "path_correlations",
+    "shortest_path",
+]
+
+
+def shortest_path(spec: BatchedGraphSpec, a, b) -> tuple[list, list]:
+    """BFS shortest path a→b over the compiled slot tables (host-side).
+
+    Returns ``(verts, slots)`` with ``verts`` a list of vertex positions
+    (``verts[0] == pos(a)``, ``verts[-1] == pos(b)``) and ``slots[i]``
+    the slot on ``verts[i]`` pointing toward ``verts[i+1]``."""
+    ia, ib = spec.vertex_position(a), spec.vertex_position(b)
+    if ia == ib:
+        raise ValueError("path correlator needs two distinct vertices")
+    prev: dict = {ia: None}
+    q = deque([ia])
+    while q and ib not in prev:
+        u = q.popleft()
+        for s in range(spec.degree):
+            if spec.slot_mask[u][s]:
+                w = spec.nbr[u][s]
+                if w not in prev:
+                    prev[w] = (u, s)
+                    q.append(w)
+    if ib not in prev:
+        raise ValueError(f"vertices {a!r} and {b!r} are not connected")
+    verts, slots = [ib], []
+    while prev[verts[-1]] is not None:
+        u, s = prev[verts[-1]]
+        verts.append(u)
+        slots.append(s)
+    verts.reverse()
+    slots.reverse()
+    return verts, slots
+
+
+def _site_transfer2(state: BatchedState, idx, skip1: int, skip2: int):
+    """Identity-traced transfer matrices at the given vertices: ψψ̄ with
+    incoming messages absorbed on every slot except ``skip1``/``skip2``
+    (the two path slots, left open) and the site leg traced.
+    Returns ``E[b, o, p, q, r]`` with (o, p) = (ket, bra) legs on
+    ``skip1`` and (q, r) on ``skip2``."""
+    D = state.degree
+    t = state.tensors[idx]
+    m = state.messages[idx]
+    acc = t
+    for k in range(D):
+        if k != skip1 and k != skip2:
+            acc = _absorb(acc, m[:, k], 1 + k)
+    lab = [_LETTERS[k] for k in range(D)]
+    acc_lab, conj_lab = list(lab), list(lab)
+    acc_lab[skip1], conj_lab[skip1] = "o", "p"
+    acc_lab[skip2], conj_lab[skip2] = "q", "r"
+    eq = f"v{''.join(acc_lab)}s,v{''.join(conj_lab)}s->vopqr"
+    return jnp.einsum(eq, acc, jnp.conj(t), precision=_PRECISION)
+
+
+def make_path_correlation_fn(
+    spec: BatchedGraphSpec,
+    pairs: Sequence[tuple],
+    op1,
+    op2=None,
+    *,
+    paths: Sequence[tuple[list, list]] | None = None,
+    connected: bool = False,
+    real_output: bool = False,
+    jit: bool = True,
+) -> Callable:
+    """Compile ``fn(state) -> [len(pairs)]`` of ⟨op1_a op2_b⟩ (BP alg).
+
+    ``pairs`` are ``(a, b)`` vertex names at any graph distance ≥ 1;
+    ``op1``/``op2`` are ``[d, d]`` site operators (``op2`` defaults to
+    ``op1``).  ``paths`` overrides the BFS shortest paths with explicit
+    ``(verts, slots)`` tuples (e.g. to route around a defect).  With
+    ``connected=True`` the product ⟨op1_a⟩⟨op2_b⟩ of the single-site BP
+    expectations is subtracted.  Matches the generic
+    ``expect(psi, (op_string, [a, b]), alg="bp")`` (`expect.jl:58-83`)
+    to BP-fixed-point accuracy — see tests/test_correlations.py."""
+    op1 = jnp.asarray(op1)
+    op2 = op1 if op2 is None else jnp.asarray(op2)
+    P = len(pairs)
+    if P == 0:
+        raise ValueError("need at least one vertex pair")
+    if paths is None:
+        paths = [shortest_path(spec, a, b) for a, b in pairs]
+
+    # host-side tables ------------------------------------------------------
+    # endpoints: (pair, vertex, open slot); interiors: global entry list
+    a_entries, b_entries = [], []
+    int_entries: list[tuple[int, int, int]] = []  # (vertex, slot_prev, slot_next)
+    int_key: dict = {}
+    Lmax = max(len(verts) - 2 for verts, _ in paths)
+    tab = np.full((P, max(Lmax, 1)), -1, dtype=np.int64)
+    for p, (verts, slots) in enumerate(paths):
+        if len(verts) != len(slots) + 1 or len(verts) < 2:
+            raise ValueError(f"malformed path for pair {pairs[p]!r}")
+        a_entries.append((p, verts[0], slots[0]))
+        b_entries.append(
+            (p, verts[-1], spec.nbr_slot[verts[-2]][slots[-1]])
+        )
+        for i in range(1, len(verts) - 1):
+            slot_prev = spec.nbr_slot[verts[i - 1]][slots[i - 1]]
+            key = (verts[i], slot_prev, slots[i])
+            if key not in int_key:
+                int_key[key] = len(int_entries)
+                int_entries.append(key)
+            tab[p, i - 1] = int_key[key]
+    n_int = len(int_entries)
+    tab[tab < 0] = n_int  # padding -> identity transfer
+    tab_t = jnp.asarray(tab.T, dtype=jnp.int32)  # [Lmax, P]
+
+    # bucket endpoint/interior entries by slot pattern (static einsums)
+    a_buckets: dict = {}
+    for p, v, s in a_entries:
+        a_buckets.setdefault(s, []).append((p, v))
+    b_buckets: dict = {}
+    for p, v, s in b_entries:
+        b_buckets.setdefault(s, []).append((p, v))
+    int_buckets: dict = {}
+    for j, (v, sp, sn) in enumerate(int_entries):
+        int_buckets.setdefault((sp, sn), []).append((j, v))
+
+    def correlations(state: BatchedState) -> jax.Array:
+        chi = state.chi
+        chi2 = chi * chi
+        cdtype = state.tensors.dtype
+        o1 = op1.astype(cdtype)
+        o2 = op2.astype(cdtype)
+
+        # endpoint χ²-vectors: [P, χ²] numerator (op applied) + denominator
+        va_n = jnp.zeros((P, chi2), cdtype)
+        va_d = jnp.zeros((P, chi2), cdtype)
+        for s, entries in sorted(a_buckets.items()):
+            idx = jnp.asarray([v for _, v in entries], jnp.int32)
+            pos = jnp.asarray([p for p, _ in entries], jnp.int32)
+            e = _site_transfer(state, idx, s)  # [B, o, p, s, z]
+            va_n = va_n.at[pos].set(
+                jnp.einsum("bopsz,zs->bop", e, o1,
+                           precision=_PRECISION).reshape(-1, chi2)
+            )
+            va_d = va_d.at[pos].set(
+                jnp.einsum("bopss->bop", e).reshape(-1, chi2)
+            )
+        vb_n = jnp.zeros((P, chi2), cdtype)
+        vb_d = jnp.zeros((P, chi2), cdtype)
+        for s, entries in sorted(b_buckets.items()):
+            idx = jnp.asarray([v for _, v in entries], jnp.int32)
+            pos = jnp.asarray([p for p, _ in entries], jnp.int32)
+            e = _site_transfer(state, idx, s)
+            vb_n = vb_n.at[pos].set(
+                jnp.einsum("bopsz,zs->bop", e, o2,
+                           precision=_PRECISION).reshape(-1, chi2)
+            )
+            vb_d = vb_d.at[pos].set(
+                jnp.einsum("bopss->bop", e).reshape(-1, chi2)
+            )
+
+        # interior transfer table [n_int + 1, χ², χ²] (last = identity pad);
+        # per-entry max-abs rescale keeps long f32 chains in range — each T
+        # multiplies numerator AND denominator, so the ratio is untouched
+        T = jnp.zeros((n_int + 1, chi2, chi2), cdtype)
+        T = T.at[n_int].set(jnp.eye(chi2, dtype=cdtype))
+        for (sp, sn), entries in sorted(int_buckets.items()):
+            idx = jnp.asarray([v for _, v in entries], jnp.int32)
+            pos = jnp.asarray([j for j, _ in entries], jnp.int32)
+            e = _site_transfer2(state, idx, sp, sn)  # [B, o, p, q, r]
+            mats = e.reshape(-1, chi2, chi2)
+            scale = jnp.max(jnp.abs(mats), axis=(1, 2), keepdims=True)
+            mats = mats / jnp.where(scale == 0, 1.0, scale)
+            T = T.at[pos].set(mats)
+
+        # chain: numerator and denominator share the scan as a 2P batch
+        m0 = jnp.concatenate([va_n, va_d], axis=0)  # [2P, χ²]
+
+        def body(m, idxs):
+            ts = T[jnp.concatenate([idxs, idxs])]  # [2P, χ², χ²]
+            return jnp.einsum("pi,pij->pj", m, ts,
+                              precision=_PRECISION), None
+
+        m, _ = jax.lax.scan(body, m0, tab_t)
+        vals = jnp.einsum(
+            "pi,pi->p", m, jnp.concatenate([vb_n, vb_d], axis=0),
+            precision=_PRECISION,
+        )
+        out = vals[:P] / vals[P:]
+        if connected:
+            z1 = local_expectations(spec, state, o1)
+            z2 = local_expectations(spec, state, o2)
+            ia = jnp.asarray([verts[0] for verts, _ in paths], jnp.int32)
+            ib = jnp.asarray([verts[-1] for verts, _ in paths], jnp.int32)
+            out = out - z1[ia] * z2[ib]
+        return jnp.real(out) if real_output else out
+
+    return jax.jit(correlations) if jit else correlations
+
+
+def path_correlations(
+    spec: BatchedGraphSpec,
+    state: BatchedState,
+    pairs: Sequence[tuple],
+    op1,
+    op2=None,
+    **kwargs,
+) -> jax.Array:
+    """One-shot ⟨op1_a op2_b⟩ for the given vertex pairs (BP path alg).
+    See :func:`make_path_correlation_fn` for options."""
+    return make_path_correlation_fn(spec, pairs, op1, op2, **kwargs)(state)

@@ -1,0 +1,145 @@
+"""Batched BP path correlators vs the generic Steiner-tree `expect`."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import tensornetworkquantumsimulator_tpu as tnqs
+from tensornetworkquantumsimulator_tpu import named_grid, random_tensornetworkstate
+from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+from tensornetworkquantumsimulator_tpu.parallel import (
+    batched_from_tns,
+    bond_expectations,
+    bp_update,
+    make_path_correlation_fn,
+    path_correlations,
+    shortest_path,
+)
+from tensornetworkquantumsimulator_tpu.utils.lattices import (
+    named_hexagonal_lattice_graph,
+)
+
+
+def _converged(g, dtype=jnp.complex128, chi=3, seed=0):
+    import jax
+
+    psi = random_tensornetworkstate(
+        dtype, g, bond_dimension=chi, key=jax.random.PRNGKey(seed)
+    )
+    spec, state = batched_from_tns(psi, chi=chi)
+    state = bp_update(spec, state, maxiter=300, tolerance=1e-14)
+    return psi, spec, state
+
+
+def _generic(psi, ops, va, vb):
+    return tnqs.expect(
+        psi,
+        (ops, [va, vb]),
+        alg="bp",
+        cache_update_kwargs=dict(maxiter=400, tolerance=1e-14),
+    )
+
+
+def _slots_for(spec, verts):
+    slots = []
+    for i in range(len(verts) - 1):
+        s = next(
+            k for k in range(spec.degree)
+            if spec.slot_mask[verts[i]][k]
+            and spec.nbr[verts[i]][k] == verts[i + 1]
+        )
+        slots.append(s)
+    return slots
+
+
+def _steiner_path(psi, spec, va, vb):
+    """The generic engine's own Steiner tree for {va, vb}, as (verts, slots)
+    — on a loopy graph the BP value depends on WHICH path is contracted, so
+    the comparison must contract the same one."""
+    from collections import deque
+
+    t = psi.graph().steiner_tree([va, vb])
+    prev = {va: None}
+    q = deque([va])
+    while q:
+        u = q.popleft()
+        for w in t.neighbors(u):
+            if w not in prev:
+                prev[w] = u
+                q.append(w)
+    names = [vb]
+    while prev[names[-1]] is not None:
+        names.append(prev[names[-1]])
+    names.reverse()
+    verts = [spec.vertex_position(v) for v in names]
+    return verts, _slots_for(spec, verts)
+
+
+def test_path_correlations_match_generic_expect():
+    g = named_grid((4, 4))
+    psi, spec, state = _converged(g)
+    z = np.asarray(op_matrix("Z", 2))
+    # distances 1, 2, 3 and an L-shaped (diagonal) path
+    pairs = [
+        ((1, 1), (1, 2)),
+        ((1, 1), (1, 3)),
+        ((1, 1), (1, 4)),
+        ((1, 1), (3, 3)),
+        ((2, 1), (4, 4)),
+    ]
+    paths = [_steiner_path(psi, spec, a, b) for a, b in pairs]
+    got = np.asarray(path_correlations(spec, state, pairs, z, paths=paths))
+    want = np.asarray([_generic(psi, "ZZ", a, b) for a, b in pairs])
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_distance_one_matches_bond_expectations():
+    g = named_grid((3, 3))
+    _, spec, state = _converged(g, seed=3)
+    z = jnp.asarray(op_matrix("Z", 2))
+    bonds = np.asarray(bond_expectations(spec, state, z, z))
+    pairs = [(spec.vertices[iu], spec.vertices[iv])
+             for iu, iv, _, _ in spec.edges]
+    got = np.asarray(path_correlations(spec, state, pairs, z))
+    np.testing.assert_allclose(got, bonds, atol=1e-10)
+
+
+def test_mixed_operators_and_degree3_lattice():
+    g = named_hexagonal_lattice_graph(2, 2)
+    psi, spec, state = _converged(g, seed=5)
+    x = np.asarray(op_matrix("X", 2))
+    y = np.asarray(op_matrix("Y", 2))
+    vs = list(g.vertices())
+    va, vb = vs[0], vs[-1]
+    paths = [_steiner_path(psi, spec, va, vb)]
+    got = complex(
+        path_correlations(spec, state, [(va, vb)], x, y, paths=paths)[0]
+    )
+    want = complex(_generic(psi, "XY", va, vb))
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_connected_correlator_vanishes_on_product_state():
+    from tensornetworkquantumsimulator_tpu.parallel import batched_product_state
+
+    g = named_grid((3, 3))
+    spec, state = batched_product_state(g, chi=2, dtype=np.complex64)
+    state = bp_update(spec, state, maxiter=50)
+    z = np.asarray(op_matrix("Z", 2))
+    fn = make_path_correlation_fn(
+        spec, [((1, 1), (3, 3)), ((1, 2), (2, 3))], z, connected=True,
+        real_output=True,
+    )
+    np.testing.assert_allclose(np.asarray(fn(state)), 0.0, atol=1e-5)
+
+
+def test_shortest_path_shape():
+    g = named_grid((4, 4))
+    spec, _ = __import__(
+        "tensornetworkquantumsimulator_tpu.parallel", fromlist=["x"]
+    ).batched_product_state(g, chi=2)
+    verts, slots = shortest_path(spec, (1, 1), (4, 4))
+    assert len(verts) == 7 and len(slots) == 6
+    assert verts[0] == spec.vertex_position((1, 1))
+    assert verts[-1] == spec.vertex_position((4, 4))
+    for i, s in enumerate(slots):
+        assert spec.nbr[verts[i]][s] == verts[i + 1]

@@ -64,3 +64,7 @@ def test_disorder_ensemble_example():
         nx=3, ny=3, chi=2, n_layers=2, n_ensemble=3
     )
     assert zbar.shape == (2,) and 0.5 < zbar[-1] < zbar[0] <= 1.0
+
+
+def test_correlation_functions_example():
+    _load("correlation_functions").main(steps=2, chi=3)
