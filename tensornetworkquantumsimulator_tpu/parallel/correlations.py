@@ -54,6 +54,7 @@ from .structure import BatchedGraphSpec
 
 __all__ = [
     "make_path_correlation_fn",
+    "make_sharded_path_correlations",
     "path_correlations",
     "shortest_path",
 ]
@@ -261,3 +262,196 @@ def path_correlations(
     """One-shot ⟨op1_a op2_b⟩ for the given vertex pairs (BP path alg).
     See :func:`make_path_correlation_fn` for options."""
     return make_path_correlation_fn(spec, pairs, op1, op2, **kwargs)(state)
+
+
+def make_sharded_path_correlations(
+    sspec,
+    mesh,
+    pairs: Sequence[tuple],
+    op1,
+    op2=None,
+    *,
+    paths: Sequence[tuple[list, list]] | None = None,
+    connected: bool = False,
+    real_output: bool = False,
+    axis: str = "v",
+) -> Callable:
+    """Path correlators on the vertex-sharded state (SPMD, one program).
+
+    Same semantics as :func:`make_path_correlation_fn`, on a
+    :class:`~.sharding.ShardedBPSpec` strip sharding.  A path's transfer
+    matrix needs only its OWN vertex's tensor and incoming messages, so
+    no halo exchange is required at all: each shard builds the χ²×χ²
+    transfer entries and endpoint χ²-vectors it owns (slot-pattern
+    buckets, static per-shard tables padded to the widest shard), ONE
+    ``psum`` assembles the replicated table across the mesh (entries are
+    zero off their owner shard), and the cheap matvec chain runs
+    replicated.  ICI traffic is O(total path length · χ⁴) once per call,
+    independent of the state size — the state itself never gathers.
+    Completes the sharded op set's measurement story next to
+    `make_sharded_site_expectations` / `make_sharded_bond_expectations`
+    (reference semantics: `expect.jl:58-83`)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = sspec.spec
+    S = sspec.num_shards
+    Vl = spec.num_vertices // S
+    op1 = jnp.asarray(op1)
+    op2 = op1 if op2 is None else jnp.asarray(op2)
+    Pn = len(pairs)
+    if Pn == 0:
+        raise ValueError("need at least one vertex pair")
+    if paths is None:
+        paths = [shortest_path(spec, a, b) for a, b in pairs]
+
+    # host-side global tables (identical layout to the unsharded builder)
+    a_entries, b_entries = [], []
+    int_entries: list[tuple[int, int, int]] = []
+    int_key: dict = {}
+    Lmax = max(len(verts) - 2 for verts, _ in paths)
+    tab = np.full((Pn, max(Lmax, 1)), -1, dtype=np.int64)
+    for p, (verts, slots) in enumerate(paths):
+        if len(verts) != len(slots) + 1 or len(verts) < 2:
+            raise ValueError(f"malformed path for pair {pairs[p]!r}")
+        a_entries.append((p, verts[0], slots[0]))
+        b_entries.append((p, verts[-1], spec.nbr_slot[verts[-2]][slots[-1]]))
+        for i in range(1, len(verts) - 1):
+            slot_prev = spec.nbr_slot[verts[i - 1]][slots[i - 1]]
+            key = (verts[i], slot_prev, slots[i])
+            if key not in int_key:
+                int_key[key] = len(int_entries)
+                int_entries.append(key)
+            tab[p, i - 1] = int_key[key]
+    n_int = len(int_entries)
+    tab[tab < 0] = n_int
+    tab_t = jnp.asarray(tab.T, dtype=jnp.int32)
+
+    def shard_tables(entries):
+        """[(dest_row, vertex_pos)] -> per-shard padded (local_idx, dest)
+        tables [S, Bmax]; pad locals to 0 and dests to the scratch row."""
+        rows: list[list] = [[] for _ in range(S)]
+        for dest, pos in entries:
+            rows[pos // Vl].append((pos % Vl, dest))
+        bmax = max(1, max(len(r) for r in rows))
+        loc = np.zeros((S, bmax), np.int32)
+        dst = np.full((S, bmax), -1, np.int64)
+        for s, r in enumerate(rows):
+            for i, (l, d) in enumerate(r):
+                loc[s, i], dst[s, i] = l, d
+        return loc, dst
+
+    # bucket by slot pattern, then shard each bucket
+    a_buckets: dict = {}
+    for p, v, s in a_entries:
+        a_buckets.setdefault(s, []).append((p, v))
+    b_buckets: dict = {}
+    for p, v, s in b_entries:
+        b_buckets.setdefault(s, []).append((p, v))
+    int_buckets: dict = {}
+    for j, (v, sp, sn) in enumerate(int_entries):
+        int_buckets.setdefault((sp, sn), []).append((j, v))
+
+    a_tabs = {s: shard_tables(e) for s, e in sorted(a_buckets.items())}
+    b_tabs = {s: shard_tables(e) for s, e in sorted(b_buckets.items())}
+    i_tabs = {k: shard_tables(e) for k, e in sorted(int_buckets.items())}
+
+    flat_tables = []
+    for tabs in (a_tabs, b_tabs, i_tabs):
+        for loc, dst in tabs.values():
+            # dest scratch row = last row of each accumulator
+            flat_tables += [jnp.asarray(loc), jnp.asarray(dst)]
+    flat_tables = tuple(flat_tables)
+
+    def body(tensors, messages, *tables):
+        st = BatchedState(tensors, messages)
+        chi = st.chi
+        chi2 = chi * chi
+        cdtype = tensors.dtype
+        o1 = op1.astype(cdtype)
+        o2 = op2.astype(cdtype)
+        it = iter(tables)
+
+        def endpoint(tabs, op):
+            vn = jnp.zeros((Pn + 1, chi2), cdtype)
+            vd = jnp.zeros((Pn + 1, chi2), cdtype)
+            for s in tabs:
+                loc, dst = next(it)[0], next(it)[0]
+                e = _site_transfer(st, loc, s)
+                num = jnp.einsum("bopsz,zs->bop", e, op,
+                                 precision=_PRECISION).reshape(-1, chi2)
+                den = jnp.einsum("bopss->bop", e).reshape(-1, chi2)
+                dst_c = jnp.where(dst < 0, Pn, dst)
+                vn = vn.at[dst_c].set(num)
+                vd = vd.at[dst_c].set(den)
+            # scratch row dropped; psum assembles owner contributions
+            return (jax.lax.psum(vn[:Pn], axis),
+                    jax.lax.psum(vd[:Pn], axis))
+
+        va_n, va_d = endpoint(a_tabs, o1)
+        vb_n, vb_d = endpoint(b_tabs, o2)
+
+        T = jnp.zeros((n_int + 1, chi2, chi2), cdtype)
+        for (sp, sn) in i_tabs:
+            loc, dst = next(it)[0], next(it)[0]
+            e = _site_transfer2(st, loc, sp, sn)
+            mats = e.reshape(-1, chi2, chi2)
+            scale = jnp.max(jnp.abs(mats), axis=(1, 2), keepdims=True)
+            mats = mats / jnp.where(scale == 0, 1.0, scale)
+            dst_c = jnp.where(dst < 0, n_int, dst)
+            T = T.at[dst_c].set(mats)
+        T = jax.lax.psum(T[:n_int], axis)
+        T = jnp.concatenate(
+            [T, jnp.eye(chi2, dtype=cdtype)[None]], axis=0
+        )
+
+        m = jnp.concatenate([va_n, va_d], axis=0)
+
+        def step(m_c, idxs):
+            ts = T[jnp.concatenate([idxs, idxs])]
+            return jnp.einsum("pi,pij->pj", m_c, ts,
+                              precision=_PRECISION), None
+
+        m, _ = jax.lax.scan(step, m, tab_t)
+        vals = jnp.einsum("pi,pi->p", m,
+                          jnp.concatenate([vb_n, vb_d], axis=0),
+                          precision=_PRECISION)
+        out = vals[:Pn] / vals[Pn:]
+        return jnp.real(out) if real_output else out
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(axis),) * len(flat_tables),
+        out_specs=P(),
+    )
+
+    @jax.jit
+    def corr_fn(state: BatchedState):
+        out = fn(state.tensors, state.messages, *flat_tables)
+        return out
+
+    if not connected:
+        return corr_fn
+
+    from .sharded_layer import make_sharded_site_expectations
+
+    ia = np.asarray([verts[0] for verts, _ in paths])
+    ib = np.asarray([verts[-1] for verts, _ in paths])
+    site1 = make_sharded_site_expectations(sspec, mesh, np.asarray(op1),
+                                           axis=axis)
+    site2 = make_sharded_site_expectations(sspec, mesh, np.asarray(op2),
+                                           axis=axis)
+
+    @jax.jit
+    def connected_fn(state: BatchedState):
+        out = corr_fn(state)
+        z1 = site1(state)
+        z2 = site2(state)
+        out = out - z1[jnp.asarray(ia)] * z2[jnp.asarray(ib)]
+        return jnp.real(out) if real_output else out
+
+    return connected_fn

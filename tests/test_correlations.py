@@ -143,3 +143,80 @@ def test_shortest_path_shape():
     assert verts[-1] == spec.vertex_position((4, 4))
     for i, s in enumerate(slots):
         assert spec.nbr[verts[i]][s] == verts[i + 1]
+
+
+def test_ensemble_correlations_compose():
+    """make_path_correlation_fn output vmaps over the ensemble axis."""
+    import jax
+
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        ensemble_fn,
+        stack_states,
+    )
+
+    g = named_grid((3, 3))
+    states, specs = [], None
+    for seed in (0, 1, 2):
+        _, spec, st = _converged(g, dtype=jnp.complex64, seed=seed)
+        specs = spec
+        states.append(st)
+    estate = stack_states(states)
+    z = np.asarray(op_matrix("Z", 2))
+    pairs = [((1, 1), (3, 3)), ((1, 2), (3, 1))]
+    fn = make_path_correlation_fn(specs, pairs, z, jit=False)
+    got = np.asarray(ensemble_fn(fn)(estate))
+    want = np.stack([np.asarray(fn(s)) for s in states])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_path_correlations_match_unsharded():
+    """SPMD path correlators == single-device chain (state never gathers)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tensornetworkquantumsimulator_tpu import normalize
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        BatchedState,
+        batched_from_tns,
+        make_sharded_path_correlations,
+        shard_spec,
+    )
+
+    nx_, ny_, chi, S = 8, 4, 3, 8
+    g = named_grid((nx_, ny_), periodic=True)
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, bond_dimension=chi, key=__import__("jax").random.PRNGKey(7)
+    )
+    psi = normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+    state = bp_update(spec, state, maxiter=60, tolerance=1e-12)
+
+    z = np.asarray(op_matrix("Z", 2))
+    x = np.asarray(op_matrix("X", 2))
+    # pairs spanning 1, 3 and 7 strips (the last crosses every shard)
+    pairs = [((1, 1), (2, 3)), ((2, 2), (5, 1)), ((1, 4), (8, 4))]
+    ref_fn = make_path_correlation_fn(spec, pairs, z, x)
+    ref = np.asarray(ref_fn(state))
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    sh = NamedSharding(mesh, P("v"))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    fn = make_sharded_path_correlations(sspec, mesh, pairs, z, x)
+    got = np.asarray(fn(sharded))
+    np.testing.assert_allclose(got, ref, atol=1e-10)
+
+    # connected variant
+    conn_ref = np.asarray(
+        make_path_correlation_fn(spec, pairs, z, x, connected=True)(state)
+    )
+    conn = np.asarray(
+        make_sharded_path_correlations(
+            sspec, mesh, pairs, z, x, connected=True
+        )(sharded)
+    )
+    np.testing.assert_allclose(conn, conn_ref, atol=1e-10)
