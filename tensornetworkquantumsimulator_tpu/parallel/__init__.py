@@ -40,7 +40,9 @@ from .boundarymps import (
     PlanarBMPSSpec,
     derive_planar_columns,
     make_grid_bmps,
+    make_grid_bmps_correlations,
     make_planar_bmps,
+    make_planar_bmps_correlations,
 )
 from .certified_sampling import (
     make_grid_certified_sampler,

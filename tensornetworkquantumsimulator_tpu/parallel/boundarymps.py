@@ -601,12 +601,14 @@ def _edge_scalar(m_up, m_dn):
     return out[0, 0]
 
 
-def _row_scalar(psi_row, m_up, m_dn, op=None, op_col=None):
-    """Contract one row with its two incoming strands; optionally insert a
-    single-site operator at a (static) column (`path_contract`)."""
+def _row_scalar(psi_row, m_up, m_dn, op=None, op_col=None, ops=()):
+    """Contract one row with its two incoming strands; optionally insert
+    single-site operators at (static) columns (`path_contract`) — one via
+    ``op``/``op_col``, any number via ``ops=((op, col), …)``."""
     W = psi_row.shape[0]
     K = m_up.shape[1]
     chi = psi_row.shape[1]
+    all_ops = tuple(ops) + (((op, op_col),) if op is not None else ())
 
     def step(carry, inputs):
         c, (psi, up, dn) = inputs
@@ -614,11 +616,10 @@ def _row_scalar(psi_row, m_up, m_dn, op=None, op_col=None):
         x = jnp.einsum("aqlm,auvb->qlmuvb", carry, up, precision=_PRECISION)
         x = jnp.einsum("qlmuvb,udlrs->qmvbdrs", x, psi, precision=_PRECISION)
         psi_b = jnp.conj(psi)
-        if op is not None:
-            opm = op.astype(psi.dtype)
-            sel = (c == op_col)
-            eye = jnp.eye(op.shape[0], dtype=psi.dtype)
-            o = jnp.where(sel, opm, eye)
+        if all_ops:
+            o = jnp.eye(all_ops[0][0].shape[0], dtype=psi.dtype)
+            for opm, colm in all_ops:
+                o = jnp.where(c == colm, opm.astype(psi.dtype), o)
             psi_b = jnp.einsum("vemtz,zs->vemts", psi_b, o, precision=_PRECISION)
         x = jnp.einsum("qmvbdrs,vemts->qbdert", x, psi_b, precision=_PRECISION)
         new = jnp.einsum("qbdert,qdeQ->bQrt", x, dn, precision=_PRECISION)
@@ -750,4 +751,100 @@ def make_planar_bmps(
     return _make_bmps_fns(
         pspec.row_tensors, pspec.nrows, pspec.W, positions, kmps, niters,
         tolerance,
+    )
+
+
+def _make_bmps_corr_fn(
+    row_tensors_fn, nrows, W, positions, kmps, niters, tolerance,
+    pair_positions, real_output,
+):
+    _strands = _strand_builder(
+        row_tensors_fn, nrows, W, kmps, niters, tolerance
+    )
+
+    @jax.jit
+    def corr_fn(tensors, op1, op2):
+        rows, m_up, m_dn = _strands(tensors)
+        op1c, op2c = jnp.asarray(op1), jnp.asarray(op2)
+        denoms = {}
+        out = []
+        for (r, c1), (_r2, c2) in pair_positions:
+            if r not in denoms:
+                denoms[r] = _row_scalar(rows[r], m_up[r], m_dn[r])
+            numer = _row_scalar(
+                rows[r], m_up[r], m_dn[r], ops=((op1c, c1), (op2c, c2))
+            )
+            out.append(numer / denoms[r])
+        vals = jnp.stack(out)
+        return jnp.real(vals) if real_output else vals
+
+    return corr_fn
+
+
+def _pair_positions(spec, positions, pairs):
+    out = []
+    for a, b in pairs:
+        pa = positions[spec.vertex_position(a)]
+        pb = positions[spec.vertex_position(b)]
+        if pa[0] != pb[0]:
+            raise ValueError(
+                f"boundary-MPS row correlators need same-row pairs; "
+                f"{a!r} is in row {pa[0]}, {b!r} in row {pb[0]} — use "
+                f"make_path_correlation_fn (BP alg) or the generic "
+                f"expect(alg='boundarymps') for cross-row pairs"
+            )
+        if pa[1] == pb[1]:
+            raise ValueError(f"pair {(a, b)!r} shares a column position")
+        out.append((pa, pb))
+    return out
+
+
+def make_grid_bmps_correlations(
+    spec: BatchedGraphSpec,
+    nx: int,
+    ny: int,
+    kmps: int,
+    pairs,
+    niters: int = 15,
+    tolerance="auto",
+    real_output: bool = False,
+):
+    """Jitted same-row two-point correlators through the boundary-MPS
+    environment: ``corr_fn(tensors, op1, op2) -> [len(pairs)]`` of
+    ⟨op1_a op2_b⟩ for vertex pairs in the same grid row.
+
+    This is the loop-aware counterpart of the BP path correlator
+    (`correlations.make_path_correlation_fn`): the row environment comes
+    from the fitted top/bottom strands instead of BP messages, so
+    short-loop correlations the BP tree approximation misses are
+    captured — the batched analogue of the reference's two-site
+    `path_contract` expectations (`boundarympscache.jl:321-360`,
+    `expect.jl:121-157`).  Cross-row pairs are rejected (use the BP path
+    correlator or the generic engine)."""
+    gspec = GridBMPSSpec(spec, nx, ny)
+    positions = [(r, c) for r in range(nx) for c in range(ny)]
+    return _make_bmps_corr_fn(
+        gspec.row_tensors, nx, ny, positions, kmps, niters, tolerance,
+        _pair_positions(spec, positions, pairs), real_output,
+    )
+
+
+def make_planar_bmps_correlations(
+    spec: BatchedGraphSpec,
+    kmps: int,
+    pairs,
+    niters: int = 15,
+    row_of=None,
+    col_of=None,
+    tolerance="auto",
+    real_output: bool = False,
+):
+    """Same-row boundary-MPS correlators for any column-aligned planar
+    lattice (heavy-hex, Lieb, comb, …) — see
+    :func:`make_grid_bmps_correlations`."""
+    pspec = PlanarBMPSSpec(spec, row_of=row_of, col_of=col_of)
+    positions = [pspec.rowcol[i] for i in range(spec.num_vertices)]
+    return _make_bmps_corr_fn(
+        pspec.row_tensors, pspec.nrows, pspec.W, positions, kmps, niters,
+        tolerance, _pair_positions(spec, positions, pairs), real_output,
     )

@@ -50,3 +50,34 @@ def test_grid_bmps_exact_at_full_rank():
     for i, v in enumerate(spec.vertices):
         ref = tnqs.expect(psi, ("Z", [v]), alg="exact")
         np.testing.assert_allclose(z_vals[i], np.real(ref), atol=1e-9)
+
+
+def test_grid_bmps_row_correlations_exact_at_full_rank():
+    """Same-row two-point correlators through the BMPS environment match
+    exact contraction at full interface rank (loop-aware, unlike BP)."""
+    import pytest
+
+    from tensornetworkquantumsimulator_tpu.parallel.boundarymps import (
+        make_grid_bmps_correlations,
+    )
+
+    nx, ny, chi = 4, 3, 3
+    g = named_grid((nx, ny))
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=chi)
+    psi = tnqs.normalize(psi, alg="bp")
+    spec, state = batched_from_tns(psi, chi=chi)
+
+    z = jnp.asarray(op_matrix("Z", 2))
+    x = jnp.asarray(op_matrix("X", 2))
+    pairs = [((2, 1), (2, 3)), ((1, 1), (1, 2)), ((4, 2), (4, 3))]
+    corr = make_grid_bmps_correlations(spec, nx, ny, kmps=9, pairs=pairs, niters=12)
+    got = np.asarray(corr(state.tensors, z, x))
+    want = np.asarray(
+        [tnqs.expect(psi, ("ZX", [a, b]), alg="exact") for a, b in pairs]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+    with pytest.raises(ValueError):
+        make_grid_bmps_correlations(
+            spec, nx, ny, kmps=4, pairs=[((1, 1), (2, 1))]
+        )

@@ -225,3 +225,33 @@ def test_planar_bmps_derived_columns_integer_names():
     np.testing.assert_allclose(
         np.real(_z(norm_fn, state.tensors)), np.real(z_exact), rtol=1e-8
     )
+
+
+def test_planar_bmps_heavyhex_row_correlations():
+    from tensornetworkquantumsimulator_tpu.parallel.boundarymps import (
+        PlanarBMPSSpec,
+        make_planar_bmps_correlations,
+    )
+
+    g = heavy_hexagonal_lattice(2, 2)
+    chi = 2
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=chi)
+    psi = tnqs.normalize(psi, alg="bp")
+    spec, state = batched_from_tns(psi, chi=chi)
+
+    # pick two same-row pairs from the planar layout
+    pspec = PlanarBMPSSpec(spec)
+    by_row = {}
+    for i, v in enumerate(spec.vertices):
+        r, _c = pspec.rowcol[i]
+        by_row.setdefault(r, []).append(v)
+    rows = [vs for vs in by_row.values() if len(vs) >= 3]
+    pairs = [(rows[0][0], rows[0][-1]), (rows[1][0], rows[1][1])]
+
+    z = jnp.asarray(op_matrix("Z", 2))
+    corr = make_planar_bmps_correlations(spec, kmps=16, pairs=pairs, niters=20)
+    got = np.asarray(corr(state.tensors, z, z))
+    want = np.asarray(
+        [tnqs.expect(psi, ("ZZ", [a, b]), alg="exact") for a, b in pairs]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-9)
