@@ -2,10 +2,15 @@
 
 The reference has no serialization (SURVEY.md §5) — states are in-memory
 objects.  Long Trotter evolutions are the main workload here, so both state
-flavors get simple on-disk checkpoints:
+flavors get on-disk checkpoints:
 
-- :class:`~..parallel.engine.BatchedState` (the TPU hot path) saves as a raw
-  pytree of arrays via orbax when available, with a numpy ``.npz`` fallback;
+- :class:`~..parallel.engine.BatchedState` (the TPU hot path):
+  :func:`save_batched_state` / :func:`load_batched_state` write a numpy
+  ``.npz`` (single-host, gathers to host memory);
+  :func:`save_sharded_state` / :func:`load_sharded_state` write an orbax
+  directory checkpoint with per-shard IO — a mesh-sharded state saves
+  without funnelling through one host and restores directly into a target
+  `jax.sharding` layout (multi-chip resume);
 - the generic :class:`~..models.TensorNetworkState` saves tensors + index
   metadata + graph structure to ``.npz``.
 """
@@ -45,6 +50,61 @@ def load_batched_state(path: str):
         return BatchedState(
             jnp.asarray(data["tensors"]), jnp.asarray(data["messages"])
         )
+
+
+def save_sharded_state(path: str, state) -> None:
+    """Orbax directory checkpoint of a (possibly mesh-sharded) BatchedState.
+
+    Each device writes its own shards (zarr/OCDBT) — no host gather, so a
+    pod-scale state checkpoints at aggregate-disk bandwidth.  ``path`` must
+    not already exist."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ocp.PyTreeCheckpointer().save(
+        os.path.abspath(path), {"tensors": state.tensors,
+                                "messages": state.messages}
+    )
+
+
+def load_sharded_state(path: str, sharding=None):
+    """Restore a :func:`save_sharded_state` checkpoint.
+
+    ``sharding`` is an optional `jax.sharding.Sharding` (applied to both
+    fields) or a ``(tensors, messages)`` pair — the arrays land directly in
+    that layout (per-shard reads), ready for the sharded engine without a
+    host-side resharding step."""
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from ..parallel.engine import BatchedState
+
+    ckptr = ocp.PyTreeCheckpointer()
+    apath = os.path.abspath(path)
+    if sharding is None:
+        tree = ckptr.restore(apath)
+    else:
+        sh_t, sh_m = (
+            sharding if isinstance(sharding, (tuple, list)) else (sharding,) * 2
+        )
+        meta = ckptr.metadata(apath).item_metadata.tree
+
+        def _spec(m, sh):
+            return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh)
+
+        tree = ckptr.restore(
+            apath,
+            restore_args=ocp.checkpoint_utils.construct_restore_args(
+                {
+                    "tensors": _spec(meta["tensors"], sh_t),
+                    "messages": _spec(meta["messages"], sh_m),
+                }
+            ),
+        )
+    return BatchedState(tree["tensors"], tree["messages"])
 
 
 def save_state(path: str, tns: TensorNetworkState) -> None:
