@@ -50,6 +50,7 @@ from .certified_sampling import (
     make_sharded_sampler,
 )
 from .gauge import batched_symmetric_gauge
+from .overlap import batched_inner, batched_loschmidt_echo
 from .loopcorrection import (
     LoopConfigurations,
     batched_partitionfunction,
