@@ -68,3 +68,7 @@ def test_disorder_ensemble_example():
 
 def test_correlation_functions_example():
     _load("correlation_functions").main(steps=2, chi=3)
+
+
+def test_loschmidt_echo_example():
+    _load("loschmidt_echo").main(steps=2, chi=3)
