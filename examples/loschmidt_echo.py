@@ -27,10 +27,15 @@ def main(steps=8, chi=6):
     spec, s0 = batched_product_state(g, chi=chi, dtype=np.complex64)
     layer_fn = make_layer_fn(BatchedCircuit(layer, g, spec=spec), chi=chi)
 
-    st = s0
+    from tensornetworkquantumsimulator_tpu.parallel import batched_inner
+
+    log_norm0, _ = batched_inner(spec, s0, s0, maxiter=60)  # constant on
+    st = s0                                                 # the trajectory
     for t in range(1, steps + 1):
         st, _ = layer_fn(st)
-        log_abs, _phase = batched_loschmidt_echo(spec, s0, st, maxiter=60)
+        log_abs, _phase = batched_loschmidt_echo(
+            spec, s0, st, log_norm0=log_norm0, maxiter=60
+        )
         # rate function: -log L / N  (the dynamical free energy density)
         n = spec.num_vertices
         rate = -2.0 * float(np.asarray(log_abs)) / n

@@ -94,6 +94,8 @@ def main():
         ctl = run_stage(["--control", str(args.layers)], env,
                         args.control_timeout, log)
         if not (ctl and ctl.get("ok")):
+            if time.time() + args.cooldown > deadline:
+                break  # don't sleep past the wall budget
             time.sleep(args.cooldown)
             continue
         print(f"# gate_hunter: channel ALIVE "

@@ -112,6 +112,52 @@ def _site_transfer2(state: BatchedState, idx, skip1: int, skip2: int):
     return jnp.einsum(eq, acc, jnp.conj(t), precision=_PRECISION)
 
 
+def _build_path_tables(spec, pairs, paths):
+    """Host-side tables shared by the single-device and sharded builders.
+
+    Returns ``(paths, a_buckets, b_buckets, int_buckets, tab_t, n_int)``:
+    endpoint entries bucketed by open slot (``{slot: [(pair, vertex)]}``),
+    deduplicated interior entries bucketed by (slot_prev, slot_next)
+    (``{(sp, sn): [(entry, vertex)]}``), and the per-pair interior chain
+    ``tab_t [Lmax, P]`` (numpy int32; pad value ``n_int`` = identity)."""
+    P = len(pairs)
+    if P == 0:
+        raise ValueError("need at least one vertex pair")
+    if paths is None:
+        paths = [shortest_path(spec, a, b) for a, b in pairs]
+    a_entries, b_entries = [], []
+    int_entries: list[tuple[int, int, int]] = []  # (vertex, slot_prev, slot_next)
+    int_key: dict = {}
+    Lmax = max(len(verts) - 2 for verts, _ in paths)
+    tab = np.full((P, max(Lmax, 1)), -1, dtype=np.int64)
+    for p, (verts, slots) in enumerate(paths):
+        if len(verts) != len(slots) + 1 or len(verts) < 2:
+            raise ValueError(f"malformed path for pair {pairs[p]!r}")
+        a_entries.append((p, verts[0], slots[0]))
+        b_entries.append((p, verts[-1], spec.nbr_slot[verts[-2]][slots[-1]]))
+        for i in range(1, len(verts) - 1):
+            slot_prev = spec.nbr_slot[verts[i - 1]][slots[i - 1]]
+            key = (verts[i], slot_prev, slots[i])
+            if key not in int_key:
+                int_key[key] = len(int_entries)
+                int_entries.append(key)
+            tab[p, i - 1] = int_key[key]
+    n_int = len(int_entries)
+    tab[tab < 0] = n_int  # padding -> identity transfer
+    a_buckets: dict = {}
+    for p, v, s in a_entries:
+        a_buckets.setdefault(s, []).append((p, v))
+    b_buckets: dict = {}
+    for p, v, s in b_entries:
+        b_buckets.setdefault(s, []).append((p, v))
+    int_buckets: dict = {}
+    for j, (v, sp, sn) in enumerate(int_entries):
+        int_buckets.setdefault((sp, sn), []).append((j, v))
+    # NUMPY on purpose (see callers): embeds as a trace-time constant
+    tab_t = np.asarray(tab.T, dtype=np.int32)  # [Lmax, P]
+    return paths, a_buckets, b_buckets, int_buckets, tab_t, n_int
+
+
 def make_path_correlation_fn(
     spec: BatchedGraphSpec,
     pairs: Sequence[tuple],
@@ -130,59 +176,30 @@ def make_path_correlation_fn(
     ``op1``).  ``paths`` overrides the BFS shortest paths with explicit
     ``(verts, slots)`` tuples (e.g. to route around a defect).  With
     ``connected=True`` the product ⟨op1_a⟩⟨op2_b⟩ of the single-site BP
-    expectations is subtracted.  Matches the generic
-    ``expect(psi, (op_string, [a, b]), alg="bp")`` (`expect.jl:58-83`)
-    to BP-fixed-point accuracy — see tests/test_correlations.py."""
-    op1 = jnp.asarray(op1)
-    op2 = op1 if op2 is None else jnp.asarray(op2)
+    expectations is subtracted.  Computes the same contraction as the
+    generic ``expect(psi, (op_string, [a, b]), alg="bp")``
+    (`expect.jl:58-83`) — note that on loopy graphs the BP value depends
+    on WHICH connecting path is contracted, so exact parity with the
+    generic engine holds when both contract the same path (pass
+    ``paths=``; BFS tie-breaking may otherwise pick a different equal-
+    length path than the generic Steiner tree) — see
+    tests/test_correlations.py."""
+    # host-side numpy, never eager jnp: build-time device arrays closed
+    # over a jitted fn are downloaded for constant embedding at lowering,
+    # which raises UNIMPLEMENTED on the axon TPU runtime (CLAUDE.md)
+    op1 = np.asarray(op1)
+    op2 = op1 if op2 is None else np.asarray(op2)
+    paths, a_buckets, b_buckets, int_buckets, tab_t, n_int = (
+        _build_path_tables(spec, pairs, paths)
+    )
     P = len(pairs)
-    if P == 0:
-        raise ValueError("need at least one vertex pair")
-    if paths is None:
-        paths = [shortest_path(spec, a, b) for a, b in pairs]
-
-    # host-side tables ------------------------------------------------------
-    # endpoints: (pair, vertex, open slot); interiors: global entry list
-    a_entries, b_entries = [], []
-    int_entries: list[tuple[int, int, int]] = []  # (vertex, slot_prev, slot_next)
-    int_key: dict = {}
-    Lmax = max(len(verts) - 2 for verts, _ in paths)
-    tab = np.full((P, max(Lmax, 1)), -1, dtype=np.int64)
-    for p, (verts, slots) in enumerate(paths):
-        if len(verts) != len(slots) + 1 or len(verts) < 2:
-            raise ValueError(f"malformed path for pair {pairs[p]!r}")
-        a_entries.append((p, verts[0], slots[0]))
-        b_entries.append(
-            (p, verts[-1], spec.nbr_slot[verts[-2]][slots[-1]])
-        )
-        for i in range(1, len(verts) - 1):
-            slot_prev = spec.nbr_slot[verts[i - 1]][slots[i - 1]]
-            key = (verts[i], slot_prev, slots[i])
-            if key not in int_key:
-                int_key[key] = len(int_entries)
-                int_entries.append(key)
-            tab[p, i - 1] = int_key[key]
-    n_int = len(int_entries)
-    tab[tab < 0] = n_int  # padding -> identity transfer
-    tab_t = jnp.asarray(tab.T, dtype=jnp.int32)  # [Lmax, P]
-
-    # bucket endpoint/interior entries by slot pattern (static einsums)
-    a_buckets: dict = {}
-    for p, v, s in a_entries:
-        a_buckets.setdefault(s, []).append((p, v))
-    b_buckets: dict = {}
-    for p, v, s in b_entries:
-        b_buckets.setdefault(s, []).append((p, v))
-    int_buckets: dict = {}
-    for j, (v, sp, sn) in enumerate(int_entries):
-        int_buckets.setdefault((sp, sn), []).append((j, v))
 
     def correlations(state: BatchedState) -> jax.Array:
         chi = state.chi
         chi2 = chi * chi
         cdtype = state.tensors.dtype
-        o1 = op1.astype(cdtype)
-        o2 = op2.astype(cdtype)
+        o1 = jnp.asarray(op1).astype(cdtype)
+        o2 = jnp.asarray(op2).astype(cdtype)
 
         # endpoint χ²-vectors: [P, χ²] numerator (op applied) + denominator
         va_n = jnp.zeros((P, chi2), cdtype)
@@ -226,20 +243,21 @@ def make_path_correlation_fn(
             mats = mats / jnp.where(scale == 0, 1.0, scale)
             T = T.at[pos].set(mats)
 
-        # chain: numerator and denominator share the scan as a 2P batch
-        m0 = jnp.concatenate([va_n, va_d], axis=0)  # [2P, χ²]
+        # chain: numerator and denominator ride one scan, gathering each
+        # step's transfer matrices ONCE (the two halves share indices)
+        m0 = jnp.stack([va_n, va_d], axis=0)  # [2, P, χ²]
 
         def body(m, idxs):
-            ts = T[jnp.concatenate([idxs, idxs])]  # [2P, χ², χ²]
-            return jnp.einsum("pi,pij->pj", m, ts,
+            ts = T[idxs]  # [P, χ², χ²]
+            return jnp.einsum("kpi,pij->kpj", m, ts,
                               precision=_PRECISION), None
 
         m, _ = jax.lax.scan(body, m0, tab_t)
         vals = jnp.einsum(
-            "pi,pi->p", m, jnp.concatenate([vb_n, vb_d], axis=0),
+            "kpi,kpi->kp", m, jnp.stack([vb_n, vb_d], axis=0),
             precision=_PRECISION,
         )
-        out = vals[:P] / vals[P:]
+        out = vals[0] / vals[1]
         if connected:
             z1 = local_expectations(spec, state, o1)
             z2 = local_expectations(spec, state, o2)
@@ -300,35 +318,14 @@ def make_sharded_path_correlations(
     spec = sspec.spec
     S = sspec.num_shards
     Vl = spec.num_vertices // S
-    op1 = jnp.asarray(op1)
-    op2 = op1 if op2 is None else jnp.asarray(op2)
+    # host-side numpy, never eager jnp (axon constant-embedding rule —
+    # see make_path_correlation_fn)
+    op1 = np.asarray(op1)
+    op2 = op1 if op2 is None else np.asarray(op2)
     Pn = len(pairs)
-    if Pn == 0:
-        raise ValueError("need at least one vertex pair")
-    if paths is None:
-        paths = [shortest_path(spec, a, b) for a, b in pairs]
-
-    # host-side global tables (identical layout to the unsharded builder)
-    a_entries, b_entries = [], []
-    int_entries: list[tuple[int, int, int]] = []
-    int_key: dict = {}
-    Lmax = max(len(verts) - 2 for verts, _ in paths)
-    tab = np.full((Pn, max(Lmax, 1)), -1, dtype=np.int64)
-    for p, (verts, slots) in enumerate(paths):
-        if len(verts) != len(slots) + 1 or len(verts) < 2:
-            raise ValueError(f"malformed path for pair {pairs[p]!r}")
-        a_entries.append((p, verts[0], slots[0]))
-        b_entries.append((p, verts[-1], spec.nbr_slot[verts[-2]][slots[-1]]))
-        for i in range(1, len(verts) - 1):
-            slot_prev = spec.nbr_slot[verts[i - 1]][slots[i - 1]]
-            key = (verts[i], slot_prev, slots[i])
-            if key not in int_key:
-                int_key[key] = len(int_entries)
-                int_entries.append(key)
-            tab[p, i - 1] = int_key[key]
-    n_int = len(int_entries)
-    tab[tab < 0] = n_int
-    tab_t = jnp.asarray(tab.T, dtype=jnp.int32)
+    paths, a_buckets, b_buckets, int_buckets, tab_t, n_int = (
+        _build_path_tables(spec, pairs, paths)
+    )
 
     def shard_tables(entries):
         """[(dest_row, vertex_pos)] -> per-shard padded (local_idx, dest)
@@ -344,17 +341,6 @@ def make_sharded_path_correlations(
                 loc[s, i], dst[s, i] = l, d
         return loc, dst
 
-    # bucket by slot pattern, then shard each bucket
-    a_buckets: dict = {}
-    for p, v, s in a_entries:
-        a_buckets.setdefault(s, []).append((p, v))
-    b_buckets: dict = {}
-    for p, v, s in b_entries:
-        b_buckets.setdefault(s, []).append((p, v))
-    int_buckets: dict = {}
-    for j, (v, sp, sn) in enumerate(int_entries):
-        int_buckets.setdefault((sp, sn), []).append((j, v))
-
     a_tabs = {s: shard_tables(e) for s, e in sorted(a_buckets.items())}
     b_tabs = {s: shard_tables(e) for s, e in sorted(b_buckets.items())}
     i_tabs = {k: shard_tables(e) for k, e in sorted(int_buckets.items())}
@@ -362,8 +348,9 @@ def make_sharded_path_correlations(
     flat_tables = []
     for tabs in (a_tabs, b_tabs, i_tabs):
         for loc, dst in tabs.values():
-            # dest scratch row = last row of each accumulator
-            flat_tables += [jnp.asarray(loc), jnp.asarray(dst)]
+            # dest scratch row = last row of each accumulator; numpy so
+            # the jit closure embeds them without a device download
+            flat_tables += [loc, dst]
     flat_tables = tuple(flat_tables)
 
     def body(tensors, messages, *tables):
@@ -371,8 +358,8 @@ def make_sharded_path_correlations(
         chi = st.chi
         chi2 = chi * chi
         cdtype = tensors.dtype
-        o1 = op1.astype(cdtype)
-        o2 = op2.astype(cdtype)
+        o1 = jnp.asarray(op1).astype(cdtype)
+        o2 = jnp.asarray(op2).astype(cdtype)
         it = iter(tables)
 
         def endpoint(tabs, op):
@@ -384,9 +371,10 @@ def make_sharded_path_correlations(
                 num = jnp.einsum("bopsz,zs->bop", e, op,
                                  precision=_PRECISION).reshape(-1, chi2)
                 den = jnp.einsum("bopss->bop", e).reshape(-1, chi2)
-                dst_c = jnp.where(dst < 0, Pn, dst)
-                vn = vn.at[dst_c].set(num)
-                vd = vd.at[dst_c].set(den)
+                # pad dests are -1: JAX index wrapping lands them on the
+                # scratch row (the accumulator's last row) by construction
+                vn = vn.at[dst].set(num)
+                vd = vd.at[dst].set(den)
             # scratch row dropped; psum assembles owner contributions
             return (jax.lax.psum(vn[:Pn], axis),
                     jax.lax.psum(vd[:Pn], axis))
@@ -401,25 +389,24 @@ def make_sharded_path_correlations(
             mats = e.reshape(-1, chi2, chi2)
             scale = jnp.max(jnp.abs(mats), axis=(1, 2), keepdims=True)
             mats = mats / jnp.where(scale == 0, 1.0, scale)
-            dst_c = jnp.where(dst < 0, n_int, dst)
-            T = T.at[dst_c].set(mats)
+            T = T.at[dst].set(mats)  # -1 pads wrap to the scratch row
         T = jax.lax.psum(T[:n_int], axis)
         T = jnp.concatenate(
             [T, jnp.eye(chi2, dtype=cdtype)[None]], axis=0
         )
 
-        m = jnp.concatenate([va_n, va_d], axis=0)
+        m = jnp.stack([va_n, va_d], axis=0)  # [2, P, χ²]
 
         def step(m_c, idxs):
-            ts = T[jnp.concatenate([idxs, idxs])]
-            return jnp.einsum("pi,pij->pj", m_c, ts,
+            ts = T[idxs]  # gathered once; both halves share indices
+            return jnp.einsum("kpi,pij->kpj", m_c, ts,
                               precision=_PRECISION), None
 
         m, _ = jax.lax.scan(step, m, tab_t)
-        vals = jnp.einsum("pi,pi->p", m,
-                          jnp.concatenate([vb_n, vb_d], axis=0),
+        vals = jnp.einsum("kpi,kpi->kp", m,
+                          jnp.stack([vb_n, vb_d], axis=0),
                           precision=_PRECISION)
-        out = vals[:Pn] / vals[Pn:]
+        out = vals[0] / vals[1]
         return jnp.real(out) if real_output else out
 
     fn = shard_map(
@@ -441,10 +428,8 @@ def make_sharded_path_correlations(
 
     ia = np.asarray([verts[0] for verts, _ in paths])
     ib = np.asarray([verts[-1] for verts, _ in paths])
-    site1 = make_sharded_site_expectations(sspec, mesh, np.asarray(op1),
-                                           axis=axis)
-    site2 = make_sharded_site_expectations(sspec, mesh, np.asarray(op2),
-                                           axis=axis)
+    site1 = make_sharded_site_expectations(sspec, mesh, op1, axis=axis)
+    site2 = make_sharded_site_expectations(sspec, mesh, op2, axis=axis)
 
     @jax.jit
     def connected_fn(state: BatchedState):

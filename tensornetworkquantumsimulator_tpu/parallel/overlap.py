@@ -142,13 +142,19 @@ def batched_loschmidt_echo(
     spec: BatchedGraphSpec,
     psi0: BatchedState,
     psit: BatchedState,
+    log_norm0: float | None = None,
     **kwargs,
 ):
     """Normalized echo |⟨ψ₀|ψ_t⟩| / (‖ψ₀‖·‖ψ_t‖) as ``(log_abs, phase)``.
 
     The three sandwich/norm contractions share one compiled structure;
-    phases follow the ⟨ψ₀|ψ_t⟩ numerator."""
-    l01, p01 = batched_inner(spec, psi0, psit, **kwargs)
-    l00, _ = batched_inner(spec, psi0, psi0, **kwargs)
+    the phase follows the ⟨ψ₀|ψ_t⟩ = Σ conj(ψ₀(x))·ψ_t(x) numerator
+    (``batched_inner`` conjugates its SECOND argument, so ψ_t goes
+    first).  ``log_norm0`` optionally carries a precomputed log⟨ψ₀|ψ₀⟩ —
+    on a trajectory it never changes, so computing it once saves a third
+    of each step's fixed-point work."""
+    l01, p01 = batched_inner(spec, psit, psi0, **kwargs)
+    if log_norm0 is None:
+        log_norm0, _ = batched_inner(spec, psi0, psi0, **kwargs)
     ltt, _ = batched_inner(spec, psit, psit, **kwargs)
-    return l01 - 0.5 * l00 - 0.5 * ltt, p01
+    return l01 - 0.5 * log_norm0 - 0.5 * ltt, p01
