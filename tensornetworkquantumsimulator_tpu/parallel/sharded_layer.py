@@ -225,22 +225,22 @@ def make_sharded_layer(
         sspec.src_index, sspec.mask,
     )
     # flat tuple of all per-shard tables, in a fixed traversal order
-    flat_tables: list = [jnp.asarray(t) for t in bp_tables]
+    flat_tables: list = [np.asarray(t) for t in bp_tables]
     for group in groups:
         for b in group:
             if isinstance(b, _IntraBucket):
                 flat_tables += [
-                    jnp.asarray(b.u_tab), jnp.asarray(b.v_tab),
-                    jnp.asarray(b.valid),
-                    jnp.asarray(b.u_inv), jnp.asarray(b.u_wr),
-                    jnp.asarray(b.v_inv), jnp.asarray(b.v_wr),
+                    np.asarray(b.u_tab), np.asarray(b.v_tab),
+                    np.asarray(b.valid),
+                    np.asarray(b.u_inv), np.asarray(b.u_wr),
+                    np.asarray(b.v_inv), np.asarray(b.v_wr),
                 ]
             else:
                 flat_tables += [
-                    jnp.asarray(b.u_tab), jnp.asarray(b.vsend_tab),
-                    jnp.asarray(b.valid),
-                    jnp.asarray(b.u_inv), jnp.asarray(b.u_wr),
-                    jnp.asarray(b.vs_inv), jnp.asarray(b.vs_wr),
+                    np.asarray(b.u_tab), np.asarray(b.vsend_tab),
+                    np.asarray(b.valid),
+                    np.asarray(b.u_inv), np.asarray(b.u_wr),
+                    np.asarray(b.vs_inv), np.asarray(b.vs_wr),
                 ]
     flat_tables = tuple(flat_tables)
 
@@ -506,8 +506,8 @@ def make_sharded_bond_expectations(sspec: ShardedBPSpec, mesh: Mesh, op1,
     right = [(i, (i + 1) % S) for i in range(S)]
     flat_tables = []
     for b in buckets:
-        flat_tables += [jnp.asarray(b[3]), jnp.asarray(b[4]),
-                        jnp.asarray(b[5])]
+        flat_tables += [np.asarray(b[3]), np.asarray(b[4]),
+                        np.asarray(b[5])]
     flat_tables = tuple(flat_tables)
 
     def body(tensors, messages, *tables):
@@ -537,7 +537,7 @@ def make_sharded_bond_expectations(sspec: ShardedBPSpec, mesh: Mesh, op1,
         in_specs=(P(axis), P(axis)) + (P(axis),) * len(flat_tables),
         out_specs=P(axis),
     )
-    order_j = jnp.asarray(order)
+    order_j = np.asarray(order)
 
     @jax.jit
     def bond_fn(state: BatchedState):
@@ -613,8 +613,8 @@ def make_sharded_bond_rdms(sspec: ShardedBPSpec, mesh: Mesh,
     right = [(i, (i + 1) % S) for i in range(S)]
     flat_tables = []
     for b in buckets:
-        flat_tables += [jnp.asarray(b[3]), jnp.asarray(b[4]),
-                        jnp.asarray(b[5])]
+        flat_tables += [np.asarray(b[3]), np.asarray(b[4]),
+                        np.asarray(b[5])]
     flat_tables = tuple(flat_tables)
 
     def body(tensors, messages, *tables):
@@ -643,7 +643,7 @@ def make_sharded_bond_rdms(sspec: ShardedBPSpec, mesh: Mesh,
         in_specs=(P(axis), P(axis)) + (P(axis),) * len(flat_tables),
         out_specs=P(axis),
     )
-    order_j = jnp.asarray(order)
+    order_j = np.asarray(order)
 
     @jax.jit
     def rdm_fn(state: BatchedState):
@@ -703,7 +703,7 @@ def make_sharded_gauge(sspec: ShardedBPSpec, mesh: Mesh,
     right = [(i, (i + 1) % S) for i in range(S)]
     flat_tables = []
     for b in buckets:
-        flat_tables += [jnp.asarray(t) for t in b[3:11]]
+        flat_tables += [np.asarray(t) for t in b[3:11]]
     flat_tables = tuple(flat_tables)
 
     def body(tensors, messages, *tables):
@@ -760,7 +760,7 @@ def make_sharded_gauge(sspec: ShardedBPSpec, mesh: Mesh,
         in_specs=(P(axis), P(axis)) + (P(axis),) * len(flat_tables),
         out_specs=(P(axis), P(axis), P(axis)),
     )
-    order_j = jnp.asarray(order)
+    order_j = np.asarray(order)
 
     @jax.jit
     def gauge_fn(state: BatchedState):

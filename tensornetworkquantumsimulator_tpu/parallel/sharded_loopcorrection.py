@@ -173,15 +173,15 @@ def make_sharded_loopcorrections(
 
     flat_tables: list = []
     for b in bond_buckets:  # u_tab, v_tab, valid, u_inv, u_wr, v_inv, v_wr
-        flat_tables += [jnp.asarray(b[3]), jnp.asarray(b[4]),
-                        jnp.asarray(b[5]), jnp.asarray(b[7]),
-                        jnp.asarray(b[8]), jnp.asarray(b[9]),
-                        jnp.asarray(b[10])]
-    flat_tables.append(jnp.asarray(send_tab))
+        flat_tables += [np.asarray(b[3]), np.asarray(b[4]),
+                        np.asarray(b[5]), np.asarray(b[7]),
+                        np.asarray(b[8]), np.asarray(b[9]),
+                        np.asarray(b[10])]
+    flat_tables.append(np.asarray(send_tab))
     for (_kind, _sig, idx_tab, valid) in bucket_tabs:
-        flat_tables += [jnp.asarray(idx_tab), jnp.asarray(valid)]
+        flat_tables += [np.asarray(idx_tab), np.asarray(valid)]
     flat_tables = tuple(flat_tables)
-    groups_j = {n: jnp.asarray(g_) for n, g_ in groups.items()}
+    groups_j = {n: np.asarray(g_) for n, g_ in groups.items()}
 
     def body(tensors, messages, *tables):
         it = iter(tables)

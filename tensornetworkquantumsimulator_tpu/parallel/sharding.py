@@ -174,12 +174,12 @@ def make_sharded_bp_update(
     S = sspec.num_shards
 
     tables = dict(
-        snv=jnp.asarray(sspec.send_next_v),
-        sns=jnp.asarray(sspec.send_next_slot),
-        spv=jnp.asarray(sspec.send_prev_v),
-        sps=jnp.asarray(sspec.send_prev_slot),
-        src=jnp.asarray(sspec.src_index),
-        mask=jnp.asarray(sspec.mask),
+        snv=np.asarray(sspec.send_next_v),
+        sns=np.asarray(sspec.send_next_slot),
+        spv=np.asarray(sspec.send_prev_v),
+        sps=np.asarray(sspec.send_prev_slot),
+        src=np.asarray(sspec.src_index),
+        mask=np.asarray(sspec.mask),
     )
 
     def body(tensors, messages, snv, sns, spv, sps, src, mask):

@@ -375,21 +375,21 @@ def make_sharded_layer_2d(
     gate2 = np.asarray(gate2)
     perms = _perms(sx, sy)
 
-    flat: list = [jnp.asarray(sspec.src_index), jnp.asarray(sspec.mask)]
+    flat: list = [np.asarray(sspec.src_index), np.asarray(sspec.mask)]
     for d in _DIRS:
-        flat += [jnp.asarray(sspec.send_v[d]), jnp.asarray(sspec.send_slot[d])]
+        flat += [np.asarray(sspec.send_v[d]), np.asarray(sspec.send_slot[d])]
     for group in groups:
         for b in group:
             if isinstance(b, _Intra2D):
-                flat += [jnp.asarray(b.u_tab), jnp.asarray(b.v_tab),
-                         jnp.asarray(b.valid),
-                         jnp.asarray(b.u_inv), jnp.asarray(b.u_wr),
-                         jnp.asarray(b.v_inv), jnp.asarray(b.v_wr)]
+                flat += [np.asarray(b.u_tab), np.asarray(b.v_tab),
+                         np.asarray(b.valid),
+                         np.asarray(b.u_inv), np.asarray(b.u_wr),
+                         np.asarray(b.v_inv), np.asarray(b.v_wr)]
             else:
-                flat += [jnp.asarray(b.u_tab), jnp.asarray(b.vsend_tab),
-                         jnp.asarray(b.valid),
-                         jnp.asarray(b.u_inv), jnp.asarray(b.u_wr),
-                         jnp.asarray(b.vs_inv), jnp.asarray(b.vs_wr)]
+                flat += [np.asarray(b.u_tab), np.asarray(b.vsend_tab),
+                         np.asarray(b.valid),
+                         np.asarray(b.u_inv), np.asarray(b.u_wr),
+                         np.asarray(b.vs_inv), np.asarray(b.vs_wr)]
     flat = tuple(flat)
 
     def body(tensors, messages, *tables):
