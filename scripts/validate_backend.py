@@ -685,6 +685,113 @@ def control(n_layers: int) -> None:
     print(json.dumps(rec), flush=True)
 
 
+def rung_diff(run_verify, tol, p_big, f, s, max_pairs=None):
+    """Differential rung verdict: "pass" / "fail" / "ambiguous".
+
+    Round-3 attempt-1 post-mortem (2026-08-19): the floor-sandwich rung
+    read a FALSE FAIL at tol=1e-4 from queue-inflated readings
+    (187.8/128.0/509.9 s against a 135 s absolute fail threshold while
+    the same session showed ±400 s queue swings) — an absolute wall
+    threshold cannot out-read queue noise larger than the penalty
+    signal.  This reader borrows the control's own trick: every rung
+    reading is paired with a temporally-ADJACENT known-pass baseline
+    (tol=1e9, same floor, same program), and the verdict lives in the
+    difference, where the queue is common-mode:
+
+        delta = wall(tol) - wall(baseline)
+        pass:  |delta| <= 0.25 * p_big * s      (penalty did not fire)
+        fail:  0.5 * p_big * s <= delta <= 3 * p_big * s
+        else:  chaos (burst or drain) -> retry
+
+    A genuine fail fires the deterministic penalty branch in EVERY
+    reading of that rung, so the offset p_big·s (~180 s at today's
+    measured speed) must survive adjacent-pair differencing twice;
+    two consistent verdicts are required, and anything unreadable
+    leaves the rung (and the ladder below it) unresolved — the bracket
+    can only loosen, never tighten."""
+    max_pairs = max_pairs or int(os.environ.get("TNQS_RUNG_MAX_PAIRS", "5"))
+    signal = p_big * s
+    pass_hi = 0.25 * signal
+    fail_lo, fail_hi = 0.5 * signal, 3.0 * signal
+
+    def read(t):
+        for _retry in range(3):
+            rec = run_verify(t, p_big, floor=f)
+            w = rec and rec.get("wall_seconds")
+            if (rec is not None and rec.get("executed", True)
+                    and w >= max(f * 2e-5, 0.3 * f * s)):
+                return w
+        return None
+
+    votes = []
+    for _pair in range(max_pairs):
+        wb = read(1e9)   # known-pass baseline, adjacent in time
+        wr = read(tol)
+        if wb is None or wr is None:
+            continue
+        d = wr - wb
+        if abs(d) <= pass_hi:
+            votes.append("pass")
+            tag = "pass"
+        elif fail_lo <= d <= fail_hi:
+            votes.append("fail")
+            tag = "fail"
+        else:
+            tag = "chaos (retry)"
+        print(f"# tol={tol:g} diff pair: base={wb:.1f}s rung={wr:.1f}s "
+              f"delta={d:+.1f}s (pass<=|{pass_hi:.0f}|, fail in "
+              f"[{fail_lo:.0f},{fail_hi:.0f}]) -> {tag}",
+              file=sys.stderr, flush=True)
+        if votes.count("pass") >= 2:
+            return "pass"
+        if votes.count("fail") >= 2:
+            return "fail"
+        if "pass" in votes and "fail" in votes:
+            return "ambiguous"  # contradiction: unreadable phase
+    return "ambiguous"
+
+
+def rung_sandwich(run_verify, tol, p_big, floors, slope_band, fail_at):
+    """Floor-sandwich rung verdict (pre-2026-08-19 reader, kept for
+    TNQS_RUNG_MODE=sandwich): [F1, F2, F1] readings, absolute fail
+    thresholds — vulnerable to queue swings larger than the penalty
+    signal (see rung_diff)."""
+    f1, f2 = floors
+    lo_d, hi_d = slope_band
+    verdict = "error"
+    for _attempt in range(3):
+        walls = []
+        for f in (f1, f2, f1):
+            w = None
+            for _retry in range(3):
+                rec = run_verify(tol, p_big, floor=f)
+                wr = rec and rec.get("wall_seconds")
+                if (rec is not None and rec.get("executed", True)
+                        and wr >= f * 2e-5):
+                    w = wr
+                    break
+            walls.append(w)
+        print(f"# tol={tol:g} sandwich walls={walls}",
+              file=sys.stderr, flush=True)
+        if any(w is None for w in walls):
+            verdict = "error"
+            continue
+        w1a, w2, w1b = walls
+        n_fail = sum(w >= fail_at(f)
+                     for w, f in zip(walls, (f1, f2, f1)))
+        slope_ok = (lo_d <= w2 - w1a <= hi_d
+                    and lo_d <= w2 - w1b <= hi_d)
+        if n_fail >= 2:
+            return "fail"
+        if slope_ok and n_fail == 0:
+            return "pass"
+        verdict = "ambiguous"
+        print(f"# tol={tol:g}: ambiguous sandwich (n_fail={n_fail}, "
+              f"slope_ok={slope_ok}), re-reading", file=sys.stderr,
+              flush=True)
+    return verdict
+
+
 def bisect_slope(n_layers: int) -> None:
     """Slope-verified tolerance ladder — every reading is differential.
 
@@ -752,42 +859,15 @@ def bisect_slope(n_layers: int) -> None:
 
     ladder = [float(t) for t in os.environ.get(
         "TNQS_SLOPE_LADDER", "1e-4,3e-5,1e-5,3e-6").split(",")]
+    rung_mode = os.environ.get("TNQS_RUNG_MODE", "diff")
     last_pass, first_fail = None, None
     for tol in ladder:
-        verdict = "error"
-        for attempt in range(3):
-            walls = []
-            for f in (f1, f2, f1):
-                w = None
-                for _retry in range(3):
-                    rec = run_verify(tol, p_big, floor=f)
-                    wr = rec and rec.get("wall_seconds")
-                    if (rec is not None and rec.get("executed", True)
-                            and wr >= f * 2e-5):
-                        w = wr
-                        break
-                walls.append(w)
-            print(f"# tol={tol:g} sandwich walls={walls}",
-                  file=sys.stderr, flush=True)
-            if any(w is None for w in walls):
-                verdict = "error"
-                continue
-            w1a, w2, w1b = walls
-            n_fail = sum(w >= fail_at(f)
-                         for w, f in zip(walls, (f1, f2, f1)))
-            slope_ok = (lo_d <= w2 - w1a <= hi_d
-                        and lo_d <= w2 - w1b <= hi_d)
-            pass_ok = slope_ok and n_fail == 0
-            if n_fail >= 2:
-                verdict = "fail"
-                break
-            if pass_ok:
-                verdict = "pass"
-                break
-            verdict = "ambiguous"
-            print(f"# tol={tol:g}: ambiguous sandwich (n_fail={n_fail}, "
-                  f"slope_ok={slope_ok}), re-reading", file=sys.stderr,
-                  flush=True)
+        if rung_mode == "diff":
+            verdict = rung_diff(run_verify, tol, p_big, f1, s)
+        else:
+            verdict = rung_sandwich(
+                run_verify, tol, p_big, (f1, f2), (lo_d, hi_d), fail_at
+            )
         print(f"# tol={tol:g} -> {verdict}", file=sys.stderr, flush=True)
         if verdict == "pass":
             last_pass = tol

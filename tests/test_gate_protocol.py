@@ -153,3 +153,110 @@ def test_forced_penalty_branch_is_requested():
     rv = make_run_verify([66.0, 250.0, 70.0, 248.0])
     vb.slope_control(rv)
     assert all(t == -1.0 for t, _p, _f in rv.calls)
+
+
+# ---------------------------------------------------------------------------
+# differential rung reader (2026-08-19 rework: attempt-1's false fail)
+# ---------------------------------------------------------------------------
+
+RUNG = dict(tol=1e-4, p_big=4_000_000, f=1_000_000, s=4.5e-5)
+# signal = p_big*s = 180 s; pass band |d|<=45; fail band [90, 540]
+
+
+def test_diff_rung_genuine_pass():
+    rv = make_run_verify([60.0, 70.0, 100.0, 95.0])
+    assert vb.rung_diff(rv, **RUNG) == "pass"
+    # baseline readings must be forced-pass (tol=1e9), rung readings tol
+    tols = [t for t, _p, _f in rv.calls]
+    assert tols == [1e9, 1e-4, 1e9, 1e-4]
+
+
+def test_diff_rung_genuine_fail():
+    # penalty fires deterministically: every rung reading carries +~180 s
+    rv = make_run_verify([60.0, 245.0, 100.0, 272.0])
+    assert vb.rung_diff(rv, **RUNG) == "fail"
+
+
+def test_diff_rung_queue_chaos_retries_instead_of_false_fail():
+    """Attempt-1 replay (2026-08-19): queue swings of +-400 s crossed the
+    absolute fail threshold and voided the run; differentially they are
+    chaos -> retried, and the rung still resolves once two clean pairs
+    land."""
+    rv = make_run_verify([
+        128.0, 809.9,   # +681.9: queue burst beyond 3x signal -> chaos
+        500.0, 130.0,   # -370.0: queue drain -> chaos
+        90.0, 100.0,    # +10: pass
+        60.0, 72.0,     # +12: pass
+    ])
+    # (a burst INSIDE the fail band reads as a fail vote by design: a
+    # false fail only LOOSENS the bracket, so the fail band stays wide
+    # while the pass band stays tight)
+    assert vb.rung_diff(rv, **RUNG) == "pass"
+
+
+def test_diff_rung_unreadable_phase_is_ambiguous():
+    # nothing but chaos: the rung (and the ladder below it) stays
+    # unresolved -- the bracket can only loosen
+    rv = make_run_verify([128.0, 809.9] * 5)
+    assert vb.rung_diff(rv, **RUNG) == "ambiguous"
+
+
+def test_diff_rung_contradiction_is_ambiguous():
+    rv = make_run_verify([60.0, 70.0, 100.0, 280.0, 90.0, 480.0])
+    assert vb.rung_diff(rv, **RUNG) == "ambiguous"
+
+
+def test_diff_rung_subfloor_readings_are_retried():
+    # kill-band draws (sub-floor walls) are non-executions: retried, and
+    # the pair only forms from valid readings.  floor = max(20, 13.5) = 20
+    rv = make_run_verify([0.5, 60.0, 0.4, 70.0, 95.0, 100.0])
+    assert vb.rung_diff(rv, **RUNG) == "pass"
+
+
+def test_bisect_slope_end_to_end_certifies(monkeypatch, capsys):
+    """Full protocol on a calm-phase script: warm, pre-control, four
+    differential rungs (all pass), post-control -> channel_ok=true with
+    the 3e-6 upper bracket."""
+    import json
+
+    script = [
+        300.0,                      # warm (compile)
+        66.0, 250.0, 70.0, 248.0,   # pre-control: 2 physical pairs (~60us/l)
+        # 4 rungs x 2 diff pairs x (baseline, rung) — all deltas ~0
+        60.0, 62.0, 61.0, 59.0,
+        63.0, 64.0, 60.0, 61.0,
+        62.0, 60.0, 59.0, 61.0,
+        60.0, 63.0, 64.0, 62.0,
+        68.0, 247.0, 65.0, 251.0,   # post-control: 2 physical pairs
+    ]
+    rv = make_run_verify(list(script))
+    monkeypatch.setattr(vb, "_make_run_verify", lambda n: rv)
+    vb.bisect_slope(10)
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")][-1]
+    rec = json.loads(out)
+    assert rec["channel_ok"] is True
+    assert rec["max_site_delta_upper"] == 3e-6
+    assert rec["max_site_delta_lower"] is None
+
+
+def test_bisect_slope_end_to_end_brackets_a_fail(monkeypatch, capsys):
+    """First rung genuinely fails (every rung reading +p_big*s): ladder
+    stops with lower=1e-4, and a live post-control certifies the read."""
+    import json
+
+    script = [
+        300.0,
+        66.0, 250.0, 70.0, 248.0,
+        60.0, 242.0, 61.0, 239.0,   # rung 1e-4: deltas ~ +180 -> fail
+        68.0, 247.0, 65.0, 251.0,   # post-control
+    ]
+    rv = make_run_verify(list(script))
+    monkeypatch.setattr(vb, "_make_run_verify", lambda n: rv)
+    vb.bisect_slope(10)
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")][-1]
+    rec = json.loads(out)
+    assert rec["channel_ok"] is True
+    assert rec["max_site_delta_upper"] is None
+    assert rec["max_site_delta_lower"] == 1e-4
