@@ -32,6 +32,7 @@ from .engine import (
 )
 from .correlations import (
     make_path_correlation_fn,
+    make_path_rdm_fn,
     make_sharded_path_correlations,
     path_correlations,
     shortest_path,

@@ -54,6 +54,7 @@ from .structure import BatchedGraphSpec
 
 __all__ = [
     "make_path_correlation_fn",
+    "make_path_rdm_fn",
     "make_sharded_path_correlations",
     "path_correlations",
     "shortest_path",
@@ -440,3 +441,70 @@ def make_sharded_path_correlations(
         return jnp.real(out) if real_output else out
 
     return connected_fn
+
+
+def make_path_rdm_fn(
+    spec: BatchedGraphSpec,
+    pairs: Sequence[tuple],
+    *,
+    paths: Sequence[tuple[list, list]] | None = None,
+    jit: bool = True,
+) -> Callable:
+    """Compile ``fn(state) -> [len(pairs), d, d, d, d]`` of trace-normalized
+    two-site RDMs ρ_ab for vertex pairs at ANY graph distance (BP alg) —
+    the batched counterpart of ``reduced_density_matrix(psi, [a, b],
+    alg="bp")`` (`rdm.jl:49-70`), extending :func:`~.engine.bond_rdms`
+    beyond adjacent pairs.  Index order matches ``bond_rdms``:
+    (ket_a, bra_a, ket_b, bra_b).
+
+    Same machinery as :func:`make_path_correlation_fn` with the endpoint
+    site legs left OPEN: the interior chain is identical (and shared with
+    a correlator built over the same paths at trace level), the carry
+    just grows a d² axis."""
+    paths, a_buckets, b_buckets, int_buckets, tab_t, n_int = (
+        _build_path_tables(spec, pairs, paths)
+    )
+    P = len(pairs)
+
+    def rdms(state: BatchedState) -> jax.Array:
+        chi = state.chi
+        chi2 = chi * chi
+        d = state.tensors.shape[-1]
+        cdtype = state.tensors.dtype
+
+        def endpoints(buckets):
+            out = jnp.zeros((P, d * d, chi2), cdtype)
+            for s, entries in sorted(buckets.items()):
+                idx = jnp.asarray([v for _, v in entries], jnp.int32)
+                pos = jnp.asarray([p for p, _ in entries], jnp.int32)
+                e = _site_transfer(state, idx, s)  # [B, o, p, s, z]
+                vec = e.reshape(-1, chi2, d * d).transpose(0, 2, 1)
+                out = out.at[pos].set(vec)
+            return out
+
+        va = endpoints(a_buckets)  # [P, d², χ²]
+        vb = endpoints(b_buckets)
+
+        T = jnp.zeros((n_int + 1, chi2, chi2), cdtype)
+        T = T.at[n_int].set(jnp.eye(chi2, dtype=cdtype))
+        for (sp, sn), entries in sorted(int_buckets.items()):
+            idx = jnp.asarray([v for _, v in entries], jnp.int32)
+            pos = jnp.asarray([j for j, _ in entries], jnp.int32)
+            e = _site_transfer2(state, idx, sp, sn)
+            mats = e.reshape(-1, chi2, chi2)
+            scale = jnp.max(jnp.abs(mats), axis=(1, 2), keepdims=True)
+            mats = mats / jnp.where(scale == 0, 1.0, scale)
+            T = T.at[pos].set(mats)
+
+        def body(m, idxs):
+            ts = T[idxs]
+            return jnp.einsum("pdi,pij->pdj", m, ts,
+                              precision=_PRECISION), None
+
+        m, _ = jax.lax.scan(body, va, tab_t)
+        rho = jnp.einsum("pdi,pei->pde", m, vb, precision=_PRECISION)
+        rho = rho.reshape(P, d, d, d, d)
+        tr = jnp.einsum("paabb->p", rho)
+        return rho / tr[:, None, None, None, None]
+
+    return jax.jit(rdms) if jit else rdms

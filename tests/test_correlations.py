@@ -220,3 +220,40 @@ def test_sharded_path_correlations_match_unsharded():
         )(sharded)
     )
     np.testing.assert_allclose(conn, conn_ref, atol=1e-10)
+
+
+def test_path_rdms_match_generic():
+    from tensornetworkquantumsimulator_tpu.parallel import make_path_rdm_fn
+    from tensornetworkquantumsimulator_tpu.utils.lattices import named_comb_tree
+
+    # tree: BP is exact, path unique -> compare against the exact RDM
+    g = named_comb_tree((3, 3))
+    psi, spec, state = _converged(g, seed=2)
+    vs = list(g.vertices())
+    pairs = [(vs[0], vs[-1]), (vs[1], vs[4])]
+    rho = np.asarray(make_path_rdm_fn(spec, pairs)(state))
+    for k, (a, b) in enumerate(pairs):
+        rho_gen = tnqs.reduced_density_matrix(psi, [a, b], alg="exact")
+        sa, sb = psi.siteinds()[a][0], psi.siteinds()[b][0]
+        want = np.asarray(rho_gen.array((sa, sa.prime(), sb, sb.prime())))
+        want = want / np.trace(want.reshape(4, 4).reshape(2, 2, 2, 2).transpose(0, 2, 1, 3).reshape(4, 4))
+        np.testing.assert_allclose(rho[k], want, atol=1e-9)
+
+    # loopy grid, unique straight-line path: vs the generic bp RDM
+    g2 = named_grid((3, 4))
+    psi2, spec2, state2 = _converged(g2, seed=4)
+    pairs2 = [((2, 1), (2, 3))]
+    rho2 = np.asarray(make_path_rdm_fn(spec2, pairs2)(state2))
+    rho_gen2 = tnqs.reduced_density_matrix(
+        psi2, list(pairs2[0]), alg="bp",
+        cache_update_kwargs=dict(maxiter=300, tolerance=1e-13),
+    )
+    sa, sb = psi2.siteinds()[(2, 1)][0], psi2.siteinds()[(2, 3)][0]
+    want2 = np.asarray(rho_gen2.array((sa, sa.prime(), sb, sb.prime())))
+    np.testing.assert_allclose(rho2[0], want2, atol=1e-6)
+
+    # RDM consistency with the correlator: tr(rho (Z x Z)) == <ZZ>
+    z = np.asarray(op_matrix("Z", 2))
+    c = np.asarray(path_correlations(spec2, state2, pairs2, z))
+    val = np.einsum("szcx,zs,xc->", rho2[0], z, z)
+    np.testing.assert_allclose(val, c[0], atol=1e-8)
