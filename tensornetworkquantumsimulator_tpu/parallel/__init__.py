@@ -51,7 +51,7 @@ from .certified_sampling import (
     make_sharded_sampler,
 )
 from .gauge import batched_symmetric_gauge
-from .overlap import batched_inner, batched_loschmidt_echo
+from .overlap import batched_inner, batched_loschmidt_echo, make_sharded_inner
 from .loopcorrection import (
     LoopConfigurations,
     batched_partitionfunction,

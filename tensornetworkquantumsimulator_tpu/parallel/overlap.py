@@ -40,7 +40,7 @@ from .engine import (
 )
 from .structure import BatchedGraphSpec
 
-__all__ = ["batched_inner", "batched_loschmidt_echo"]
+__all__ = ["batched_inner", "batched_loschmidt_echo", "make_sharded_inner"]
 
 
 def _sandwich_outgoing(spec, t_ket, t_bra_conj, messages):
@@ -158,3 +158,159 @@ def batched_loschmidt_echo(
         log_norm0, _ = batched_inner(spec, psi0, psi0, **kwargs)
     ltt, _ = batched_inner(spec, psit, psit, **kwargs)
     return l01 - 0.5 * log_norm0 - 0.5 * ltt, p01
+
+
+def _sandwich_fixed_point_local(t_ket, t_bra_conj, snv, sns, spv, sps, src,
+                                mask, D, S, axis, maxiter, tolerance):
+    """Per-shard sandwich-BP fixed point with ppermute halo exchange —
+    `sharding._bp_fixed_point` with the bra layer threaded through the
+    outgoing contraction and WITHOUT hermitization (sandwich messages
+    are not hermitian)."""
+    Vl, chi = t_ket.shape[0], t_ket.shape[1]
+    rdt = jnp.zeros((), t_ket.dtype).real.dtype
+
+    def outgoing(m):
+        accs = _all_except_one(t_ket, m, list(range(D)))
+        outs = []
+        for j, acc in zip(range(D), accs):
+            lab = [_LETTERS[k] for k in range(D)]
+            acc_lab, conj_lab = list(lab), list(lab)
+            acc_lab[j], conj_lab[j] = "p", "q"
+            eq = f"v{''.join(acc_lab)}s,v{''.join(conj_lab)}s->vpq"
+            outs.append(jnp.einsum(eq, acc, t_bra_conj,
+                                   precision=_PRECISION))
+        return jnp.stack(outs, axis=1)
+
+    right = [(i, (i + 1) % S) for i in range(S)]
+    left = [(i, (i - 1) % S) for i in range(S)]
+
+    def one_iteration(m):
+        m_out = outgoing(m)
+        recv_prev = jax.lax.ppermute(m_out[snv, sns], axis, right)
+        recv_next = jax.lax.ppermute(m_out[spv, sps], axis, left)
+        table = jnp.concatenate(
+            [m_out.reshape(Vl * D, chi, chi), recv_prev, recv_next], axis=0
+        )
+        new = table[src]
+        ssum = jnp.sum(new, axis=(-2, -1), keepdims=True)
+        new = new / jnp.where(jnp.abs(ssum) == 0, 1.0, ssum)
+        eye = jnp.eye(chi, dtype=new.dtype)
+        return jnp.where(mask[..., None, None], new, eye)
+
+    def distance(a, b):
+        dot = jnp.sum(jnp.conj(a) * b, axis=(-2, -1))
+        na = jnp.linalg.norm(a.reshape(a.shape[:-2] + (-1,)), axis=-1)
+        nb = jnp.linalg.norm(b.reshape(b.shape[:-2] + (-1,)), axis=-1)
+        den = jnp.where(na * nb == 0, 1.0, na * nb)
+        d = jnp.where(mask, 1.0 - jnp.abs(dot / den) ** 2, 0.0)
+        num = jax.lax.psum(jnp.sum(d), axis)
+        cnt = jax.lax.psum(jnp.sum(mask), axis)
+        return num / jnp.maximum(cnt, 1)
+
+    def cond(carry):
+        _, it, diff = carry
+        return jnp.logical_and(it < maxiter, diff > tolerance)
+
+    def loop(carry):
+        m, it, _ = carry
+        new = one_iteration(m)
+        return (new, it + 1, distance(m, new).astype(rdt))
+
+    eye = jnp.eye(chi, dtype=t_ket.dtype)
+    m0 = jnp.broadcast_to(eye, (Vl, D, chi, chi))
+    # the identity init is device-invariant but the loop carry varies per
+    # shard: mark the variance explicitly for shard_map's VMA check
+    if hasattr(jax.lax, "pvary"):
+        m0 = jax.lax.pvary(m0, (axis,))
+    m, _, _ = jax.lax.while_loop(
+        cond, loop, (m0, jnp.int32(0), jnp.asarray(jnp.inf, rdt))
+    )
+    return m
+
+
+def make_sharded_inner(sspec, mesh, *, axis: str = "v", maxiter: int = 50,
+                       tolerance: float | None = None):
+    """Jitted ⟨ψ|ϕ⟩ on vertex-sharded states: ``fn(psi, phi) ->
+    (log_abs, phase)`` with neither state ever gathered.
+
+    Same semantics (and conjugation convention) as :func:`batched_inner`
+    on a :class:`~.sharding.ShardedBPSpec` strip sharding: the sandwich
+    fixed point runs with the engine's halo ppermutes, vertex scalars
+    are shard-local, and edge scalars reuse the bond-bucket tables (one
+    ppermute per cross-shard direction bucket) — Loschmidt echoes and
+    truncation fidelities at pod scale."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .sharded_layer import _build_bond_tables
+
+    spec = sspec.spec
+    S = sspec.num_shards
+    D = spec.degree
+    buckets = _build_bond_tables(sspec)
+    # numpy tables only (axon constant-embedding rule)
+    flat_tables: list = [
+        sspec.send_next_v, sspec.send_next_slot,
+        sspec.send_prev_v, sspec.send_prev_slot,
+        sspec.src_index, sspec.mask,
+    ]
+    for b in buckets:
+        flat_tables += [b[3], b[4], b[5]]  # u_tab, v_tab, valid
+    flat_tables = tuple(flat_tables)
+    left = [(i, (i - 1) % S) for i in range(S)]
+    right = [(i, (i + 1) % S) for i in range(S)]
+
+    def body(t_psi, t_phi, *tables):
+        it = iter(tables)
+        snv, sns, spv, sps, src, mask = (next(it)[0] for _ in range(6))
+        t_ket = t_psi
+        t_bra_conj = jnp.conj(t_phi)
+        tol = (tolerance if tolerance is not None
+               else default_batched_tolerance(t_ket.dtype))
+        m = _sandwich_fixed_point_local(
+            t_ket, t_bra_conj, snv, sns, spv, sps, src, mask, D, S, axis,
+            maxiter, tol,
+        )
+
+        cdtype = jnp.result_type(t_ket.dtype, jnp.complex64)
+        acc = t_ket
+        for k in range(D):
+            acc = _absorb(acc, m[:, k], 1 + k)
+        lab = "".join(_LETTERS[k] for k in range(D))
+        zv = jnp.einsum(f"v{lab}s,v{lab}s->v", acc, t_bra_conj,
+                        precision=_PRECISION).astype(cdtype)
+        lzv = jnp.log(zv)
+        log_z = jnp.sum(jnp.real(lzv))
+        phase = jnp.sum(jnp.imag(lzv))
+
+        for (su, sv, dir_, *_unused) in buckets:
+            u_tab, v_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+            mu = m[u_tab, su]  # [B, χ, χ] (incoming into u = m_{v→u})
+            mv = m[v_tab, sv]  # incoming into v = m_{u→v}
+            if dir_ == +1:  # partner lives on the next shard
+                mv = jax.lax.ppermute(mv, axis, perm=left)
+            elif dir_ == -1:
+                mv = jax.lax.ppermute(mv, axis, perm=right)
+            se = jnp.einsum("eab,eab->e", mu, mv,
+                            precision=_PRECISION).astype(cdtype)
+            lse = jnp.log(jnp.where(valid, se, 1.0))
+            log_z -= jnp.sum(jnp.real(lse))
+            phase -= jnp.sum(jnp.imag(lse))
+
+        return (jax.lax.psum(log_z, axis), jax.lax.psum(phase, axis))
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(axis),) * len(flat_tables),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def inner_fn(psi: BatchedState, phi: BatchedState):
+        return fn(psi.tensors, phi.tensors, *flat_tables)
+
+    return inner_fn

@@ -107,3 +107,45 @@ def test_loschmidt_echo_unit_at_t0_and_decays():
         st, _errs = fn(st)
     la_t, _ = batched_loschmidt_echo(spec, s0, st, maxiter=100)
     assert float(la_t) < prev - 0.01  # echo strictly decayed
+
+
+def test_sharded_inner_matches_unsharded():
+    """SPMD sandwich overlap == single-device batched_inner (states never
+    gather): truncation-fidelity pair on an 8-way-sharded torus."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tensornetworkquantumsimulator_tpu import normalize, siteinds, truncate
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        BatchedState,
+        make_sharded_inner,
+        shard_spec,
+    )
+
+    S = 8
+    g = named_grid((8, 4), periodic=True)
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+    s = siteinds("S=1/2", g)
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, s, bond_dimension=3, key=jax.random.PRNGKey(11)
+    )
+    psi = normalize(psi, alg="bp")
+    phi = truncate(psi, alg="bp", maxdim=2)
+    _, ks = batched_from_tns(psi, chi=3, spec=spec)
+    _, kf = batched_from_tns(phi, chi=3, spec=spec)
+
+    la_ref, ph_ref = batched_inner(spec, ks, kf, maxiter=120,
+                                   tolerance=1e-13)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    sh = NamedSharding(mesh, P("v"))
+    sks = BatchedState(jax.device_put(ks.tensors, sh),
+                       jax.device_put(ks.messages, sh))
+    skf = BatchedState(jax.device_put(kf.tensors, sh),
+                       jax.device_put(kf.messages, sh))
+    fn = make_sharded_inner(sspec, mesh, maxiter=120, tolerance=1e-13)
+    la, ph = fn(sks, skf)
+    np.testing.assert_allclose(float(la), float(np.asarray(la_ref)),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(ph), float(np.asarray(ph_ref)),
+                               atol=1e-9)
