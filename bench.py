@@ -251,9 +251,13 @@ def _remaining() -> float:
     return BUDGET_S - (time.perf_counter() - _T_START)
 
 
-def _launch(config: str, n: int, k: int):
+def _launch(config: str, n: int, k: int, env_extra: dict | None = None):
     """Start one probe subprocess (non-blocking) -> live-probe dict."""
     _SAMPLE_COUNTER[0] += 1
+    env = None
+    if env_extra:
+        env = dict(os.environ)
+        env.update(env_extra)
     proc = subprocess.Popen(
         [
             sys.executable, __file__, "--probe", config, str(n), str(k),
@@ -262,6 +266,7 @@ def _launch(config: str, n: int, k: int):
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
+        env=env,
     )
     return {"proc": proc, "t0": time.perf_counter(), "k": k}
 
@@ -342,15 +347,32 @@ def _measure_all(results: dict) -> None:
             "n": n, "k_lo": k_lo, "k": k_hi, "floor": floor,
             "samples": [], "timeouts": 0, "live": None,
             "resolved": False, "klo_done": False,
+            "extra": False, "probe_config": config, "env": None,
         }
         results[config] = {"per_layer": None, "z": None, "quality": None}
+    # opt-in extra slot: once ALL headline configs are resolved, leftover
+    # budget also records the fused jacobi-env path (TNQS_EIGH_ALG=auto —
+    # still opt-in pending the physics gate, BASELINE.md) so the fast
+    # path has a driver-verified number; it never competes with the four
+    # headline configs for budget
+    for name, (base, env_extra) in {
+        "chi10_jacobi": ("chi10", {"TNQS_EIGH_ALG": "auto"}),
+    }.items():
+        n, k_lo, k_hi, floor = CONFIGS[base]
+        state[name] = {
+            "n": n, "k_lo": k_lo, "k": k_hi, "floor": floor,
+            "samples": [], "timeouts": 0, "live": None,
+            "resolved": False, "klo_done": True,  # no k_lo partner runs
+            "extra": True, "probe_config": base, "env": env_extra,
+        }
+        results[name] = {"per_layer": None, "z": None, "quality": None}
+
+    def headline_resolved():
+        return all(st["resolved"] for st in state.values()
+                   if not st["extra"])
 
     def rem():
-        deadline = (
-            BUDGET_S
-            if all(st["resolved"] for st in state.values())
-            else max_s
-        )
+        deadline = BUDGET_S if headline_resolved() else max_s
         return deadline - (time.perf_counter() - _T_START)
 
     def record(config, st):
@@ -428,6 +450,8 @@ def _measure_all(results: dict) -> None:
         for config, st in state.items():
             if st["live"] is not None or rem() < 45.0:
                 continue
+            if st["extra"] and not (headline_resolved() and rem() > 120.0):
+                continue  # extras never compete with headline configs
             if not st["resolved"]:
                 if endgame and not st["klo_done"] and any(
                     r["wall_seconds"] >= 2.0 and r["k"] > st["k_lo"]
@@ -435,13 +459,16 @@ def _measure_all(results: dict) -> None:
                 ):
                     # monotonicity partner for an unresolved config
                     st["klo_done"] = True
-                    st["live"] = _launch(config, st["n"], st["k_lo"])
+                    st["live"] = _launch(st["probe_config"], st["n"],
+                                         st["k_lo"], st["env"])
                 else:
-                    st["live"] = _launch(config, st["n"], st["k"])
-            elif _remaining() > 150.0:
+                    st["live"] = _launch(st["probe_config"], st["n"],
+                                         st["k"], st["env"])
+            elif _remaining() > 150.0 and not st["extra"]:
                 # refinement: extra SAME-k samples chase a fast window on
                 # the bursty tunnel; min-per-layer selection keeps the best
-                st["live"] = _launch(config, st["n"], st["k"])
+                st["live"] = _launch(st["probe_config"], st["n"], st["k"],
+                                     st["env"])
             progressed = progressed or st["live"] is not None
         if rem() < 15.0:
             break
@@ -522,6 +549,11 @@ def _emit(results: dict) -> None:
         ),
         "heavyhex127q_chi64_layers_per_sec": _num(
             _inv(results.get("chi64", {}).get("per_layer")), 3
+        ),
+        # fused jacobi-env path (TNQS_EIGH_ALG=auto): opt-in pending the
+        # physics gate (BASELINE.md); measured only with leftover budget
+        "tfim_5x5_chi10_jacobi_optin_layers_per_sec": _num(
+            _inv(results.get("chi10_jacobi", {}).get("per_layer")), 3
         ),
         "quality": {c: r.get("quality") for c, r in results.items()},
         "sync": "download-forced sync; best valid sample k*n/wall lower "
