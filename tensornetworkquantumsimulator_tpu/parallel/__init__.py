@@ -79,6 +79,7 @@ from .variational import (
     Hamiltonian,
     bp_sweeps,
     ensemble_ground_state,
+    excited_state,
     ground_state,
     heisenberg_hamiltonian,
     make_energy_fn,

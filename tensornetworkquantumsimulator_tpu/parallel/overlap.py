@@ -90,6 +90,55 @@ def _sandwich_bp(spec, t_ket, t_bra_conj, messages, maxiter, tolerance,
     return m
 
 
+def sandwich_sweeps(spec, t_ket, t_bra_conj, messages, num_sweeps,
+                    damping: float = 0.0):
+    """``num_sweeps`` sandwich-BP sweeps as a differentiable ``lax.scan``
+    — the AD-compatible counterpart of the while_loop in
+    :func:`batched_inner` (reverse-mode AD cannot cross a while_loop;
+    mirrors `variational.bp_sweeps`).  Used by the excited-state
+    overlap-penalty loss."""
+    nbr = jnp.asarray(spec.nbr_array())
+    nbr_slot = jnp.asarray(spec.nbr_slot_array())
+    mask = jnp.asarray(spec.mask_array())
+
+    def body(m, _):
+        m_out = _sandwich_outgoing(spec, t_ket, t_bra_conj, m)
+        new = _normalize_messages(m_out[nbr, nbr_slot], mask,
+                                  hermitize=False)
+        if damping:
+            new = _normalize_messages(
+                (1 - damping) * new + damping * m, mask, hermitize=False
+            )
+        return new, None
+
+    m, _ = jax.lax.scan(jax.checkpoint(body), messages, None,
+                        length=num_sweeps)
+    return m
+
+
+def sandwich_logz(spec, t_ket, t_bra_conj, m):
+    """Z_BP of the sandwich at message state ``m`` as ``(log_abs, phase)``
+    (vertex/edge scalar algebra of `abstractbeliefpropagationcache.
+    jl:252-267` on the two-layer network)."""
+    D = spec.degree
+    acc = t_ket
+    for k in range(D):
+        acc = _absorb(acc, m[:, k], 1 + k)
+    lab = "".join(_LETTERS[k] for k in range(D))
+    zv = jnp.einsum(f"v{lab}s,v{lab}s->v", acc, t_bra_conj,
+                    precision=_PRECISION)
+    edges = np.asarray(spec.edges, dtype=np.int32)
+    m_at_v = m[edges[:, 1], edges[:, 3]]
+    m_at_u = m[edges[:, 0], edges[:, 2]]
+    se = jnp.einsum("eab,eab->e", m_at_v, m_at_u, precision=_PRECISION)
+    cdtype = jnp.result_type(t_ket.dtype, jnp.complex64)
+    lzv = jnp.log(zv.astype(cdtype))
+    lse = jnp.log(se.astype(cdtype))
+    log_z = jnp.sum(jnp.real(lzv)) - jnp.sum(jnp.real(lse))
+    phase = jnp.sum(jnp.imag(lzv)) - jnp.sum(jnp.imag(lse))
+    return log_z, phase
+
+
 def batched_inner(
     spec: BatchedGraphSpec,
     psi: BatchedState,
@@ -116,26 +165,8 @@ def batched_inner(
     )
     m = _sandwich_bp(spec, t_ket, t_bra_conj, m0, maxiter, tolerance,
                      damping)
-
     # Z_BP = Π_v z_v / Π_e s_e on the sandwich
-    D = spec.degree
-    acc = t_ket
-    for k in range(D):
-        acc = _absorb(acc, m[:, k], 1 + k)
-    lab = "".join(_LETTERS[k] for k in range(D))
-    zv = jnp.einsum(f"v{lab}s,v{lab}s->v", acc, t_bra_conj,
-                    precision=_PRECISION)
-    edges = np.asarray(spec.edges, dtype=np.int32)
-    m_at_v = m[edges[:, 1], edges[:, 3]]
-    m_at_u = m[edges[:, 0], edges[:, 2]]
-    se = jnp.einsum("eab,eab->e", m_at_v, m_at_u, precision=_PRECISION)
-
-    cdtype = jnp.result_type(t_ket.dtype, jnp.complex64)
-    lzv = jnp.log(zv.astype(cdtype))
-    lse = jnp.log(se.astype(cdtype))
-    log_z = jnp.sum(jnp.real(lzv)) - jnp.sum(jnp.real(lse))
-    phase = jnp.sum(jnp.imag(lzv)) - jnp.sum(jnp.imag(lse))
-    return log_z, phase
+    return sandwich_logz(spec, t_ket, t_bra_conj, m)
 
 
 def batched_loschmidt_echo(

@@ -213,6 +213,110 @@ def ground_state(
     return BatchedState(_join_params(params, is_complex), msgs), energies
 
 
+def excited_state(
+    spec: BatchedGraphSpec,
+    state: BatchedState,
+    ham: Hamiltonian,
+    below,
+    weight: float = 10.0,
+    steps: int = 300,
+    learning_rate: float = 3e-2,
+    optimizer=None,
+    bp_sweeps_per_eval: int = 15,
+    damping: float = 0.0,
+):
+    """Variational excited states by overlap-penalized energy descent.
+
+    Minimizes ``E_BP(ψ) + weight · Σ_k |⟨ψ_k|ψ⟩|²/(⟨ψ_k|ψ_k⟩⟨ψ|ψ⟩)``
+    over the vertex tensors, where ``below`` is a list of previously
+    optimized :class:`BatchedState`\\ s (typically ``[ground]``) — the
+    standard penalty method for excited states, with every ingredient
+    differentiable on the fast path: the energy through
+    :func:`make_energy_fn`'s BP sweeps, the overlaps through
+    :func:`~.overlap.sandwich_sweeps` (scan-based sandwich BP) and
+    :func:`~.overlap.sandwich_logz`, all sharing warm-started message
+    states carried through the optimization scan.  No reference
+    counterpart (the reference has no variational module at all) —
+    composes the round-3 `ground_state` with the sandwich-overlap
+    machinery.
+
+    Returns ``(optimized_state, energies, penalties)``: the converged
+    penalty trajectory diagnoses orthogonality (→ 0 when the optimizer
+    leaves the spanned subspace)."""
+    import optax
+
+    from .overlap import sandwich_logz, sandwich_sweeps
+
+    if optimizer is None:
+        optimizer = optax.adam(learning_rate)
+
+    params, is_complex = _split_params(state.tensors)
+    efn = make_energy_fn(spec, ham, bp_sweeps_per_eval, damping)
+    chi = state.chi
+    below_t = tuple(b.tensors for b in below)
+
+    # constant log <psi_k|psi_k> (no gradients flow here): the converged
+    # self-sandwich at each below state's own messages
+    lkk = []
+    for b in below:
+        m = sandwich_sweeps(
+            spec, b.tensors, jnp.conj(b.tensors), b.messages, 40, damping
+        )
+        lkk.append(sandwich_logz(spec, b.tensors, jnp.conj(b.tensors), m)[0])
+    lkk = jnp.asarray(lkk)
+
+    def loss(params, msgs, pmsgs):
+        tensors = _join_params(params, is_complex)
+        e, new_msgs = efn(tensors, msgs)
+        # log <psi|psi> from the SAME refreshed norm messages
+        lpp, _ = sandwich_logz(spec, tensors, jnp.conj(tensors), new_msgs)
+        pen = jnp.zeros((), e.dtype)
+        new_pmsgs = []
+        for k, tk in enumerate(below_t):
+            pk = sandwich_sweeps(
+                spec, tensors, jnp.conj(tk),
+                lax.stop_gradient(pmsgs[k]), bp_sweeps_per_eval, damping,
+            )
+            l0k, _ = sandwich_logz(spec, tensors, jnp.conj(tk), pk)
+            pen = pen + jnp.exp(2.0 * l0k - lkk[k] - lpp).real.astype(
+                e.dtype
+            )
+            new_pmsgs.append(pk)
+        return e + weight * pen, (e, pen, new_msgs, tuple(new_pmsgs))
+
+    @jax.jit
+    def run(params, messages, pmsgs):
+        opt_state = optimizer.init(params)
+
+        def step(carry, _):
+            params, opt_state, msgs, pmsgs = carry
+            (_, (e, pen, new_msgs, new_pmsgs)), grads = jax.value_and_grad(
+                loss, has_aux=True
+            )(params, msgs, pmsgs)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, new_msgs, new_pmsgs), (e, pen)
+
+        (params, _, msgs, _), (energies, penalties) = lax.scan(
+            step, (params, opt_state, messages, pmsgs), None, length=steps
+        )
+        return params, msgs, energies, penalties
+
+    from .engine import identity_messages
+
+    pmsgs0 = tuple(
+        identity_messages(spec.num_vertices, spec.degree, chi,
+                          state.tensors.dtype)
+        for _ in below_t
+    )
+    params, msgs, energies, penalties = run(params, state.messages, pmsgs0)
+    return (
+        BatchedState(_join_params(params, is_complex), msgs),
+        energies,
+        penalties,
+    )
+
+
 def ensemble_ground_state(
     spec: BatchedGraphSpec,
     estate: BatchedState,

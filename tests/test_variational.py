@@ -168,3 +168,58 @@ def test_ensemble_ground_state_shared_and_ambiguous_coeffs():
     ham_amb = Hamiltonian(((X, -hx),), ((Z, Z, -1.0),))
     with pytest.raises(ValueError, match="ambiguous"):
         ensemble_ground_state(spec, est3, ham_amb, **kw)
+
+
+def test_excited_state_overlap_penalty():
+    """Penalty-orthogonalized descent finds the first excited level.
+
+    2x2 TFIM (BP on the 4-cycle is near-exact at this size), chi=2:
+    ground_state -> E0, then excited_state penalized against it -> E1
+    from exact diagonalization; the converged penalty must vanish."""
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        compile_graph,
+        excited_state,
+    )
+
+    from tensornetworkquantumsimulator_tpu.utils.lattices import (
+        named_path_graph,
+    )
+
+    g = named_path_graph(4)  # tree: BP environments exact, energy faithful
+    J, hx = 1.0, 3.0
+    ham = tfim_hamiltonian(J=J, hx=hx)
+    spec, s0 = batched_product_state(g, chi=4, dtype=np.complex64)
+
+    gs, energies = ground_state(
+        spec, _noised(spec, s0, 0.3, seed=1), ham, steps=400,
+        learning_rate=3e-2, bp_sweeps_per_eval=12,
+    )
+    # exact spectrum
+    n = spec.num_vertices
+    X = np.array([[0.0, 1.0], [1.0, 0.0]])
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]])
+
+    def op1(M, i):
+        out = np.ones((1, 1))
+        for k in range(n):
+            out = np.kron(out, M if k == i else np.eye(2))
+        return out
+
+    H = np.zeros((2**n, 2**n))
+    for i in range(n):
+        H -= hx * op1(X, i)
+    for (iu, iv, _, _) in spec.edges:
+        H -= J * op1(Z, iu) @ op1(Z, iv)
+    w = np.linalg.eigvalsh(H)
+    e0_exact, e1_exact = float(w[0]), float(w[1])
+    assert abs(float(energies[-1]) - e0_exact) < 2e-2 * abs(e0_exact)
+
+    ex, energies1, penalties = excited_state(
+        spec, _noised(spec, s0, 0.3, seed=7), ham, below=[gs],
+        weight=20.0, steps=800, learning_rate=2e-2, bp_sweeps_per_eval=12,
+    )
+    e1 = float(energies1[-1])
+    assert float(penalties[-1]) < 1e-2  # orthogonal to the ground state
+    assert abs(e1 - e1_exact) < 5e-2 * abs(e1_exact)
+    # strictly above the ground level (not re-finding E0)
+    assert e1 > e0_exact + 0.3 * (e1_exact - e0_exact)
