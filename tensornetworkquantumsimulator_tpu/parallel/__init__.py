@@ -31,6 +31,7 @@ from .engine import (
     local_rdms,
 )
 from .correlations import (
+    make_mutual_information_fn,
     make_path_correlation_fn,
     make_path_rdm_fn,
     make_sharded_path_correlations,

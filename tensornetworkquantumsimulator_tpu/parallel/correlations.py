@@ -54,6 +54,7 @@ from .structure import BatchedGraphSpec
 
 __all__ = [
     "make_path_correlation_fn",
+    "make_mutual_information_fn",
     "make_path_rdm_fn",
     "make_sharded_path_correlations",
     "path_correlations",
@@ -508,3 +509,46 @@ def make_path_rdm_fn(
         return rho / tr[:, None, None, None, None]
 
     return jax.jit(rdms) if jit else rdms
+
+
+def make_mutual_information_fn(
+    spec: BatchedGraphSpec,
+    pairs: Sequence[tuple],
+    *,
+    paths: Sequence[tuple[list, list]] | None = None,
+    jit: bool = True,
+) -> Callable:
+    """Compile ``fn(state) -> [len(pairs)]`` of the quantum mutual
+    information I(a:b) = S(ρ_a) + S(ρ_b) − S(ρ_ab) between vertex pairs
+    at any graph distance (BP alg; natural log).
+
+    ρ_ab comes from :func:`make_path_rdm_fn`; the one-site marginals are
+    traced out of it (so all three entropies share one contraction and
+    are exactly consistent).  Entropies use eigenvalue clipping at 0 —
+    BP RDMs can carry tiny negative eigenvalues at float precision.
+    A standard diagnostic of correlation structure (e.g. MI light cones
+    after a quench); no reference counterpart."""
+    rdm_fn = make_path_rdm_fn(spec, pairs, paths=paths, jit=False)
+
+    def entropy(w):
+        w = jnp.clip(jnp.real(w), 0.0, None)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        return -jnp.sum(jnp.where(w > 0, w * jnp.log(w), 0.0), axis=-1)
+
+    def mutual_information(state: BatchedState) -> jax.Array:
+        rho = rdm_fn(state)  # [P, sa, za, sb, zb], trace-normalized
+        d = rho.shape[-1]
+        rho_a = jnp.einsum("pszcc->psz", rho)
+        rho_b = jnp.einsum("pccsz->psz", rho)
+        rho_ab = jnp.reshape(
+            jnp.transpose(rho, (0, 1, 3, 2, 4)), (-1, d * d, d * d)
+        )  # rows (sa sb), cols (za zb)
+        sa = entropy(jnp.linalg.eigvalsh(0.5 * (
+            rho_a + jnp.conj(jnp.swapaxes(rho_a, -1, -2)))))
+        sb = entropy(jnp.linalg.eigvalsh(0.5 * (
+            rho_b + jnp.conj(jnp.swapaxes(rho_b, -1, -2)))))
+        sab = entropy(jnp.linalg.eigvalsh(0.5 * (
+            rho_ab + jnp.conj(jnp.swapaxes(rho_ab, -1, -2)))))
+        return sa + sb - sab
+
+    return jax.jit(mutual_information) if jit else mutual_information

@@ -257,3 +257,42 @@ def test_path_rdms_match_generic():
     c = np.asarray(path_correlations(spec2, state2, pairs2, z))
     val = np.einsum("szcx,zs,xc->", rho2[0], z, z)
     np.testing.assert_allclose(val, c[0], atol=1e-8)
+
+
+def test_mutual_information():
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        batched_product_state,
+        make_mutual_information_fn,
+    )
+    from tensornetworkquantumsimulator_tpu.utils.lattices import named_comb_tree
+
+    # product state: I(a:b) = 0 for every pair
+    g = named_grid((3, 3))
+    spec, st = batched_product_state(g, chi=2, dtype=np.complex64)
+    st = bp_update(spec, st, maxiter=30)
+    fn = make_mutual_information_fn(spec, [((1, 1), (3, 3)), ((1, 2), (2, 3))])
+    np.testing.assert_allclose(np.asarray(fn(st)), 0.0, atol=1e-5)
+
+    # tree (BP exact): match MI computed from the generic exact RDMs
+    gt = named_comb_tree((3, 3))
+    psi, spec_t, st_t = _converged(gt, seed=6)
+    vs = list(gt.vertices())
+    pair = (vs[0], vs[-1])
+    got = float(make_mutual_information_fn(spec_t, [pair])(st_t)[0])
+
+    def _ent(w):
+        w = np.clip(np.real(w), 0, None)
+        w = w / w.sum()
+        return float(-(w[w > 0] * np.log(w[w > 0])).sum())
+
+    sa_i = psi.siteinds()[pair[0]][0]
+    sb_i = psi.siteinds()[pair[1]][0]
+    rho_ab = tnqs.reduced_density_matrix(psi, list(pair), alg="exact")
+    arr = np.asarray(rho_ab.array((sa_i, sa_i.prime(), sb_i, sb_i.prime())))
+    m_ab = arr.transpose(0, 2, 1, 3).reshape(4, 4)
+    m_ab = m_ab / np.trace(m_ab)
+    m_a = np.einsum("szcc->sz", arr); m_a /= np.trace(m_a)
+    m_b = np.einsum("ccsz->sz", arr); m_b /= np.trace(m_b)
+    want = (_ent(np.linalg.eigvalsh(m_a)) + _ent(np.linalg.eigvalsh(m_b))
+            - _ent(np.linalg.eigvalsh(m_ab)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
