@@ -357,7 +357,13 @@ def _measure_all(results: dict) -> None:
     # headline configs for budget
     for name, (base, env_extra) in {
         "chi10_jacobi": ("chi10", {"TNQS_EIGH_ALG": "auto"}),
+        # pure-MXU CholeskyQR2 QR-reduce: the tall-skinny chi>=64 A/B
+        # candidate (STATUS.md round-3 continuation 2); opt-in accuracy
+        # lever like jacobi, reported under its own key
+        "chi64_cholqr2": ("chi64", {"TNQS_QR_ALG": "cholqr2"}),
     }.items():
+        if base not in CONFIGS:
+            continue
         n, k_lo, k_hi, floor = CONFIGS[base]
         state[name] = {
             "n": n, "k_lo": k_lo, "k": k_hi, "floor": floor,
@@ -554,6 +560,9 @@ def _emit(results: dict) -> None:
         # physics gate (BASELINE.md); measured only with leftover budget
         "tfim_5x5_chi10_jacobi_optin_layers_per_sec": _num(
             _inv(results.get("chi10_jacobi", {}).get("per_layer")), 3
+        ),
+        "heavyhex127q_chi64_cholqr2_optin_layers_per_sec": _num(
+            _inv(results.get("chi64_cholqr2", {}).get("per_layer")), 3
         ),
         "quality": {c: r.get("quality") for c, r in results.items()},
         "sync": "download-forced sync; best valid sample k*n/wall lower "
