@@ -113,7 +113,7 @@ def test_scheduler_resolves_all_configs_concurrently(monkeypatch):
     launches = []
     heavyhex_tries = [0]
 
-    def fake_launch(config, n, k):
+    def fake_launch(config, n, k, env_extra=None):
         launches.append((config, k))
         import time as _t
 
@@ -135,10 +135,11 @@ def test_scheduler_resolves_all_configs_concurrently(monkeypatch):
     monkeypatch.setattr(bench, "_T_START", _t.perf_counter() - (bench.BUDGET_S - 100.0))
     results = {}
     bench._measure_all(results)
-    assert set(results) == set(bench.CONFIGS)
-    for config, res in results.items():
-        assert res["per_layer"] is not None, config
-        assert res["quality"] == "sync"
+    # headline configs all present (extras ride leftover budget only)
+    assert set(bench.CONFIGS) <= set(results)
+    for config in bench.CONFIGS:
+        assert results[config]["per_layer"] is not None, config
+        assert results[config]["quality"] == "sync"
     # the poisoned heavyhex sample triggered a same-k retry
     assert sum(1 for c, _ in launches if c == "heavyhex") == 2
 
@@ -148,7 +149,7 @@ def test_scheduler_extends_budget_for_unresolved_configs(monkeypatch):
     extends to TNQS_BENCH_MAX_S); once resolved the loop exits."""
     tries = {c: 0 for c in bench.CONFIGS}
 
-    def fake_launch(config, n, k):
+    def fake_launch(config, n, k, env_extra=None):
         tries[config] += 1
         import time as _t
 
@@ -170,4 +171,4 @@ def test_scheduler_extends_budget_for_unresolved_configs(monkeypatch):
     results = {}
     bench._measure_all(results)
     assert tries["chi64"] == 3
-    assert all(res["per_layer"] is not None for res in results.values())
+    assert all(results[c]["per_layer"] is not None for c in bench.CONFIGS)
