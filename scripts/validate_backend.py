@@ -693,23 +693,38 @@ def rung_diff(run_verify, tol, p_big, f, s, max_pairs=None):
     (187.8/128.0/509.9 s against a 135 s absolute fail threshold while
     the same session showed ±400 s queue swings) — an absolute wall
     threshold cannot out-read queue noise larger than the penalty
-    signal.  This reader borrows the control's own trick: every rung
-    reading is paired with a temporally-ADJACENT known-pass baseline
-    (tol=1e9, same floor, same program), and the verdict lives in the
-    difference, where the queue is common-mode:
+    signal.  This reader borrows the control's own trick, with BOTH the
+    queue immunity of differencing and the sandwich's execution
+    positivity (review finding, same day: a service-KILLED genuine-fail
+    reading lands in the 59–175 s band, which against a ~f·s baseline
+    can fake a small delta — a pass vote must therefore prove the rung
+    program actually executed, not just that its wall matched).
 
-        delta = wall(tol) - wall(baseline)
-        pass:  |delta| <= 0.25 * p_big * s      (penalty did not fire)
-        fail:  0.5 * p_big * s <= delta <= 3 * p_big * s
-        else:  chaos (burst or drain) -> retry
+    One attempt = three temporally-adjacent readings of one cached
+    program (runtime knobs), all at floor f:
 
-    A genuine fail fires the deterministic penalty branch in EVERY
-    reading of that rung, so the offset p_big·s (~180 s at today's
-    measured speed) must survive adjacent-pair differencing twice;
-    two consistent verdicts are required, and anything unreadable
-    leaves the rung (and the ladder below it) unresolved — the bracket
-    can only loosen, never tighten."""
-    max_pairs = max_pairs or int(os.environ.get("TNQS_RUNG_MAX_PAIRS", "5"))
+        B = tol=1e9 (penalty can never fire)
+        R = the rung tolerance
+        F = tol=−1  (penalty ALWAYS fires)
+
+    with the verdict in the adjacent differences (queue common-mode):
+
+        pass:  F−R ∈ [0.5, 3]·p_big·s  and  |R−B| ≤ 0.25·p_big·s
+        fail:  R−B ∈ [0.5, 3]·p_big·s  and  |F−R| ≤ 0.25·p_big·s
+        else:  chaos (kill/burst/drain) -> retry
+
+    The F reading makes a pass vote EXECUTION-POSITIVE by construction:
+    it demands that the long forced-penalty program demonstrably ran
+    (F−R ≈ p_big·s), which a service kill cannot fake — a killed F
+    returns a small band wall, F−R collapses, and the attempt reads
+    chaos.  Conversely a genuine fail makes R fire the same penalty F
+    does, so R−B is large while F−R collapses.  The only false-pass
+    path left is the service executing F (≈(f+p_big)·s of device time)
+    while killing the IDENTICALLY-SIZED genuinely-failing R seconds
+    away — twice, since two consistent votes decide.  Contradictions
+    or an unreadable phase leave the rung (and the ladder below it)
+    unresolved: the bracket can only loosen, never tighten."""
+    max_pairs = max_pairs or int(os.environ.get("TNQS_RUNG_MAX_PAIRS", "4"))
     signal = p_big * s
     pass_hi = 0.25 * signal
     fail_lo, fail_hi = 0.5 * signal, 3.0 * signal
@@ -724,22 +739,24 @@ def rung_diff(run_verify, tol, p_big, f, s, max_pairs=None):
         return None
 
     votes = []
-    for _pair in range(max_pairs):
-        wb = read(1e9)   # known-pass baseline, adjacent in time
+    for _attempt in range(max_pairs):
+        wb = read(1e9)
         wr = read(tol)
-        if wb is None or wr is None:
+        wf = read(-1.0)
+        if any(w is None for w in (wb, wr, wf)):
             continue
-        d = wr - wb
-        if abs(d) <= pass_hi:
+        d_rb, d_fr = wr - wb, wf - wr
+        if fail_lo <= d_fr <= fail_hi and abs(d_rb) <= pass_hi:
             votes.append("pass")
             tag = "pass"
-        elif fail_lo <= d <= fail_hi:
+        elif fail_lo <= d_rb <= fail_hi and abs(d_fr) <= pass_hi:
             votes.append("fail")
             tag = "fail"
         else:
             tag = "chaos (retry)"
-        print(f"# tol={tol:g} diff pair: base={wb:.1f}s rung={wr:.1f}s "
-              f"delta={d:+.1f}s (pass<=|{pass_hi:.0f}|, fail in "
+        print(f"# tol={tol:g} diff triple: B={wb:.1f}s R={wr:.1f}s "
+              f"F={wf:.1f}s (R-B={d_rb:+.1f}, F-R={d_fr:+.1f}; "
+              f"small<=|{pass_hi:.0f}|, large in "
               f"[{fail_lo:.0f},{fail_hi:.0f}]) -> {tag}",
               file=sys.stderr, flush=True)
         if votes.count("pass") >= 2:
@@ -802,20 +819,15 @@ def bisect_slope(n_layers: int) -> None:
       1. warm run (tol=1e9) to eat the remote compile;
       2. PRE slope control (see slope_control): channel alive + measured
          per-layer time s + largest penalty p_big that executes today;
-      3. rungs, descending tol.  One reading = a FLOOR SANDWICH
-         [F1, F2, F1] with F1 < F2 both under the kill window and the
-         penalty p_big:
-           - genuine pass: wall ≈ F·s (+queue) and the two adjacent
-             differences w(F2)-w(F1) both land in the physical band
-             [0.3, 3]×(F2-F1)·s — a fast-failed chain is flat and a
-             queue burst inflates a single reading, not a sandwich;
-           - genuine fail: the penalty branch adds p_big·s to every
-             reading, so ≥2 of the 3 walls clear F·s + 0.5·p_big·s —
-             readable even if the F2+penalty program exceeds the kill
-             window (the two F1 readings suffice);
-           - anything else (poisoned, unexecuted, band-straddling) is
-             retried, and an unresolved rung stops the ladder, which can
-             only LOOSEN the reported bracket, never tighten it;
+      3. rungs, descending tol — differential B/R/F triples by default
+         (TNQS_RUNG_MODE=diff, see `rung_diff`: baseline / rung /
+         forced-penalty readings, verdict in the adjacent differences,
+         pass votes execution-positive via the forced-penalty reading;
+         TNQS_RUNG_MODE=sandwich keeps the earlier [F1, F2, F1]
+         floor-sandwich reader with absolute fail thresholds, see
+         `rung_sandwich`).  Either way an unresolved rung stops the
+         ladder, which can only LOOSEN the reported bracket, never
+         tighten it;
       4. POST slope control: the channel must still be alive after the
          last rung (controls bracket the ladder in time, so a mid-ladder
          service mood change voids the run instead of faking passes).
@@ -887,9 +899,10 @@ def bisect_slope(n_layers: int) -> None:
         "per_layer_seconds": s,
         "channel_ok": channel_ok,
         "control_pre": pre, "control_post": post,
-        "channel": "timing-slope (floor-sandwich rungs, interleaved "
-        "differential controls, shared program via runtime knobs); "
-        "downloads UNIMPLEMENTED",
+        "rung_mode": rung_mode,
+        "channel": f"timing-slope ({'differential B/R/F triple' if rung_mode == 'diff' else 'floor-sandwich'} rungs, "
+        "interleaved differential controls, shared program via runtime "
+        "knobs); downloads UNIMPLEMENTED",
     }), flush=True)
 
 

@@ -160,6 +160,26 @@ def _build_path_tables(spec, pairs, paths):
     return paths, a_buckets, b_buckets, int_buckets, tab_t, n_int
 
 
+def _interior_transfer_table(state, int_buckets, n_int, chi2, cdtype):
+    """The shared interior chain table [n_int + 1, χ², χ²] (last row =
+    identity pad): one `_site_transfer2` einsum per (slot_prev,
+    slot_next) bucket, with per-entry max-abs rescaling — each T
+    multiplies numerator AND denominator (or a trace-normalized RDM), so
+    the rescale never touches the reported value while keeping long f32
+    chains in range."""
+    T = jnp.zeros((n_int + 1, chi2, chi2), cdtype)
+    T = T.at[n_int].set(jnp.eye(chi2, dtype=cdtype))
+    for (sp, sn), entries in sorted(int_buckets.items()):
+        idx = jnp.asarray([v for _, v in entries], jnp.int32)
+        pos = jnp.asarray([j for j, _ in entries], jnp.int32)
+        e = _site_transfer2(state, idx, sp, sn)  # [B, o, p, q, r]
+        mats = e.reshape(-1, chi2, chi2)
+        scale = jnp.max(jnp.abs(mats), axis=(1, 2), keepdims=True)
+        mats = mats / jnp.where(scale == 0, 1.0, scale)
+        T = T.at[pos].set(mats)
+    return T
+
+
 def make_path_correlation_fn(
     spec: BatchedGraphSpec,
     pairs: Sequence[tuple],
@@ -231,19 +251,7 @@ def make_path_correlation_fn(
                 jnp.einsum("bopss->bop", e).reshape(-1, chi2)
             )
 
-        # interior transfer table [n_int + 1, χ², χ²] (last = identity pad);
-        # per-entry max-abs rescale keeps long f32 chains in range — each T
-        # multiplies numerator AND denominator, so the ratio is untouched
-        T = jnp.zeros((n_int + 1, chi2, chi2), cdtype)
-        T = T.at[n_int].set(jnp.eye(chi2, dtype=cdtype))
-        for (sp, sn), entries in sorted(int_buckets.items()):
-            idx = jnp.asarray([v for _, v in entries], jnp.int32)
-            pos = jnp.asarray([j for j, _ in entries], jnp.int32)
-            e = _site_transfer2(state, idx, sp, sn)  # [B, o, p, q, r]
-            mats = e.reshape(-1, chi2, chi2)
-            scale = jnp.max(jnp.abs(mats), axis=(1, 2), keepdims=True)
-            mats = mats / jnp.where(scale == 0, 1.0, scale)
-            T = T.at[pos].set(mats)
+        T = _interior_transfer_table(state, int_buckets, n_int, chi2, cdtype)
 
         # chain: numerator and denominator ride one scan, gathering each
         # step's transfer matrices ONCE (the two halves share indices)
@@ -486,16 +494,7 @@ def make_path_rdm_fn(
         va = endpoints(a_buckets)  # [P, d², χ²]
         vb = endpoints(b_buckets)
 
-        T = jnp.zeros((n_int + 1, chi2, chi2), cdtype)
-        T = T.at[n_int].set(jnp.eye(chi2, dtype=cdtype))
-        for (sp, sn), entries in sorted(int_buckets.items()):
-            idx = jnp.asarray([v for _, v in entries], jnp.int32)
-            pos = jnp.asarray([j for j, _ in entries], jnp.int32)
-            e = _site_transfer2(state, idx, sp, sn)
-            mats = e.reshape(-1, chi2, chi2)
-            scale = jnp.max(jnp.abs(mats), axis=(1, 2), keepdims=True)
-            mats = mats / jnp.where(scale == 0, 1.0, scale)
-            T = T.at[pos].set(mats)
+        T = _interior_transfer_table(state, int_buckets, n_int, chi2, cdtype)
 
         def body(m, idxs):
             ts = T[idxs]

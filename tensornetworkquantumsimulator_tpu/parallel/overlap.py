@@ -193,76 +193,30 @@ def batched_loschmidt_echo(
 
 def _sandwich_fixed_point_local(t_ket, t_bra_conj, snv, sns, spv, sps, src,
                                 mask, D, S, axis, maxiter, tolerance):
-    """Per-shard sandwich-BP fixed point with ppermute halo exchange —
-    `sharding._bp_fixed_point` with the bra layer threaded through the
-    outgoing contraction and WITHOUT hermitization (sandwich messages
-    are not hermitian)."""
+    """Per-shard sandwich-BP fixed point: `sharding._bp_fixed_point` with
+    the bra layer threaded through and no hermitization (sandwich
+    messages are not hermitian), starting from identity messages."""
+    from .sharding import _bp_fixed_point
+
     Vl, chi = t_ket.shape[0], t_ket.shape[1]
-    rdt = jnp.zeros((), t_ket.dtype).real.dtype
-
-    def outgoing(m):
-        accs = _all_except_one(t_ket, m, list(range(D)))
-        outs = []
-        for j, acc in zip(range(D), accs):
-            lab = [_LETTERS[k] for k in range(D)]
-            acc_lab, conj_lab = list(lab), list(lab)
-            acc_lab[j], conj_lab[j] = "p", "q"
-            eq = f"v{''.join(acc_lab)}s,v{''.join(conj_lab)}s->vpq"
-            outs.append(jnp.einsum(eq, acc, t_bra_conj,
-                                   precision=_PRECISION))
-        return jnp.stack(outs, axis=1)
-
-    right = [(i, (i + 1) % S) for i in range(S)]
-    left = [(i, (i - 1) % S) for i in range(S)]
-
-    def one_iteration(m):
-        m_out = outgoing(m)
-        recv_prev = jax.lax.ppermute(m_out[snv, sns], axis, right)
-        recv_next = jax.lax.ppermute(m_out[spv, sps], axis, left)
-        table = jnp.concatenate(
-            [m_out.reshape(Vl * D, chi, chi), recv_prev, recv_next], axis=0
-        )
-        new = table[src]
-        ssum = jnp.sum(new, axis=(-2, -1), keepdims=True)
-        new = new / jnp.where(jnp.abs(ssum) == 0, 1.0, ssum)
-        eye = jnp.eye(chi, dtype=new.dtype)
-        return jnp.where(mask[..., None, None], new, eye)
-
-    def distance(a, b):
-        dot = jnp.sum(jnp.conj(a) * b, axis=(-2, -1))
-        na = jnp.linalg.norm(a.reshape(a.shape[:-2] + (-1,)), axis=-1)
-        nb = jnp.linalg.norm(b.reshape(b.shape[:-2] + (-1,)), axis=-1)
-        den = jnp.where(na * nb == 0, 1.0, na * nb)
-        d = jnp.where(mask, 1.0 - jnp.abs(dot / den) ** 2, 0.0)
-        num = jax.lax.psum(jnp.sum(d), axis)
-        cnt = jax.lax.psum(jnp.sum(mask), axis)
-        return num / jnp.maximum(cnt, 1)
-
-    def cond(carry):
-        _, it, diff = carry
-        return jnp.logical_and(it < maxiter, diff > tolerance)
-
-    def loop(carry):
-        m, it, _ = carry
-        new = one_iteration(m)
-        return (new, it + 1, distance(m, new).astype(rdt))
-
     eye = jnp.eye(chi, dtype=t_ket.dtype)
     m0 = jnp.broadcast_to(eye, (Vl, D, chi, chi))
     # the identity init is device-invariant but the loop carry varies per
     # shard: mark the variance explicitly for shard_map's VMA check
     if hasattr(jax.lax, "pvary"):
         m0 = jax.lax.pvary(m0, (axis,))
-    m, _, _ = jax.lax.while_loop(
-        cond, loop, (m0, jnp.int32(0), jnp.asarray(jnp.inf, rdt))
+    return _bp_fixed_point(
+        t_ket, m0, snv, sns, spv, sps, src, mask, D, S, axis, maxiter,
+        tolerance, t_bra_conj=t_bra_conj, hermitize=False,
     )
-    return m
 
 
 def make_sharded_inner(sspec, mesh, *, axis: str = "v", maxiter: int = 50,
                        tolerance: float | None = None):
-    """Jitted ⟨ψ|ϕ⟩ on vertex-sharded states: ``fn(psi, phi) ->
-    (log_abs, phase)`` with neither state ever gathered.
+    """Jitted sandwich overlap on vertex-sharded states: ``fn(psi, phi)
+    -> (log_abs, phase)`` of Σ ψ(x)·conj(ϕ(x)) = ⟨ϕ|ψ⟩ — the SAME
+    conjugation convention as :func:`batched_inner` (the second argument
+    is conjugated) — with neither state ever gathered.
 
     Same semantics (and conjugation convention) as :func:`batched_inner`
     on a :class:`~.sharding.ShardedBPSpec` strip sharding: the sandwich

@@ -137,11 +137,14 @@ def shard_spec(
     )
 
 
-def _local_outgoing(tensors, messages, D):
+def _local_outgoing(tensors, messages, D, t_bra_conj=None):
     """Per-shard m_out[u, j] (same contraction — and same float
-    reassociation — as engine._outgoing_messages)."""
+    reassociation — as engine._outgoing_messages).  ``t_bra_conj``
+    substitutes a distinct (pre-conjugated) bra layer for ``conj(
+    tensors)`` — the ψϕ̄ sandwich case (overlap.make_sharded_inner)."""
     from .engine import _all_except_one
 
+    tconj = jnp.conj(tensors) if t_bra_conj is None else t_bra_conj
     accs = _all_except_one(tensors, messages, list(range(D)))
     outs = []
     for j, acc in zip(range(D), accs):
@@ -151,7 +154,7 @@ def _local_outgoing(tensors, messages, D):
         conj_lab = list(lab)
         conj_lab[j] = "q"
         eq = f"v{''.join(acc_lab)}s,v{''.join(conj_lab)}s->vpq"
-        outs.append(jnp.einsum(eq, acc, jnp.conj(tensors), precision=_PRECISION))
+        outs.append(jnp.einsum(eq, acc, tconj, precision=_PRECISION))
     return jnp.stack(outs, axis=1)
 
 
@@ -216,17 +219,20 @@ def make_sharded_bp_update(
 
 def _bp_fixed_point(
     tensors, messages, snv, sns, spv, sps, src, mask, D, S, axis,
-    maxiter, tolerance,
+    maxiter, tolerance, t_bra_conj=None, hermitize=True,
 ):
     """Per-shard flooding-BP fixed point with ppermute halo exchange —
     callable from inside any shard_map body (same fixed-point semantics as
-    `engine.bp_update` / `abstractbeliefpropagationcache.jl:198-222`)."""
+    `engine.bp_update` / `abstractbeliefpropagationcache.jl:198-222`).
+    With ``t_bra_conj`` + ``hermitize=False`` it runs the ψϕ̄ SANDWICH
+    fixed point instead (sandwich messages are not hermitian; see
+    overlap.make_sharded_inner)."""
     Vl = tensors.shape[0]
     chi = tensors.shape[1]
     rdt = jnp.zeros((), tensors.dtype).real.dtype
 
     def one_iteration(m):
-        m_out = _local_outgoing(tensors, m, D)  # [Vl, D, χ, χ]
+        m_out = _local_outgoing(tensors, m, D, t_bra_conj)  # [Vl, D, χ, χ]
         send_next = m_out[snv, sns]  # [H, χ, χ]
         send_prev = m_out[spv, sps]
         right = [(i, (i + 1) % S) for i in range(S)]
@@ -238,7 +244,8 @@ def _bp_fixed_point(
         )
         new = table[src]  # [Vl, D, χ, χ]
         # normalize (entry sum) + hermitize + pin dummy slots
-        new = 0.5 * (new + jnp.conj(jnp.swapaxes(new, -1, -2)))
+        if hermitize:
+            new = 0.5 * (new + jnp.conj(jnp.swapaxes(new, -1, -2)))
         ssum = jnp.sum(new, axis=(-2, -1), keepdims=True)
         new = new / jnp.where(jnp.abs(ssum) == 0, 1.0, ssum)
         eye = jnp.eye(chi, dtype=new.dtype)

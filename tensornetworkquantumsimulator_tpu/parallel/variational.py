@@ -256,16 +256,19 @@ def excited_state(
     below_t = tuple(b.tensors for b in below)
 
     # constant log <psi_k|psi_k> (no gradients flow here): the converged
-    # self-sandwich at each below state's own messages
-    lkk = []
-    for b in below:
-        m = sandwich_sweeps(
-            spec, b.tensors, jnp.conj(b.tensors), b.messages, 40, damping
-        )
-        lkk.append(sandwich_logz(spec, b.tensors, jnp.conj(b.tensors), m)[0])
-    lkk = jnp.asarray(lkk)
+    # self-sandwich at each below state's own messages.  Computed under
+    # jit and PASSED to run() as an argument — below_t and lkk are
+    # device arrays, and closing over device arrays in a jitted fn
+    # downloads them for constant embedding, which the axon runtime
+    # rejects (CLAUDE.md; same rule as the sharded-module tables)
+    @jax.jit
+    def _self_logz(tk, mk):
+        m = sandwich_sweeps(spec, tk, jnp.conj(tk), mk, 40, damping)
+        return sandwich_logz(spec, tk, jnp.conj(tk), m)[0]
 
-    def loss(params, msgs, pmsgs):
+    lkk = jnp.stack([_self_logz(b.tensors, b.messages) for b in below])
+
+    def loss(params, msgs, pmsgs, below_t, lkk):
         tensors = _join_params(params, is_complex)
         e, new_msgs = efn(tensors, msgs)
         # log <psi|psi> from the SAME refreshed norm messages
@@ -285,14 +288,14 @@ def excited_state(
         return e + weight * pen, (e, pen, new_msgs, tuple(new_pmsgs))
 
     @jax.jit
-    def run(params, messages, pmsgs):
+    def run(params, messages, pmsgs, below_t, lkk):
         opt_state = optimizer.init(params)
 
         def step(carry, _):
             params, opt_state, msgs, pmsgs = carry
             (_, (e, pen, new_msgs, new_pmsgs)), grads = jax.value_and_grad(
                 loss, has_aux=True
-            )(params, msgs, pmsgs)
+            )(params, msgs, pmsgs, below_t, lkk)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, new_msgs, new_pmsgs), (e, pen)
@@ -309,7 +312,9 @@ def excited_state(
                           state.tensors.dtype)
         for _ in below_t
     )
-    params, msgs, energies, penalties = run(params, state.messages, pmsgs0)
+    params, msgs, energies, penalties = run(
+        params, state.messages, pmsgs0, below_t, lkk
+    )
     return (
         BatchedState(_join_params(params, is_complex), msgs),
         energies,

@@ -156,60 +156,68 @@ def test_forced_penalty_branch_is_requested():
 
 
 # ---------------------------------------------------------------------------
-# differential rung reader (2026-08-19 rework: attempt-1's false fail)
+# differential rung reader (2026-08-19 rework: attempt-1's false fail;
+# same-day review: pass votes must be execution-positive -> B/R/F triples)
 # ---------------------------------------------------------------------------
 
 RUNG = dict(tol=1e-4, p_big=4_000_000, f=1_000_000, s=4.5e-5)
-# signal = p_big*s = 180 s; pass band |d|<=45; fail band [90, 540]
+# floor work f*s = 45 s; signal p_big*s = 180 s; small band |d|<=45;
+# large band [90, 540].  Reading order per attempt: B (tol=1e9),
+# R (rung tol), F (tol=-1, forced penalty).
 
 
 def test_diff_rung_genuine_pass():
-    rv = make_run_verify([60.0, 70.0, 100.0, 95.0])
+    # B ~ 45+q, R ~ 45+q (no penalty), F ~ 225+q (penalty executed)
+    rv = make_run_verify([60.0, 70.0, 245.0, 100.0, 95.0, 270.0])
     assert vb.rung_diff(rv, **RUNG) == "pass"
-    # baseline readings must be forced-pass (tol=1e9), rung readings tol
     tols = [t for t, _p, _f in rv.calls]
-    assert tols == [1e9, 1e-4, 1e9, 1e-4]
+    assert tols == [1e9, 1e-4, -1.0, 1e9, 1e-4, -1.0]
 
 
 def test_diff_rung_genuine_fail():
-    # penalty fires deterministically: every rung reading carries +~180 s
-    rv = make_run_verify([60.0, 245.0, 100.0, 272.0])
+    # R fires the same penalty F does: R-B large, F-R ~ 0
+    rv = make_run_verify([60.0, 245.0, 250.0, 100.0, 272.0, 280.0])
     assert vb.rung_diff(rv, **RUNG) == "fail"
 
 
-def test_diff_rung_queue_chaos_retries_instead_of_false_fail():
-    """Attempt-1 replay (2026-08-19): queue swings of +-400 s crossed the
-    absolute fail threshold and voided the run; differentially they are
-    chaos -> retried, and the rung still resolves once two clean pairs
-    land."""
+def test_diff_rung_killed_penalty_cannot_fake_a_pass():
+    """THE review scenario: a genuine fail whose long programs get
+    service-killed.  R killed to a band draw (small R-B) would have
+    faked a pass under the baseline-only reader; with the forced-penalty
+    reading, a killed F collapses F-R and the attempt reads chaos."""
     rv = make_run_verify([
-        128.0, 809.9,   # +681.9: queue burst beyond 3x signal -> chaos
-        500.0, 130.0,   # -370.0: queue drain -> chaos
-        90.0, 100.0,    # +10: pass
-        60.0, 72.0,     # +12: pass
+        60.0, 62.0, 64.0,     # B genuine, R killed-band, F killed-band
+        100.0, 95.0, 101.0,   # same shape again
+        60.0, 61.0, 59.0,     # and again -- never a pass vote
+        90.0, 92.0, 88.0,
     ])
-    # (a burst INSIDE the fail band reads as a fail vote by design: a
-    # false fail only LOOSENS the bracket, so the fail band stays wide
-    # while the pass band stays tight)
-    assert vb.rung_diff(rv, **RUNG) == "pass"
-
-
-def test_diff_rung_unreadable_phase_is_ambiguous():
-    # nothing but chaos: the rung (and the ladder below it) stays
-    # unresolved -- the bracket can only loosen
-    rv = make_run_verify([128.0, 809.9] * 5)
     assert vb.rung_diff(rv, **RUNG) == "ambiguous"
 
 
+def test_diff_rung_queue_chaos_retries_then_resolves():
+    """Queue bursts/drains read as chaos and are retried; the rung still
+    resolves once two clean triples land."""
+    rv = make_run_verify([
+        128.0, 809.9, 830.0,  # R burst far above both bands -> chaos
+        500.0, 130.0, 300.0,  # drain between B and R -> chaos
+        90.0, 100.0, 280.0,   # clean pass triple
+        60.0, 72.0, 255.0,    # clean pass triple
+    ])
+    assert vb.rung_diff(rv, **RUNG) == "pass"
+
+
 def test_diff_rung_contradiction_is_ambiguous():
-    rv = make_run_verify([60.0, 70.0, 100.0, 280.0, 90.0, 480.0])
+    rv = make_run_verify([
+        60.0, 70.0, 245.0,    # pass vote
+        100.0, 280.0, 285.0,  # fail vote -> contradiction
+    ])
     assert vb.rung_diff(rv, **RUNG) == "ambiguous"
 
 
 def test_diff_rung_subfloor_readings_are_retried():
-    # kill-band draws (sub-floor walls) are non-executions: retried, and
-    # the pair only forms from valid readings.  floor = max(20, 13.5) = 20
-    rv = make_run_verify([0.5, 60.0, 0.4, 70.0, 95.0, 100.0])
+    # kill-band draws BELOW the validity floor are non-executions:
+    # retried inside read(), the triple forms from valid readings only
+    rv = make_run_verify([0.5, 60.0, 70.0, 250.0, 95.0, 100.0, 282.0])
     assert vb.rung_diff(rv, **RUNG) == "pass"
 
 
@@ -219,16 +227,15 @@ def test_bisect_slope_end_to_end_certifies(monkeypatch, capsys):
     the 3e-6 upper bracket."""
     import json
 
-    script = [
-        300.0,                      # warm (compile)
-        66.0, 250.0, 70.0, 248.0,   # pre-control: 2 physical pairs (~60us/l)
-        # 4 rungs x 2 diff pairs x (baseline, rung) — all deltas ~0
-        60.0, 62.0, 61.0, 59.0,
-        63.0, 64.0, 60.0, 61.0,
-        62.0, 60.0, 59.0, 61.0,
-        60.0, 63.0, 64.0, 62.0,
-        68.0, 247.0, 65.0, 251.0,   # post-control: 2 physical pairs
-    ]
+    # pre-control measures s = 184 s / 3M ~ 6.13e-5: signal p_big*s ~ 245,
+    # small band <= 61, large band [123, 736]
+    pass_triple = [60.0, 62.0, 307.0]  # B, R (no penalty), F (executed)
+    script = (
+        [300.0]                          # warm (compile)
+        + [66.0, 250.0, 70.0, 248.0]     # pre-control: 2 physical pairs
+        + pass_triple * 8                # 4 rungs x 2 pass triples
+        + [68.0, 247.0, 65.0, 251.0]     # post-control: 2 physical pairs
+    )
     rv = make_run_verify(list(script))
     monkeypatch.setattr(vb, "_make_run_verify", lambda n: rv)
     vb.bisect_slope(10)
@@ -245,12 +252,13 @@ def test_bisect_slope_end_to_end_brackets_a_fail(monkeypatch, capsys):
     stops with lower=1e-4, and a live post-control certifies the read."""
     import json
 
-    script = [
-        300.0,
-        66.0, 250.0, 70.0, 248.0,
-        60.0, 242.0, 61.0, 239.0,   # rung 1e-4: deltas ~ +180 -> fail
-        68.0, 247.0, 65.0, 251.0,   # post-control
-    ]
+    fail_triple = [60.0, 305.0, 310.0]  # R fires the penalty, F-R ~ 0
+    script = (
+        [300.0]
+        + [66.0, 250.0, 70.0, 248.0]
+        + fail_triple * 2               # rung 1e-4: two fail votes
+        + [68.0, 247.0, 65.0, 251.0]    # post-control
+    )
     rv = make_run_verify(list(script))
     monkeypatch.setattr(vb, "_make_run_verify", lambda n: rv)
     vb.bisect_slope(10)

@@ -173,9 +173,12 @@ def test_ensemble_ground_state_shared_and_ambiguous_coeffs():
 def test_excited_state_overlap_penalty():
     """Penalty-orthogonalized descent finds the first excited level.
 
-    2x2 TFIM (BP on the 4-cycle is near-exact at this size), chi=2:
-    ground_state -> E0, then excited_state penalized against it -> E1
-    from exact diagonalization; the converged penalty must vanish."""
+    4-site path TFIM (a tree: BP environments and energies are EXACT, so
+    the optimizer's target is faithful — on loopy graphs the BP energy
+    functional itself is several % off at excited levels), chi=4 (full
+    rank): ground_state -> E0, then excited_state penalized against it
+    -> E1 from exact diagonalization; the converged penalty must
+    vanish."""
     from tensornetworkquantumsimulator_tpu.parallel import (
         compile_graph,
         excited_state,
