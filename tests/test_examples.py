@@ -72,3 +72,9 @@ def test_correlation_functions_example():
 
 def test_loschmidt_echo_example():
     _load("loschmidt_echo").main(steps=2, chi=3)
+
+
+def test_excited_states_example():
+    e0, e1, pen, levels = _load("excited_states").main(steps=120, chi=4)
+    assert e0 < e1  # the penalty keeps the second run off the ground state
+    assert pen < 0.3
