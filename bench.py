@@ -355,16 +355,23 @@ def _measure_all(results: dict) -> None:
     # still opt-in pending the physics gate, BASELINE.md) so the fast
     # path has a driver-verified number; it never competes with the four
     # headline configs for budget
-    for name, (base, env_extra) in {
-        "chi10_jacobi": ("chi10", {"TNQS_EIGH_ALG": "auto"}),
+    for name, (base, env_extra, k_extra) in {
+        # k_extra: the fast path at ~0.1 ms/layer needs k=255 (511k layers
+        # ≈ 47 s compute, the round-3 record sample) to amortize queue
+        # noise that a k=63 sample (~12 s compute) cannot; deeper k risks
+        # fixed-point collapse under the floor (BASELINE.md round-3
+        # speed-samples section)
+        "chi10_jacobi": ("chi10", {"TNQS_EIGH_ALG": "auto"}, 255),
         # pure-MXU CholeskyQR2 QR-reduce: the tall-skinny chi>=64 A/B
         # candidate (STATUS.md round-3 continuation 2); opt-in accuracy
         # lever like jacobi, reported under its own key
-        "chi64_cholqr2": ("chi64", {"TNQS_QR_ALG": "cholqr2"}),
+        "chi64_cholqr2": ("chi64", {"TNQS_QR_ALG": "cholqr2"}, None),
     }.items():
         if base not in CONFIGS:
             continue
         n, k_lo, k_hi, floor = CONFIGS[base]
+        if k_extra is not None:
+            k_hi = k_extra
         state[name] = {
             "n": n, "k_lo": k_lo, "k": k_hi, "floor": floor,
             "samples": [], "timeouts": 0, "live": None,
