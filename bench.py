@@ -360,8 +360,14 @@ def _measure_all(results: dict) -> None:
         # ≈ 47 s compute, the round-3 record sample) to amortize queue
         # noise that a k=63 sample (~12 s compute) cannot; deeper k risks
         # fixed-point collapse under the floor (BASELINE.md round-3
-        # speed-samples section)
-        "chi10_jacobi": ("chi10", {"TNQS_EIGH_ALG": "auto"}, 255),
+        # speed-samples section).
+        # Knob set from the round-3 same-window hardware A/B (BASELINE.md):
+        # auto 0.226 / +gram 0.171 / +gram+cholqr2 0.133 ms/layer on
+        # cached-program k=255 samples; CPU physics drift of the combo vs
+        # the default path is <=5e-6 over 10 bench layers (c64).
+        "chi10_fast": ("chi10", {"TNQS_EIGH_ALG": "auto",
+                                 "TNQS_SVD_ALG": "gram",
+                                 "TNQS_QR_ALG": "cholqr2"}, 255),
         # pure-MXU CholeskyQR2 QR-reduce: the tall-skinny chi>=64 A/B
         # candidate (STATUS.md round-3 continuation 2); opt-in accuracy
         # lever like jacobi, reported under its own key
