@@ -162,6 +162,14 @@ def test_engine_layer_with_jacobi_eigh(monkeypatch):
     np.testing.assert_allclose(np.real(z_cq), np.real(z_def), atol=2e-3)
     np.testing.assert_allclose(np.real(x_cq), np.real(x_def), atol=2e-3)
 
+    # the full bench `chi10_fast` stack (jacobi eigh + gram SVD +
+    # CholeskyQR2 QR-reduce): hardware A/B measured 1.7× over plain
+    # auto at chi10 (BASELINE.md round-3 knob A/B); same √ε accuracy
+    # contract as the cholqr2 leg above
+    z_f, x_f = run("jacobi", "gram", "cholqr2")
+    np.testing.assert_allclose(np.real(z_f), np.real(z_def), atol=2e-3)
+    np.testing.assert_allclose(np.real(x_f), np.real(x_def), atol=2e-3)
+
 
 def test_cholqr2_split_reconstructs_and_is_isometric():
     """TNQS_QR_ALG=cholqr2: A = Q·M with Q†Q = I on the range, including
