@@ -569,10 +569,11 @@ def _emit(results: dict) -> None:
         "heavyhex127q_chi64_layers_per_sec": _num(
             _inv(results.get("chi64", {}).get("per_layer")), 3
         ),
-        # fused jacobi-env path (TNQS_EIGH_ALG=auto): opt-in pending the
-        # physics gate (BASELINE.md); measured only with leftover budget
-        "tfim_5x5_chi10_jacobi_optin_layers_per_sec": _num(
-            _inv(results.get("chi10_jacobi", {}).get("per_layer")), 3
+        # full fast-path stack (jacobi eigh + gram SVD + CholeskyQR2,
+        # BASELINE.md round-3 knob A/B): opt-in pending the physics gate;
+        # measured only with leftover budget
+        "tfim_5x5_chi10_fast_optin_layers_per_sec": _num(
+            _inv(results.get("chi10_fast", {}).get("per_layer")), 3
         ),
         "heavyhex127q_chi64_cholqr2_optin_layers_per_sec": _num(
             _inv(results.get("chi64_cholqr2", {}).get("per_layer")), 3

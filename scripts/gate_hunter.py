@@ -40,16 +40,30 @@ VB = os.path.join(HERE, "validate_backend.py")
 def run_stage(args_list, env, timeout_s, log):
     """Run one validate_backend stage; return its last JSON line (or None)."""
     t0 = time.time()
+    # own process group: a stage timeout must also kill the stage's
+    # in-flight --verify grandchild probes (else an orphaned multi-minute
+    # penalty program keeps loading the shared tunnel into the next
+    # attempt, skewing the very queue readings the hunt depends on)
+    proc = subprocess.Popen(
+        [sys.executable, VB] + args_list,
+        env=env, text=True, start_new_session=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
     try:
-        proc = subprocess.run(
-            [sys.executable, VB] + args_list,
-            env=env, timeout=timeout_s, text=True,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        out = proc.stdout or ""
-    except subprocess.TimeoutExpired as e:
-        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (
-            e.stdout or "")
+        out, _ = proc.communicate(timeout=timeout_s)
+        out = out or ""
+    except subprocess.TimeoutExpired:
+        import signal
+
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        try:
+            out, _ = proc.communicate(timeout=30)
+            out = out or ""
+        except Exception:
+            out = ""
         out += "\n# gate_hunter: stage timeout"
     log.write(out + "\n")
     log.flush()
@@ -112,8 +126,8 @@ def main():
                 json.dump(bis, f)
         if bis and bis.get("channel_ok"):
             print(f"# gate_hunter: CERTIFIED bracket "
-                  f"({bis.get('max_site_delta_upper')}, "
-                  f"{bis.get('max_site_delta_lower')}] -> {args.out}",
+                  f"({bis.get('max_site_delta_lower')}, "
+                  f"{bis.get('max_site_delta_upper')}] -> {args.out}",
                   flush=True)
             return 0
         print("# gate_hunter: bisect voided, resuming hunt", flush=True)

@@ -755,7 +755,7 @@ def make_planar_bmps(
 
 
 def _make_bmps_corr_fn(
-    row_tensors_fn, nrows, W, positions, kmps, niters, tolerance,
+    row_tensors_fn, nrows, W, kmps, niters, tolerance,
     pair_positions, real_output,
 ):
     _strands = _strand_builder(
@@ -824,7 +824,7 @@ def make_grid_bmps_correlations(
     gspec = GridBMPSSpec(spec, nx, ny)
     positions = [(r, c) for r in range(nx) for c in range(ny)]
     return _make_bmps_corr_fn(
-        gspec.row_tensors, nx, ny, positions, kmps, niters, tolerance,
+        gspec.row_tensors, nx, ny, kmps, niters, tolerance,
         _pair_positions(spec, positions, pairs), real_output,
     )
 
@@ -845,6 +845,6 @@ def make_planar_bmps_correlations(
     pspec = PlanarBMPSSpec(spec, row_of=row_of, col_of=col_of)
     positions = [pspec.rowcol[i] for i in range(spec.num_vertices)]
     return _make_bmps_corr_fn(
-        pspec.row_tensors, pspec.nrows, pspec.W, positions, kmps, niters,
+        pspec.row_tensors, pspec.nrows, pspec.W, kmps, niters,
         tolerance, _pair_positions(spec, positions, pairs), real_output,
     )

@@ -75,3 +75,25 @@ def dense_z_trajectory(g, layer, nlayers: int, obs_vertex) -> list:
         state = apply_layer(state, layer, idx, n)
         out.append(z_expectation(state, idx[obs_vertex], n))
     return out
+
+
+def exact_tfim_levels(spec, J: float, hx: float, n_levels: int = 1):
+    """Lowest ``n_levels`` dense eigenvalues of the TFIM
+    H = -J Σ_edges Z_i Z_j - hx Σ_i X_i on the batched spec's graph (d=2)
+    — the oracle for the variational ground/excited-state tests."""
+    n = spec.num_vertices
+    X = np.array([[0.0, 1.0], [1.0, 0.0]])
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]])
+
+    def op1(M, i):
+        out = np.ones((1, 1))
+        for k in range(n):
+            out = np.kron(out, M if k == i else np.eye(2))
+        return out
+
+    H = np.zeros((2**n, 2**n))
+    for i in range(n):
+        H -= hx * op1(X, i)
+    for (iu, iv, _su, _sv) in spec.edges:
+        H -= J * op1(Z, iu) @ op1(Z, iv)
+    return np.linalg.eigvalsh(H)[:n_levels]

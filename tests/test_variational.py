@@ -21,22 +21,9 @@ from tensornetworkquantumsimulator_tpu.utils import named_grid
 
 def _exact_ground_energy(spec, J, hx):
     """Dense TFIM ground energy on the spec's graph (d=2)."""
-    n = spec.num_vertices
-    X = np.array([[0.0, 1.0], [1.0, 0.0]])
-    Z = np.array([[1.0, 0.0], [0.0, -1.0]])
+    from dense_oracle import exact_tfim_levels
 
-    def op1(M, i):
-        out = np.ones((1, 1))
-        for k in range(n):
-            out = np.kron(out, M if k == i else np.eye(2))
-        return out
-
-    H = np.zeros((2**n, 2**n))
-    for i in range(n):
-        H -= hx * op1(X, i)
-    for (iu, iv, _, _) in spec.edges:
-        H -= J * op1(Z, iu) @ op1(Z, iv)
-    return float(np.linalg.eigvalsh(H)[0])
+    return float(exact_tfim_levels(spec, J, hx, 1)[0])
 
 
 def _noised(spec, state, eps, seed):
@@ -198,22 +185,9 @@ def test_excited_state_overlap_penalty():
         learning_rate=3e-2, bp_sweeps_per_eval=12,
     )
     # exact spectrum
-    n = spec.num_vertices
-    X = np.array([[0.0, 1.0], [1.0, 0.0]])
-    Z = np.array([[1.0, 0.0], [0.0, -1.0]])
+    from dense_oracle import exact_tfim_levels
 
-    def op1(M, i):
-        out = np.ones((1, 1))
-        for k in range(n):
-            out = np.kron(out, M if k == i else np.eye(2))
-        return out
-
-    H = np.zeros((2**n, 2**n))
-    for i in range(n):
-        H -= hx * op1(X, i)
-    for (iu, iv, _, _) in spec.edges:
-        H -= J * op1(Z, iu) @ op1(Z, iv)
-    w = np.linalg.eigvalsh(H)
+    w = exact_tfim_levels(spec, J, hx, 2)
     e0_exact, e1_exact = float(w[0]), float(w[1])
     assert abs(float(energies[-1]) - e0_exact) < 2e-2 * abs(e0_exact)
 
