@@ -5,7 +5,11 @@ distance in ONE jitted program per layer.
 The reference can only do this through E sequential Steiner-tree
 `expect` calls (`/root/reference/src/expect.jl:36-83`); here
 `make_path_correlation_fn` compiles all pairs' BP path contractions into
-one program (`parallel/correlations.py`)."""
+one program (`parallel/correlations.py`).  The final layer is re-measured
+through the loop-aware boundary-MPS correlator
+(`make_grid_bmps_correlations`, same-row AND cross-row pairs via
+op-inserted strand chains) to show the short-loop contributions BP's
+tree approximation misses."""
 
 import numpy as np
 
@@ -13,6 +17,7 @@ from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
 from tensornetworkquantumsimulator_tpu.parallel import (
     BatchedCircuit,
     batched_product_state,
+    make_grid_bmps_correlations,
     make_layer_fn,
     make_path_correlation_fn,
 )
@@ -45,6 +50,17 @@ def main(steps=6, chi=6):
         c = np.asarray(corr_fn(state))
         pretty = "  ".join(f"C({r + 1})={v:+.5f}" for r, v in enumerate(c))
         print(f"layer {t}: max gate err {float(np.max(np.asarray(errs))):.2e}  {pretty}")
+
+    # loop-aware re-measurement of the final state: the same row pairs
+    # plus a cross-row diagonal, through the fitted boundary-MPS strands
+    bmps_pairs = pairs + [(origin, (r, 3)) for r in (4, 5)]
+    bmps_corr = make_grid_bmps_correlations(
+        spec, nx_, ny_, kmps=2 * chi, pairs=bmps_pairs, real_output=True
+    )
+    raw = np.asarray(bmps_corr(state.tensors, z, z))
+    labels = [f"{a}-{b}" for a, b in bmps_pairs]
+    print("boundary-MPS ⟨ZZ⟩ (loop-aware, incl. cross-row):")
+    print("  " + "  ".join(f"{l}={v:+.5f}" for l, v in zip(labels, raw)))
 
 
 if __name__ == "__main__":

@@ -461,7 +461,10 @@ class PlanarBMPSSpec:
 # ---------------------------------------------------------------------------
 
 
-def _fit_strand(psi_row, m_in, n0, niters: int, tolerance: float | None = None):
+def _fit_strand(
+    psi_row, m_in, n0, niters: int, tolerance: float | None = None,
+    psi_bra=None, return_scale: bool = False,
+):
     """One-site ALS fitting of the outgoing strand N ≈ (row ∘ M_in)
     (`boundarympscache.jl:321-360`).  Returns the fitted strand,
     left-canonical with a normalized final tensor.
@@ -469,22 +472,31 @@ def _fit_strand(psi_row, m_in, n0, niters: int, tolerance: float | None = None):
     With ``tolerance`` set, sweeps stop early once the mean extracted
     one-site norm stabilizes — the reference's cost-function criterion
     (|cf − prev_cf| < tolerance, `boundarympscache.jl:346-357`) — with
-    ``niters`` as the cap; ``None`` keeps the fixed-sweep schedule."""
+    ``niters`` as the cap; ``None`` keeps the fixed-sweep schedule.
+
+    ``psi_bra`` overrides the bra layer (default ``conj(psi_row)``) —
+    the cross-row correlator threads operator-inserted rows through it.
+    With ``return_scale`` the extracted scale λ = ‖center before
+    normalization‖ is returned too: the true image satisfies
+    row ∘ M ≈ λ·N with λ real ≥ 0 (the phase stays in the normalized
+    center tensor), which makes telescoped λ-ratios exact scalars for
+    path contractions across rows."""
     W, K = n0.shape[0], n0.shape[1]
     chi = psi_row.shape[1]
     d_out = n0.shape[2]
+    psib_row = jnp.conj(psi_row) if psi_bra is None else psi_bra
 
     def left_step(l_env, inputs):
         """Update one column given its left env and right env; returns the
         Q-gauged tensor and the next left env."""
-        psi, m_c, r_env = inputs
+        psi, psib, m_c, r_env = inputs
         # X1[A,u,l,m,v,b] = L[A,a,l,m] M[a,u,v,b]
         x1 = jnp.einsum("Aalm,auvb->Aulmvb", l_env, m_c, precision=_PRECISION)
         # X2[A,d,m,v,b,r,s] = X1 · ψ[u,d,l,r,s] over (u,l)
         x2 = jnp.einsum("Aulmvb,udlrs->Admvbrs", x1, psi, precision=_PRECISION)
-        # X3[A,d,e,b,r,t] = X2 · ψ̄[v,e,m,t,s] over (v,m,s)
+        # X3[A,d,e,b,r,t] = X2 · bra[v,e,m,t,s] over (v,m,s)
         x3 = jnp.einsum(
-            "Admvbrs,vemts->Adebrt", x2, jnp.conj(psi), precision=_PRECISION
+            "Admvbrs,vemts->Adebrt", x2, psib, precision=_PRECISION
         )
         # N_new[A,d,e,B] = X3 · R[B,b,r,t]
         n_new = jnp.einsum("Adebrt,Bbrt->AdeB", x3, r_env, precision=_PRECISION)
@@ -506,16 +518,16 @@ def _fit_strand(psi_row, m_in, n0, niters: int, tolerance: float | None = None):
     def flip_strand(m):
         return jnp.flip(m, 0).transpose(0, 4, 2, 3, 1)
 
-    def half_sweep(psi_r, m_r, n):
+    def half_sweep(psi_r, psib_r, m_r, n):
         # right envs from the current (conjugated) strand
         def renv_step(r_env, inputs):
-            psi, m_c, n_c = inputs
+            psi, psib, m_c, n_c = inputs
             x1 = jnp.einsum("Bbrt,auvb->Bartuv", r_env, m_c, precision=_PRECISION)
             x2 = jnp.einsum(
                 "Bartuv,udlrs->Batvdls", x1, psi, precision=_PRECISION
             )
             x3 = jnp.einsum(
-                "Batvdls,vemts->Badelm", x2, jnp.conj(psi), precision=_PRECISION
+                "Batvdls,vemts->Badelm", x2, psib, precision=_PRECISION
             )
             new = jnp.einsum(
                 "Badelm,AdeB->Aalm", x3, jnp.conj(n_c), precision=_PRECISION
@@ -525,13 +537,13 @@ def _fit_strand(psi_row, m_in, n0, niters: int, tolerance: float | None = None):
         r_init = jnp.zeros((K, K, chi, chi), n.dtype)
         r_init = r_init.at[0, 0].set(jnp.eye(chi, dtype=n.dtype))
         _, r_envs = jax.lax.scan(
-            renv_step, r_init, (psi_r, m_r, n), reverse=True
+            renv_step, r_init, (psi_r, psib_r, m_r, n), reverse=True
         )
         # r_envs[c] = environment of columns STRICTLY right of c
         l_init = jnp.zeros((K, K, chi, chi), n.dtype)
         l_init = l_init.at[0, 0].set(jnp.eye(chi, dtype=n.dtype))
         _, (qs, raws) = jax.lax.scan(
-            left_step, l_init, (psi_r, m_r, r_envs)
+            left_step, l_init, (psi_r, psib_r, m_r, r_envs)
         )
         # keep the final (center) tensor unitless: normalize it
         last = raws[-1]
@@ -542,41 +554,51 @@ def _fit_strand(psi_row, m_in, n0, niters: int, tolerance: float | None = None):
         cf = jnp.mean(
             jnp.linalg.norm(raws.reshape(raws.shape[0], -1), axis=-1)
         )
-        return n_out, jnp.real(cf)
+        return n_out, jnp.real(cf), norm
 
     def sweep(n):
         # proper ALS: alternate L→R and R→L one-site sweeps so the
         # environments on both sides of the update are isometric
         # (`boundarympscache.jl:321-360` gauge walk)
-        n, _ = half_sweep(psi_row, m_in, n)
+        n, _, _ = half_sweep(psi_row, psib_row, m_in, n)
         nf = flip_strand(n)
-        nf, cf = half_sweep(flip_psi(psi_row), flip_strand(m_in), nf)
-        return flip_strand(nf), cf
-
-    if tolerance is None:
-        n, _ = jax.lax.scan(lambda n, _: sweep(n), n0, None, length=niters)
-        return n
+        nf, cf, lam = half_sweep(
+            flip_psi(psi_row), flip_psi(psib_row), flip_strand(m_in), nf
+        )
+        return flip_strand(nf), cf, lam
 
     rdt = jnp.zeros((), n0.dtype).real.dtype
+    if tolerance is None:
+        def scan_body(carry, _):
+            n, _lam = carry
+            n, _cf, lam = sweep(n)
+            return (n, lam), None
+
+        (n, lam), _ = jax.lax.scan(
+            scan_body, (n0, jnp.ones((), rdt)), None, length=niters
+        )
+        return (n, lam) if return_scale else n
+
     if tolerance == "auto":
         # the reference's per-dtype default (`utils.jl:77-91` convention:
         # 1e-8 for 64-bit scalars, 1e-5 for 32-bit)
         tolerance = 1e-8 if rdt == jnp.dtype("float64") else 1e-5
 
     def cond(carry):
-        _, _, it, eps = carry
+        _, _, it, eps, _ = carry
         return jnp.logical_and(it < niters, eps > tolerance)
 
     def body(carry):
-        n, prev_cf, it, _ = carry
-        n, cf = sweep(n)
-        return (n, cf, it + 1, jnp.abs(cf - prev_cf))
+        n, prev_cf, it, _, _ = carry
+        n, cf, lam = sweep(n)
+        return (n, cf, it + 1, jnp.abs(cf - prev_cf), lam)
 
-    n, _, _, _ = jax.lax.while_loop(
+    n, _, _, _, lam = jax.lax.while_loop(
         cond, body,
-        (n0, jnp.zeros((), rdt), jnp.int32(0), jnp.asarray(jnp.inf, rdt)),
+        (n0, jnp.zeros((), rdt), jnp.int32(0), jnp.asarray(jnp.inf, rdt),
+         jnp.ones((), rdt)),
     )
-    return n
+    return (n, lam) if return_scale else n
 
 
 # ---------------------------------------------------------------------------
@@ -642,7 +664,12 @@ def _strand_builder(
     row_tensors_fn, nrows: int, W: int, kmps: int, niters: int,
     tolerance="auto",
 ):
-    """Shared bottom-up/top-down strand fitting over any row provider."""
+    """Shared bottom-up/top-down strand fitting over any row provider.
+
+    Returns ``(rows, m_up, m_dn, lam_up)``: ``lam_up[r]`` is the scale λ
+    extracted by the fit producing ``m_up[r+1]`` (row r ∘ m_up[r] ≈
+    λ·m_up[r+1]) — the cross-row correlator telescopes ratios of these
+    against an op-inserted chain's scales."""
 
     def _strands(tensors):
         chi = tensors.shape[1]
@@ -650,10 +677,14 @@ def _strand_builder(
         rows = [row_tensors_fn(tensors, r) for r in range(nrows)]
         # upward pass: message into row r from r-1 (m_up[r])
         m_up = [identity_strand(W, kmps, chi, dtype)]
+        lam_up = []
         for r in range(nrows - 1):
-            m_up.append(
-                _fit_strand(rows[r], m_up[-1], m_up[-1], niters, tolerance)
+            m, lam = _fit_strand(
+                rows[r], m_up[-1], m_up[-1], niters, tolerance,
+                return_scale=True,
             )
+            m_up.append(m)
+            lam_up.append(lam)
         # downward pass: message into row r from r+1 (m_dn[r]); the row
         # tensors need up/down swapped for the sweep direction
         def flip(row):
@@ -665,7 +696,7 @@ def _strand_builder(
         for r in range(nrows - 1, 0, -1):
             cur = _fit_strand(flip(rows[r]), cur, cur, niters, tolerance)
             m_dn[r - 1] = cur
-        return rows, m_up, m_dn
+        return rows, m_up, m_dn, lam_up
 
     return _strands
 
@@ -681,7 +712,7 @@ def _make_bmps_fns(
 
     @jax.jit
     def norm_sqr_fn(tensors):
-        rows, m_up, m_dn = _strands(tensors)
+        rows, m_up, m_dn, _ = _strands(tensors)
         rdt = jnp.zeros((), tensors.dtype).real.dtype
         log_z = jnp.zeros((), rdt)
         phase = jnp.zeros_like(log_z)
@@ -697,7 +728,7 @@ def _make_bmps_fns(
 
     @jax.jit
     def expect_fn(tensors, op):
-        rows, m_up, m_dn = _strands(tensors)
+        rows, m_up, m_dn, _ = _strands(tensors)
         denoms = {}
         out = []
         for (r, c) in out_positions:
@@ -756,7 +787,7 @@ def make_planar_bmps(
 
 def _make_bmps_corr_fn(
     row_tensors_fn, nrows, W, kmps, niters, tolerance,
-    pair_positions, real_output,
+    pair_specs, real_output,
 ):
     _strands = _strand_builder(
         row_tensors_fn, nrows, W, kmps, niters, tolerance
@@ -764,17 +795,74 @@ def _make_bmps_corr_fn(
 
     @jax.jit
     def corr_fn(tensors, op1, op2):
-        rows, m_up, m_dn = _strands(tensors)
+        rows, m_up, m_dn, lam_up = _strands(tensors)
         op1c, op2c = jnp.asarray(op1), jnp.asarray(op2)
+
+        def bra_row(r, c, which):
+            # bra layer with the op applied at (static) column c — the
+            # same ⟨z|O|s⟩ convention _row_scalar uses for insertions
+            opm = op1c if which == 0 else op2c
+            bra = jnp.conj(rows[r])
+            t = jnp.einsum(
+                "udlrz,zs->udlrs", bra[c], opm.astype(bra.dtype),
+                precision=_PRECISION,
+            )
+            return bra.at[c].set(t)
+
         denoms = {}
-        out = []
-        for (r, c1), (_r2, c2) in pair_positions:
+
+        def denom(r):
             if r not in denoms:
                 denoms[r] = _row_scalar(rows[r], m_up[r], m_dn[r])
-            numer = _row_scalar(
-                rows[r], m_up[r], m_dn[r], ops=((op1c, c1), (op2c, c2))
-            )
-            out.append(numer / denoms[r])
+            return denoms[r]
+
+        # op-inserted upward chains, memoized on the (row, col, op) of
+        # the lower insertion so pairs sharing it (e.g. a light-cone
+        # column of increasing distances) reuse the fitted prefix.  Each
+        # chain entry r holds (strand into row r, ∏ λ_num/λ_den so far):
+        # the fits normalize their strands, so the true image scale
+        # telescopes as the ratio of op-chain λs to the plain chain's
+        # lam_up — everything below the lower row and above the upper
+        # row cancels between numerator and denominator exactly.
+        chains = {}
+
+        def chain_to(r1, c1, which, r2):
+            key = (r1, c1, which)
+            if key not in chains:
+                m, lam = _fit_strand(
+                    rows[r1], m_up[r1], m_up[r1], niters, tolerance,
+                    psi_bra=bra_row(r1, c1, which), return_scale=True,
+                )
+                chains[key] = {r1 + 1: (m, lam / lam_up[r1])}
+            ch = chains[key]
+            top = max(ch)
+            m, ratio = ch[top]
+            for r in range(top, r2):
+                m, lam = _fit_strand(
+                    rows[r], m, m, niters, tolerance, return_scale=True
+                )
+                ratio = ratio * (lam / lam_up[r])
+                ch[r + 1] = (m, ratio)
+            return ch[r2]
+
+        out = []
+        for kind, pa, pb in pair_specs:
+            if kind == "row":
+                r, c1 = pa
+                _r, c2 = pb
+                numer = _row_scalar(
+                    rows[r], m_up[r], m_dn[r], ops=((op1c, c1), (op2c, c2))
+                )
+                out.append(numer / denom(r))
+            else:
+                (r1, c1, w1) = pa
+                (r2, c2, w2) = pb
+                m_num, ratio = chain_to(r1, c1, w1, r2)
+                op_hi = op1c if w2 == 0 else op2c
+                numer = _row_scalar(
+                    rows[r2], m_num, m_dn[r2], op=op_hi, op_col=c2
+                )
+                out.append(ratio.astype(numer.dtype) * numer / denom(r2))
         vals = jnp.stack(out)
         return jnp.real(vals) if real_output else vals
 
@@ -782,20 +870,21 @@ def _make_bmps_corr_fn(
 
 
 def _pair_positions(spec, positions, pairs):
+    """Resolve vertex pairs to row/col pair specs.  Same-row pairs
+    contract both ops inside one row scalar; cross-row pairs are tagged
+    with which op (0 = op1 at the first vertex, 1 = op2) sits at the
+    lower/upper row so `corr_fn` can thread the op-inserted chain."""
     out = []
     for a, b in pairs:
         pa = positions[spec.vertex_position(a)]
         pb = positions[spec.vertex_position(b)]
-        if pa[0] != pb[0]:
-            raise ValueError(
-                f"boundary-MPS row correlators need same-row pairs; "
-                f"{a!r} is in row {pa[0]}, {b!r} in row {pb[0]} — use "
-                f"make_path_correlation_fn (BP alg) or the generic "
-                f"expect(alg='boundarymps') for cross-row pairs"
-            )
-        if pa[1] == pb[1]:
-            raise ValueError(f"pair {(a, b)!r} shares a column position")
-        out.append((pa, pb))
+        if pa == pb:
+            raise ValueError(f"pair {(a, b)!r} maps to one position {pa}")
+        if pa[0] == pb[0]:
+            out.append(("row", pa, pb))
+        else:
+            lo, hi = sorted([(pa[0], pa[1], 0), (pb[0], pb[1], 1)])
+            out.append(("cross", lo, hi))
     return out
 
 
@@ -809,18 +898,22 @@ def make_grid_bmps_correlations(
     tolerance="auto",
     real_output: bool = False,
 ):
-    """Jitted same-row two-point correlators through the boundary-MPS
+    """Jitted two-point correlators through the boundary-MPS
     environment: ``corr_fn(tensors, op1, op2) -> [len(pairs)]`` of
-    ⟨op1_a op2_b⟩ for vertex pairs in the same grid row.
+    ⟨op1_a op2_b⟩ for arbitrary vertex pairs.
 
     This is the loop-aware counterpart of the BP path correlator
-    (`correlations.make_path_correlation_fn`): the row environment comes
-    from the fitted top/bottom strands instead of BP messages, so
-    short-loop correlations the BP tree approximation misses are
-    captured — the batched analogue of the reference's two-site
-    `path_contract` expectations (`boundarympscache.jl:321-360`,
-    `expect.jl:121-157`).  Cross-row pairs are rejected (use the BP path
-    correlator or the generic engine)."""
+    (`correlations.make_path_correlation_fn`): the environment comes
+    from the fitted strands instead of BP messages, so short-loop
+    correlations the BP tree approximation misses are captured — the
+    batched analogue of the reference's two-site `path_contract`
+    expectations (`boundarympscache.jl:321-360`, `expect.jl:121-157`).
+    Same-row pairs insert both ops into one row scalar; cross-row pairs
+    thread a second, op-inserted strand chain from the lower row to the
+    upper one, telescoping the fits' extracted scales against the plain
+    chain's so all common environment cancels exactly (chains are
+    memoized on the lower insertion, so a light-cone column of pairs
+    costs one chain)."""
     gspec = GridBMPSSpec(spec, nx, ny)
     positions = [(r, c) for r in range(nx) for c in range(ny)]
     return _make_bmps_corr_fn(
@@ -839,8 +932,8 @@ def make_planar_bmps_correlations(
     tolerance="auto",
     real_output: bool = False,
 ):
-    """Same-row boundary-MPS correlators for any column-aligned planar
-    lattice (heavy-hex, Lieb, comb, …) — see
+    """Boundary-MPS two-point correlators (same-row and cross-row) for
+    any column-aligned planar lattice (heavy-hex, Lieb, comb, …) — see
     :func:`make_grid_bmps_correlations`."""
     pspec = PlanarBMPSSpec(spec, row_of=row_of, col_of=col_of)
     positions = [pspec.rowcol[i] for i in range(spec.num_vertices)]

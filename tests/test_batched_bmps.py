@@ -79,5 +79,37 @@ def test_grid_bmps_row_correlations_exact_at_full_rank():
 
     with pytest.raises(ValueError):
         make_grid_bmps_correlations(
-            spec, nx, ny, kmps=4, pairs=[((1, 1), (2, 1))]
+            spec, nx, ny, kmps=4, pairs=[((1, 1), (1, 1))]
         )
+
+
+def test_grid_bmps_cross_row_correlations_exact_at_full_rank():
+    """Cross-row correlators: an op-inserted strand chain telescoped
+    against the plain chain's fit scales matches exact contraction at
+    full interface rank — including reversed vertex order (op1 at the
+    upper row) and a light-cone column sharing one memoized chain."""
+    from tensornetworkquantumsimulator_tpu.parallel.boundarymps import (
+        make_grid_bmps_correlations,
+    )
+
+    nx, ny, chi = 4, 3, 3
+    g = named_grid((nx, ny))
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=chi)
+    psi = tnqs.normalize(psi, alg="bp")
+    spec, state = batched_from_tns(psi, chi=chi)
+
+    z = jnp.asarray(op_matrix("Z", 2))
+    x = jnp.asarray(op_matrix("X", 2))
+    pairs = [
+        ((1, 1), (2, 2)),   # adjacent rows
+        ((1, 1), (3, 2)),   # distance-2 chain, shares the (1,1) prefix
+        ((1, 1), (4, 3)),   # distance-3, same shared chain
+        ((4, 3), (2, 1)),   # reversed order: op1 sits at the UPPER row
+        ((2, 2), (3, 2)),   # same column, different rows
+    ]
+    corr = make_grid_bmps_correlations(spec, nx, ny, kmps=9, pairs=pairs, niters=12)
+    got = np.asarray(corr(state.tensors, z, x))
+    want = np.asarray(
+        [tnqs.expect(psi, ("ZX", [a, b]), alg="exact") for a, b in pairs]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-9)

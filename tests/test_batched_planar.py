@@ -255,3 +255,16 @@ def test_planar_bmps_heavyhex_row_correlations():
         [tnqs.expect(psi, ("ZZ", [a, b]), alg="exact") for a, b in pairs]
     )
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+    # cross-row pairs through the op-inserted strand chain (incl. a
+    # reversed-order pair: first vertex in the upper row)
+    xpairs = [
+        (rows[0][0], rows[1][1]),
+        (rows[1][-1], rows[0][0]),
+    ]
+    xcorr = make_planar_bmps_correlations(spec, kmps=16, pairs=xpairs, niters=20)
+    xgot = np.asarray(xcorr(state.tensors, z, z))
+    xwant = np.asarray(
+        [tnqs.expect(psi, ("ZZ", [a, b]), alg="exact") for a, b in xpairs]
+    )
+    np.testing.assert_allclose(xgot, xwant, atol=1e-8)
