@@ -1,0 +1,61 @@
+"""Noisy kicked-Ising dynamics in the density-matrix picture.
+
+Evolves ρ(t) for a 4×4 kicked transverse-field Ising circuit with
+per-site depolarizing + amplitude-damping noise after every layer, as a
+Pauli-coefficient tensor network over "PauliRho" sites
+(`models/channels.py`, `density_matrix_tensornetworkstate`).  Tracks the
+noise-driven decay of the staggered magnetization and the global purity
+Tr[ρ²] (second Rényi entropy).  The same circuit runs on the batched
+TPU engine via ``BatchedCircuit(picture="rho")``.
+
+The reference has no counterpart: its gate zoo is unitary-only
+(`gate_definitions.jl`).
+
+    python examples/noisy_circuit.py
+"""
+
+import os
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from tensornetworkquantumsimulator_tpu import (
+    density_matrix_tensornetworkstate,
+    edge_color,
+    named_grid,
+    pauli_expectation,
+    purity,
+)
+import tensornetworkquantumsimulator_tpu as tnqs
+
+
+def main(nx=4, ny=4, layers=5, dt=0.15, h=1.0, J=1.0, p_dep=0.02, gam=0.03):
+    g = named_grid((nx, ny))
+    layer = [("Rx", [v], 2 * h * dt) for v in g.vertices()]
+    for group in edge_color(g, 4):
+        layer += [("Rzz", pair, 2 * J * dt) for pair in group]
+    layer += [("depolarizing", [v], p_dep) for v in g.vertices()]
+    layer += [("amplitude_damping", [v], gam) for v in g.vertices()]
+
+    rho = density_matrix_tensornetworkstate(jnp.float64, lambda v: "0", g)
+    obs = [("Z", [v]) for v in g.vertices()]
+    print("layer  <Z>_mean    purity")
+    for t in range(layers):
+        rho, _ = tnqs.apply_circuit(
+            layer,
+            rho,
+            apply_kwargs=dict(maxdim=8, cutoff=1e-12, normalize_tensors=False),
+        )
+        z = np.real(pauli_expectation(rho, obs, alg="bp"))
+        p2 = purity(rho, alg="bp")
+        print(f"{t + 1:5d}  {np.mean(z):+.6f}  {p2:.6f}")
+    return rho
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,11 @@ from .models import (
     QuadraticForm,
     TensorNetwork,
     TensorNetworkState,
+    channel_kraus,
+    channel_ptm,
+    density_matrix_tensornetworkstate,
     identitytensornetworkstate,
+    kraus_to_ptm,
     paulitensornetworkstate,
     random_tensornetwork,
     random_tensornetworkstate,
@@ -69,9 +73,12 @@ from .gauge import (
 )
 from .measure import (
     expect,
+    heisenberg_expectation,
     inner,
     norm,
     norm_sqr,
+    pauli_expectation,
+    purity,
     rdm,
     reduced_density_matrix,
 )
@@ -94,11 +101,18 @@ __all__ = [
     "apply_circuit",
     "apply_gates",
     "build_graph_from_circuit",
+    "channel_kraus",
+    "channel_ptm",
     "contract",
+    "density_matrix_tensornetworkstate",
     "edge_color",
     "entanglement",
     "expect",
     "full_update",
+    "heisenberg_expectation",
+    "kraus_to_ptm",
+    "pauli_expectation",
+    "purity",
     "gauge_and_scale",
     "heavy_hexagonal_lattice",
     "identitytensornetworkstate",

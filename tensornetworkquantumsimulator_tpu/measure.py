@@ -302,6 +302,80 @@ def inner(psi: TensorNetworkState, phi: TensorNetworkState, alg: str, **kwargs):
 
 
 # ---------------------------------------------------------------------------
+# Pauli-4 picture expectations (Heisenberg operators / density matrices)
+# ---------------------------------------------------------------------------
+
+
+def _pauli_weight_state(tns, vec_of):
+    """Bond-dim-1 product state over ``tns``'s own Pauli-4 site indices,
+    with per-vertex 4-vectors from ``vec_of(v)`` (host-side numpy)."""
+    from .models.tensornetwork import tensornetworkstate
+
+    dtype = next(iter(tns.tensors().values())).data.dtype
+    return tensornetworkstate(dtype, vec_of, tns.graph(), tns.siteinds())
+
+
+def pauli_expectation(rho, observable, alg: str | None = None, **kwargs):
+    """⟨P_string⟩ = Tr[ρ P]/Tr[ρ] on a density-matrix ("PauliRho") network.
+
+    ``observable`` follows the `expect` tuple format: ``(ops, verts[, coeff])``
+    or a list thereof; ops are Pauli characters.  Tr[ρ P] is the LINEAR
+    functional contracting ρ's coefficient network against per-site basis
+    vectors (e_P on the support, e_I = trace elsewhere), evaluated with
+    `inner` under any alg (exact/bp/boundarymps/loopcorrections).  No
+    reference counterpart (the reference has no density-matrix picture)."""
+    from .models.sites import PAULI_BASIS_STATES
+
+    alg = alg if alg is not None else "bp"
+    g = rho.graph()
+    single = isinstance(observable, tuple)
+    obs_list = [observable] if single else list(observable)
+    trace = inner(_pauli_weight_state(rho, lambda v: "I"), rho, alg=alg, **dict(kwargs))
+    out = []
+    for obs in obs_list:
+        op_strings, verts, coeff = collectobservable(obs, g)
+        at = dict(zip(verts, op_strings))
+        w = _pauli_weight_state(
+            rho, lambda v: PAULI_BASIS_STATES[at.get(v, "I")]
+        )
+        num = inner(w, rho, alg=alg, **dict(kwargs))
+        out.append(coeff * num / trace)
+    return out[0] if single else out
+
+
+def heisenberg_expectation(op, initial_state="0", alg: str | None = None, **kwargs):
+    """Tr[ρ₀ O] for a Heisenberg-picture ("Pauli") operator network.
+
+    ``initial_state`` is a per-vertex product: a string, a callable
+    ``v -> local``, or a dict — each local accepted by
+    `sites.pauli_coefficients` (state strings, 2-vectors, 2×2 ρ, or Pauli
+    4-vectors).  Wraps the ``inner(weights, op)`` pattern of
+    `examples/2dIsing_dynamics_Heisenbergpicture.jl` as API."""
+    from .models.sites import pauli_coefficients
+
+    alg = alg if alg is not None else "bp"
+    if callable(initial_state):
+        f = initial_state
+    elif isinstance(initial_state, dict):
+        f = lambda v: initial_state[v]  # noqa: E731
+    else:
+        f = lambda v: initial_state  # noqa: E731
+    w = _pauli_weight_state(op, lambda v: pauli_coefficients(f(v)))
+    return inner(w, op, alg=alg, **kwargs)
+
+
+def purity(rho, alg: str | None = None, **kwargs):
+    """Tr[ρ²]/Tr[ρ]² of a density-matrix network: with ρ = ⊗-network of
+    Pauli coefficients c, Tr[ρ²] = Σ_P c_P² / 2ⁿ = `norm_sqr`(c)/2ⁿ.
+    The second Rényi entropy is −log₂ of this value."""
+    alg = alg if alg is not None else "bp"
+    n = len(rho.vertices())
+    z = norm_sqr(rho, alg=alg, **dict(kwargs))
+    trace = inner(_pauli_weight_state(rho, lambda v: "I"), rho, alg=alg, **dict(kwargs))
+    return np.real(z) / (2.0**n) / np.real(trace) ** 2
+
+
+# ---------------------------------------------------------------------------
 # reduced density matrices
 # ---------------------------------------------------------------------------
 

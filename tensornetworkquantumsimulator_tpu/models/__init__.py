@@ -1,10 +1,17 @@
 """Network data models: states, flat networks, forms, sites, gates."""
 
+from .channels import (
+    channel_kraus,
+    channel_ptm,
+    is_channel,
+    kraus_to_ptm,
+)
 from .forms import BilinearForm, QuadraticForm
 from .gates import (
     gate_matrix,
     heisenberg_gate_tensor,
     pauli_transfer_matrix,
+    schrodinger_gate_tensor,
     to_tensor,
     to_tensors,
 )
@@ -12,6 +19,7 @@ from .sites import (
     default_siteinds,
     op_matrix,
     op_tensor,
+    pauli_coefficients,
     site_dimension,
     site_tag,
     siteinds,
@@ -22,6 +30,7 @@ from .tensornetwork import (
     TensorNetwork,
     TensorNetworkState,
     add,
+    density_matrix_tensornetworkstate,
     identitytensornetworkstate,
     paulitensornetworkstate,
     random_tensornetwork,

@@ -188,6 +188,20 @@ def pauli_transfer_matrix(u: np.ndarray, heisenberg: bool = True) -> np.ndarray:
     return m
 
 
+def schrodinger_gate_tensor(name: str, param, site_inds: Sequence[Index]) -> Tensor:
+    """PTM tensor of a named unitary for density-matrix ("PauliRho") sites:
+    ρ's Pauli coefficients evolve forward as c' = T c with
+    T[i,j] = Tr[P_i U P_j U†]/d.  Same circuit-tuple conventions as the
+    Schrödinger wavefunction path (`gate_matrix` handles param rescaling)."""
+    m = pauli_transfer_matrix(gate_matrix(name, param), heisenberg=False)
+    n = len(site_inds)
+    if any(s.dim != 4 for s in site_inds):
+        raise ValueError("PTM gates act on 4-dimensional Pauli sites")
+    primed = tuple(s.prime() for s in site_inds)
+    data = m.reshape((4,) * (2 * n))  # [out..., in...]
+    return Tensor(np.ascontiguousarray(data), primed + tuple(site_inds))
+
+
 def heisenberg_gate_tensor(name: str, param, site_inds: Sequence[Index]) -> Tensor:
     """PTM tensor for an ``R<paulis>`` gate on 4-dim Pauli sites
     (`gate_definitions.jl:63-86`)."""
@@ -230,7 +244,18 @@ def to_tensor(gate, siteinds: dict, dtype=None):
     s_inds = [siteinds[v][0] for v in verts]
 
     if all(s.hastag("Pauli") for s in s_inds):
+        from .channels import channel_tensor, is_channel
+
+        if is_channel(name):
+            return channel_tensor(name, param, s_inds, heisenberg=True), verts
         return heisenberg_gate_tensor(name, param, s_inds), verts
+
+    if all(s.hastag("PauliRho") for s in s_inds):
+        from .channels import channel_tensor, is_channel
+
+        if is_channel(name):
+            return channel_tensor(name, param, s_inds, heisenberg=False), verts
+        return schrodinger_gate_tensor(name, param, s_inds), verts
 
     mat = gate_matrix(name, param)
     dims = tuple(s.dim for s in s_inds)

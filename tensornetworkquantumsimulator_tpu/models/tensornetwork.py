@@ -429,6 +429,30 @@ def identitytensornetworkstate(dtype, g=None, siteinds=None) -> TensorNetworkSta
     return paulitensornetworkstate(dtype, lambda v: "I", g, siteinds)
 
 
+def density_matrix_tensornetworkstate(
+    dtype, f: Callable = None, g: NamedGraph = None, siteinds=None
+) -> TensorNetworkState:
+    """Product density matrix as a Pauli-coefficient network over
+    "PauliRho" sites (no reference counterpart — enables Schrödinger-picture
+    noisy-circuit simulation, see `models/channels.py`).
+
+    ``f(v)`` may return a state string ("0", "+", "y-", "mixed", …), a
+    pure-state 2-vector, a 2×2 density matrix, or a 4-long Pauli
+    coefficient vector.  The site tensor holds c_P = Tr[ρ_v P] in basis
+    order [I, X, Y, Z], so ρ = ⊗_v (1/2) Σ_P c_P P; gates and channels
+    then apply as Schrödinger transfer matrices (`to_tensor`), the trace is
+    the contraction against per-site [1,0,0,0], and Tr[ρ P_string] against
+    the corresponding basis vectors (`measure.pauli_expectation`)."""
+    if callable(dtype) and not isinstance(dtype, type):
+        dtype, f, g, siteinds = jnp.float64, dtype, f, g
+    if f is None:
+        f = lambda v: "0"  # noqa: E731
+    if siteinds is None:
+        siteinds = _sites.siteinds("PauliRho", g)
+    h = lambda v: _sites.pauli_coefficients(f(v))  # noqa: E731
+    return tensornetworkstate(dtype, h, g, siteinds)
+
+
 # ---------------------------------------------------------------------------
 # direct-sum addition (`abstracttensornetwork.jl:128-170`)
 # ---------------------------------------------------------------------------

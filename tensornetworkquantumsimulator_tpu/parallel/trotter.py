@@ -61,7 +61,19 @@ class BatchedCircuit:
         spec: BatchedGraphSpec | None = None,
         d: int = 2,
         heisenberg: bool = False,
+        picture: str | None = None,
     ):
+        """``picture`` selects the transfer-matrix convention on d=4 Pauli
+        sites: "heisenberg" (≡ heisenberg=True, adjoint maps for operator
+        evolution) or "rho" (Schrödinger maps for density-matrix evolution,
+        `models/channels.py`).  Noise-channel names (`channels.is_channel`)
+        are accepted in either picture."""
+        if picture is None:
+            picture = "heisenberg" if heisenberg else None
+        if picture not in (None, "heisenberg", "rho"):
+            raise ValueError(f"unknown picture {picture!r}")
+        if picture is not None and d != 4:
+            raise ValueError("PTM pictures need d=4 Pauli sites")
         self.spec = spec if spec is not None else compile_graph(g)
         self.d = d
         pos = {v: i for i, v in enumerate(self.spec.vertices)}
@@ -140,10 +152,22 @@ class BatchedCircuit:
             name = gate[0]
             verts = _gate_vertices(gate[1])
             param = gate[2] if len(gate) > 2 else None
-            if heisenberg:
-                mat = np.array(
-                    _gates._ptm_cached(name[1:].upper(), float(param))
-                )
+            if picture is not None:
+                from ..models import channels as _channels
+
+                if _channels.is_channel(name):
+                    mat = _channels.channel_ptm(
+                        name, param, nsites=len(verts),
+                        heisenberg=(picture == "heisenberg"),
+                    )
+                elif picture == "heisenberg":
+                    mat = np.array(
+                        _gates._ptm_cached(name[1:].upper(), float(param))
+                    )
+                else:
+                    mat = _gates.pauli_transfer_matrix(
+                        _gates.gate_matrix(name, param), heisenberg=False
+                    )
             else:
                 mat = np.asarray(_gates.gate_matrix(name, param))
             if len(verts) == 1:

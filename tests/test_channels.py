@@ -1,0 +1,341 @@
+"""Noise channels (models/channels.py): PTM algebra, density-matrix and
+Heisenberg-picture noisy evolution vs an in-test dense Kraus oracle, and
+the batched-engine channel paths.  No reference counterpart (the reference
+covers unitary gates only, `gate_definitions.jl`)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tensornetworkquantumsimulator_tpu as tnqs
+from tensornetworkquantumsimulator_tpu import (
+    density_matrix_tensornetworkstate,
+    edge_color,
+    heisenberg_expectation,
+    named_comb_tree,
+    named_grid,
+    pauli_expectation,
+    paulitensornetworkstate,
+    purity,
+)
+from tensornetworkquantumsimulator_tpu.models import channels as ch
+from tensornetworkquantumsimulator_tpu.models.gates import (
+    collect_gate_vertices,
+    gate_matrix,
+)
+
+# ---------------------------------------------------------------------------
+# dense Kraus oracle
+# ---------------------------------------------------------------------------
+
+
+def _lift1(m, i, nq):
+    out = np.array([[1.0]])
+    for k in range(nq):
+        out = np.kron(out, m if k == i else np.eye(2))
+    return out
+
+
+def _lift2(m4, i, j, nq):
+    m = m4.reshape(2, 2, 2, 2)
+    out = np.zeros((2**nq,) * 2, dtype=complex)
+    for a in range(2):
+        for b in range(2):
+            for c in range(2):
+                for d in range(2):
+                    e_ac = np.zeros((2, 2))
+                    e_ac[a, c] = 1
+                    e_bd = np.zeros((2, 2))
+                    e_bd[b, d] = 1
+                    out += m[a, b, c, d] * _lift1(e_ac, i, nq) @ _lift1(
+                        e_bd, j, nq
+                    )
+    return out
+
+
+def _dense_evolve(circuit, pos, nq):
+    """Exact Kraus evolution of |0…0⟩⟨0…0| through a tuple circuit."""
+    psi0 = np.zeros(2**nq)
+    psi0[0] = 1.0
+    rho = np.outer(psi0, psi0).astype(complex)
+    for gate in circuit:
+        name = gate[0]
+        vs = collect_gate_vertices(gate[1])
+        param = gate[2] if len(gate) > 2 else None
+        if ch.is_channel(name):
+            ks = ch.channel_kraus(name, param, len(vs))
+            lift = (
+                (lambda k: _lift1(k, pos[vs[0]], nq))
+                if len(vs) == 1
+                else (lambda k: _lift2(k, pos[vs[0]], pos[vs[1]], nq))
+            )
+            rho = sum(K @ rho @ K.conj().T for K in map(lift, ks))
+        else:
+            u = gate_matrix(name, param)
+            U = (
+                _lift1(u, pos[vs[0]], nq)
+                if len(vs) == 1
+                else _lift2(u, pos[vs[0]], pos[vs[1]], nq)
+            )
+            rho = U @ rho @ U.conj().T
+    return rho
+
+
+def _noisy_layer(g, dt=0.15, h=0.9, J=1.1, p_dep=0.05, gam=0.08, p_zz=0.0):
+    circuit = [("Rx", [v], 2 * h * dt) for v in g.vertices()]
+    groups = edge_color(g, 4)
+    for group in groups:
+        circuit += [("Rzz", pair, 2 * J * dt) for pair in group]
+    if p_zz:  # two-site correlated dephasing through the SVD path
+        circuit += [("dephasing:ZZ", pair, p_zz) for pair in groups[0]]
+    circuit += [("depolarizing", [v], p_dep) for v in g.vertices()]
+    circuit += [("amplitude_damping", [v], gam) for v in g.vertices()]
+    return circuit
+
+
+# ---------------------------------------------------------------------------
+# PTM algebra
+# ---------------------------------------------------------------------------
+
+
+def test_channel_ptm_properties():
+    cases = [
+        ("depolarizing", 0.3, 1),
+        ("dephasing", 0.2, 1),
+        ("bitflip", 0.4, 1),
+        ("amplitude_damping", 0.25, 1),
+        ("generalized_amplitude_damping", (0.3, 0.7), 1),
+        ("pauli_channel", [0.7, 0.1, 0.1, 0.1], 1),
+        ("reset", 0.2, 1),
+        ("depolarizing", 0.1, 2),
+        ("dephasing:ZZ", 0.15, 2),
+    ]
+    for name, param, n in cases:
+        ts = ch.channel_ptm(name, param, nsites=n, heisenberg=False)
+        th = ch.channel_ptm(name, param, nsites=n, heisenberg=True)
+        # trace preservation: first row of the Schrödinger PTM is e0;
+        # equivalently Φ†(I) = I, i.e. first column of the Heisenberg PTM
+        np.testing.assert_allclose(ts[0], np.eye(4**n)[0], atol=1e-14)
+        np.testing.assert_allclose(th[:, 0], np.eye(4**n)[0], atol=1e-14)
+        # adjoint relation in the Hermitian Pauli basis
+        np.testing.assert_allclose(th, ts.T, atol=1e-14)
+
+    # depolarizing at p=1 wipes every non-identity component
+    t = ch.channel_ptm("depolarizing", 1.0, 1, heisenberg=False)
+    np.testing.assert_allclose(t, np.diag([1.0, 0, 0, 0]), atol=1e-14)
+    # Pauli channels are unital AND diagonal; dephasing damps the
+    # anticommuting components by 1−2p
+    t = ch.channel_ptm("dephasing", 0.2, 1, heisenberg=False)
+    np.testing.assert_allclose(t, np.diag([1.0, 0.6, 0.6, 1.0]), atol=1e-14)
+    # amplitude damping is NOT unital: Z picks up a constant from I
+    t = ch.channel_ptm("amplitude_damping", 0.36, 1, heisenberg=False)
+    np.testing.assert_allclose(t[3, 0], 0.36, atol=1e-14)
+    np.testing.assert_allclose(t[3, 3], 0.64, atol=1e-14)
+    np.testing.assert_allclose(t[1, 1], 0.8, atol=1e-14)
+
+    # kraus_to_ptm of a unitary matches pauli_transfer_matrix
+    from tensornetworkquantumsimulator_tpu.models.gates import (
+        pauli_transfer_matrix,
+    )
+
+    u = gate_matrix("Rx", 0.37)
+    np.testing.assert_allclose(
+        ch.kraus_to_ptm([u], heisenberg=True),
+        pauli_transfer_matrix(u, heisenberg=True),
+        atol=1e-14,
+    )
+
+
+def test_channel_param_validation():
+    with pytest.raises(ValueError):
+        ch.channel_kraus("depolarizing", 1.5, 1)
+    with pytest.raises(ValueError):
+        ch.channel_kraus("pauli_channel", [0.5, 0.1, 0.1, 0.1], 1)
+    with pytest.raises(ValueError):
+        ch.channel_kraus("dephasing:ZZ", 0.1, 1)  # axis/nsites mismatch
+    with pytest.raises(ValueError):
+        ch.channel_kraus("amplitude_damping", 0.1, 2)
+    assert not ch.is_channel("Rx")
+    assert ch.is_channel("dephasing:XX")
+
+
+# ---------------------------------------------------------------------------
+# both pictures vs the dense Kraus oracle
+# ---------------------------------------------------------------------------
+
+
+def test_noisy_dynamics_vs_dense_kraus():
+    g = named_grid((2, 2))
+    verts = g.vertices()
+    nq = len(verts)
+    pos = {v: i for i, v in enumerate(verts)}
+    circuit = _noisy_layer(g, p_zz=0.03)
+    rho_d = _dense_evolve(circuit, pos, nq)
+    z_dense = {
+        v: np.real(np.trace(rho_d @ _lift1(np.diag([1, -1]), pos[v], nq)))
+        for v in verts
+    }
+
+    # density-matrix (Schrödinger) picture, forward circuit
+    rho = density_matrix_tensornetworkstate(jnp.float64, lambda v: "0", g)
+    rho, _ = tnqs.apply_circuit(
+        circuit,
+        rho,
+        apply_kwargs=dict(maxdim=16, cutoff=0.0, normalize_tensors=False),
+    )
+    for v in verts:
+        val = pauli_expectation(rho, ("Z", [v]), alg="exact")
+        np.testing.assert_allclose(np.real(val), z_dense[v], atol=1e-9)
+    zz = pauli_expectation(rho, ("ZZ", [verts[0], verts[3]]), alg="exact")
+    zz_d = np.real(
+        np.trace(
+            rho_d
+            @ _lift1(np.diag([1, -1]), 0, nq)
+            @ _lift1(np.diag([1, -1]), 3, nq)
+        )
+    )
+    np.testing.assert_allclose(np.real(zz), zz_d, atol=1e-9)
+    np.testing.assert_allclose(
+        purity(rho, alg="exact"), np.real(np.trace(rho_d @ rho_d)), atol=1e-9
+    )
+
+    # Heisenberg picture: reversed circuit, adjoint channels
+    vz = verts[0]
+    op = paulitensornetworkstate(
+        jnp.float64, lambda v: "Z" if v == vz else "I", g
+    )
+    op, _ = tnqs.apply_circuit(
+        list(reversed(circuit)),
+        op,
+        apply_kwargs=dict(maxdim=16, cutoff=0.0, normalize_tensors=False),
+    )
+    val = heisenberg_expectation(op, "0", alg="exact")
+    np.testing.assert_allclose(np.real(val), z_dense[vz], atol=1e-9)
+    # arbitrary product initial state through the same evolved operator
+    val_plus = heisenberg_expectation(op, "+", alg="exact")
+    op_d = _lift1(np.diag([1, -1]), pos[vz], nq)
+    plus = np.full(2**nq, 2.0 ** (-nq / 2))
+    # evolve ρ0=|+..+⟩ exactly for the cross-check
+    rho_p = np.outer(plus, plus).astype(complex)
+    for gate in circuit:
+        name = gate[0]
+        vs = collect_gate_vertices(gate[1])
+        param = gate[2] if len(gate) > 2 else None
+        if ch.is_channel(name):
+            ks = ch.channel_kraus(name, param, len(vs))
+            lift = (
+                (lambda k: _lift1(k, pos[vs[0]], nq))
+                if len(vs) == 1
+                else (lambda k: _lift2(k, pos[vs[0]], pos[vs[1]], nq))
+            )
+            rho_p = sum(K @ rho_p @ K.conj().T for K in map(lift, ks))
+        else:
+            u = gate_matrix(name, param)
+            U = (
+                _lift1(u, pos[vs[0]], nq)
+                if len(vs) == 1
+                else _lift2(u, pos[vs[0]], pos[vs[1]], nq)
+            )
+            rho_p = U @ rho_p @ U.conj().T
+    np.testing.assert_allclose(
+        np.real(val_plus), np.real(np.trace(rho_p @ op_d)), atol=1e-9
+    )
+
+
+def test_bp_tree_exact_and_invariants():
+    """BP is exact on trees for the coefficient network; trace is
+    preserved and purity decreases under depolarizing noise."""
+    g = named_comb_tree((3, 2))
+    circuit = _noisy_layer(g, p_dep=0.1, gam=0.0)
+    rho = density_matrix_tensornetworkstate(jnp.float64, lambda v: "0", g)
+    purities = [1.0]
+    for _ in range(2):
+        rho, _ = tnqs.apply_circuit(
+            circuit,
+            rho,
+            apply_kwargs=dict(maxdim=8, cutoff=0.0, normalize_tensors=False),
+        )
+        purities.append(purity(rho, alg="bp"))
+    v = g.vertices()[1]
+    np.testing.assert_allclose(
+        np.real(pauli_expectation(rho, ("Z", [v]), alg="bp")),
+        np.real(pauli_expectation(rho, ("Z", [v]), alg="exact")),
+        atol=1e-8,
+    )
+    # trace: contraction against all-identity weights == 1
+    from tensornetworkquantumsimulator_tpu import tensornetworkstate
+
+    w = tensornetworkstate(
+        jnp.float64, lambda v: [1.0, 0.0, 0.0, 0.0], g, rho.siteinds()
+    )
+    np.testing.assert_allclose(np.real(tnqs.inner(w, rho, alg="bp")), 1.0, atol=1e-9)
+    assert purities[0] > purities[1] > purities[2] > 0.0
+
+    # p=1 depolarizing on every site gives the maximally mixed state
+    wipe = [("depolarizing", [v], 1.0) for v in g.vertices()]
+    rho, _ = tnqs.apply_circuit(
+        wipe, rho, apply_kwargs=dict(maxdim=8, cutoff=0.0, normalize_tensors=False)
+    )
+    np.testing.assert_allclose(
+        np.real(pauli_expectation(rho, ("Z", [v]), alg="bp")), 0.0, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        purity(rho, alg="bp"), 2.0 ** (-len(g.vertices())), atol=1e-10
+    )
+
+
+# ---------------------------------------------------------------------------
+# batched engine
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("picture", ["heisenberg", "rho"])
+def test_batched_channels_vs_generic(picture):
+    from tensornetworkquantumsimulator_tpu import tensornetworkstate
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        BatchedCircuit,
+        batched_from_tns,
+        batched_to_tns,
+        make_layer_fn,
+    )
+
+    g = named_grid((3, 3))
+    vz = g.center()[0]
+    circuit = _noisy_layer(g, p_dep=0.04, gam=0.06, p_zz=0.03)
+    chi = 4
+
+    if picture == "heisenberg":
+        tns0 = paulitensornetworkstate(
+            jnp.complex128, lambda v: "Z" if v == vz else "I", g
+        )
+        circ = list(reversed(circuit))
+    else:
+        tns0 = density_matrix_tensornetworkstate(
+            jnp.complex128, lambda v: "0", g
+        )
+        circ = circuit
+
+    ref, _ = tnqs.apply_circuit(
+        circ,
+        tns0,
+        apply_kwargs=dict(maxdim=chi, cutoff=1e-13, normalize_tensors=False),
+        bp_update_kwargs=dict(maxiter=80, tolerance=1e-13),
+    )
+
+    spec, state = batched_from_tns(tns0, chi=chi)
+    bc = BatchedCircuit(circ, g, spec=spec, d=4, picture=picture)
+    layer_fn = make_layer_fn(
+        bc, chi=chi, cutoff=1e-13, normalize_tensors=False,
+        bp_maxiter=80, bp_tolerance=1e-13,
+    )
+    state, _ = layer_fn(state)
+    tns_b = batched_to_tns(spec, state, g, tns0.siteinds())
+
+    if picture == "heisenberg":
+        val_ref = heisenberg_expectation(ref, "0", alg="bp")
+        val_b = heisenberg_expectation(tns_b, "0", alg="bp")
+    else:
+        val_ref = pauli_expectation(ref, ("Z", [vz]), alg="bp")
+        val_b = pauli_expectation(tns_b, ("Z", [vz]), alg="bp")
+    assert abs(np.real(val_ref)) > 0.05
+    np.testing.assert_allclose(np.real(val_b), np.real(val_ref), rtol=1e-5)

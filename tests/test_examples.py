@@ -52,6 +52,11 @@ def test_sharded_dynamics_example():
     _load("sharded_dynamics").main(n_layers=2, chi=2)
 
 
+def test_noisy_circuit_example():
+    rho = _load("noisy_circuit").main(nx=3, ny=3, layers=2)
+    assert rho is not None
+
+
 def test_variational_ground_state_example():
     e = _load("variational_ground_state").main(
         nx=2, ny=2, chi=2, steps=150, lr=5e-2
