@@ -54,6 +54,15 @@ def main(nx=4, ny=4, layers=5, dt=0.15, h=1.0, J=1.0, p_dep=0.02, gam=0.03):
         z = np.real(pauli_expectation(rho, obs, alg="bp"))
         p2 = purity(rho, alg="bp")
         print(f"{t + 1:5d}  {np.mean(z):+.6f}  {p2:.6f}")
+
+    from tensornetworkquantumsimulator_tpu.sampling import sample_density_matrix
+
+    samples = sample_density_matrix(rho, 5)
+    print("samples from the noisy state (bit fraction, logp):")
+    for s in samples:
+        bits = s["bitstring"]
+        frac = sum(bits.values()) / len(bits)
+        print(f"    {frac:.3f}  {s['logp']:+.3f}")
     return rho
 
 

@@ -83,7 +83,12 @@ from .measure import (
     reduced_density_matrix,
 )
 from .truncate import truncate
-from .sampling import sample, sample_certified, sample_directly_certified
+from .sampling import (
+    sample,
+    sample_certified,
+    sample_density_matrix,
+    sample_directly_certified,
+)
 
 __version__ = "0.1.0"
 
@@ -132,6 +137,7 @@ __all__ = [
     "rdm",
     "reduced_density_matrix",
     "sample",
+    "sample_density_matrix",
     "sample_certified",
     "sample_directly_certified",
     "seed",

@@ -194,6 +194,82 @@ def _sample_partition(cache: BoundaryMPSCache, partition, bitstring: dict):
 
 
 # ---------------------------------------------------------------------------
+# density-matrix (noisy-state) sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_density_matrix(
+    rho: TensorNetworkState,
+    nsamples: int,
+    bp_update_kwargs: dict | None = None,
+):
+    """Draw computational-basis bitstrings from a density-matrix
+    ("PauliRho") coefficient network (`models/channels.py`).
+
+    No reference counterpart (the reference samples wavefunctions only,
+    `sampling.jl:3-46`); the same sequential conditional scheme applies
+    through the LINEAR functional Tr[ρ·⊗Π]: the flat network with site
+    legs dotted by the trace vector [1,0,0,0] contracts to Tr[ρ], the
+    diagonal projector Π_b = (I+(−1)ᵇZ)/2 is the site vector
+    [1,0,0,(−1)ᵇ]/2, and conditioning on sampled bits is exactly
+    re-dotting their site legs — Tr[Π_b ρ Π_b ⊗ O] = Tr[ρ (Π_b ⊗ O)].
+    BP runs on the flat network (tree-exact, like the wavefunction
+    sampler), re-updated after each projection.
+
+    Returns a list of ``{"bitstring": {v: 0|1}, "logp": float}`` where
+    ``logp`` is the log of the product of conditional probabilities —
+    exact (= log ⟨x|ρ|x⟩) whenever BP is exact on the graph.
+    """
+    from .models.tensornetwork import TensorNetwork
+
+    upd = dict(bp_update_kwargs or {})
+    g = rho.graph()
+    verts = rho.vertices()
+    site_of = {v: rho.siteinds(v)[0] for v in verts}
+    dt = rho.scalartype()
+    if any(site_of[v].dim != 4 for v in verts):
+        raise ValueError("sample_density_matrix needs Pauli-4 ('PauliRho') sites")
+
+    def _dotted(v, vec):
+        w = Tensor(np.asarray(vec, dtype=dt), (site_of[v],))
+        return contract_pair(rho[v], w)
+
+    trace_net = TensorNetwork({v: _dotted(v, [1.0, 0, 0, 0]) for v in verts}, g.copy())
+    base = BeliefPropagationCache(trace_net).update(**upd)
+
+    results = []
+    for _ in range(nsamples):
+        projected = base.copy()
+        bitstring: dict = {}
+        logp = 0.0
+        for k, v in enumerate(verts):
+            msgs = projected.incoming_messages(v)
+            # re-dot ρ_v's open site leg with both projectors and take the
+            # local scalars as (unnormalized) conditional weights
+            weights = []
+            for b in (0, 1):
+                t = _dotted(v, [0.5, 0, 0, 0.5 * (1 - 2 * b)])
+                seq = contraction_sequence(msgs + [t], alg="optimal")
+                weights.append(np.real(contract(msgs + [t], seq).scalar()))
+            # the two weights share one (possibly negative-scaled) flat-BP
+            # environment; only their ratio is meaningful
+            total = weights[0] + weights[1]
+            if total == 0.0:
+                raise ValueError("degenerate sampling distribution")
+            probs = [w / total for w in weights]
+            config = _sample_weights(probs)
+            bitstring[v] = config
+            logp += math.log(max(probs[config], 1e-300))
+            projected.setindex_preserve(
+                _dotted(v, [0.5, 0, 0, 0.5 * (1 - 2 * config)]), v
+            )
+            if k != len(verts) - 1:
+                projected = projected.update(**upd)
+        results.append(dict(bitstring=bitstring, logp=logp))
+    return results
+
+
+# ---------------------------------------------------------------------------
 # public entry points
 # ---------------------------------------------------------------------------
 

@@ -284,6 +284,54 @@ def test_bp_tree_exact_and_invariants():
     )
 
 
+def test_sample_density_matrix_vs_dense():
+    """Sequential conditional sampling from ρ: each drawn bitstring's
+    accumulated log-probability equals log⟨x|ρ|x⟩ exactly on a tree."""
+    from tensornetworkquantumsimulator_tpu.sampling import (
+        sample_density_matrix,
+        seed_sampler,
+    )
+
+    g = named_comb_tree((3, 2))
+    verts = g.vertices()
+    nq = len(verts)
+    pos = {v: i for i, v in enumerate(verts)}
+    circuit = [("Rx", [v], 0.7) for v in verts]
+    for grp in edge_color(g, 4):
+        circuit += [("Rzz", p, 0.5) for p in grp]
+    circuit += [("depolarizing", [v], 0.1) for v in verts]
+    circuit += [("amplitude_damping", [v], 0.15) for v in verts]
+    rho_d = _dense_evolve(circuit, pos, nq)
+
+    rho = density_matrix_tensornetworkstate(jnp.float64, lambda v: "0", g)
+    rho, _ = tnqs.apply_circuit(
+        circuit,
+        rho,
+        apply_kwargs=dict(maxdim=8, cutoff=0.0, normalize_tensors=False),
+    )
+    seed_sampler(7)
+    res = sample_density_matrix(
+        rho, 10, bp_update_kwargs=dict(maxiter=60, tolerance=1e-12)
+    )
+    for r in res:
+        idx = 0
+        for v in verts:
+            idx = idx * 2 + r["bitstring"][v]
+        np.testing.assert_allclose(
+            r["logp"], np.log(np.real(rho_d[idx, idx])), atol=1e-8
+        )
+
+    # p=1 reset channel makes sampling deterministic all-zeros
+    wipe = [("reset", [v], 1.0) for v in verts]
+    rho, _ = tnqs.apply_circuit(
+        wipe, rho, apply_kwargs=dict(maxdim=8, cutoff=0.0, normalize_tensors=False)
+    )
+    res = sample_density_matrix(rho, 3)
+    for r in res:
+        assert all(b == 0 for b in r["bitstring"].values())
+        np.testing.assert_allclose(r["logp"], 0.0, atol=1e-10)
+
+
 # ---------------------------------------------------------------------------
 # batched engine
 # ---------------------------------------------------------------------------
