@@ -19,12 +19,20 @@ import networkx as nx
 from .graphs import NamedEdge, NamedGraph
 
 
-def named_grid(dims, periodic: bool = False) -> NamedGraph:
+def named_grid(dims, periodic=False) -> NamedGraph:
     """n-dimensional grid with 1-based tuple vertices; `periodic=True` wraps
-    every axis (used for 3-d tori, `examples/3dIsing_dynamics.jl:8`)."""
+    every axis (used for 3-d tori, `examples/3dIsing_dynamics.jl:8`).
+    ``periodic`` may also be a per-axis tuple, e.g. ``(True, False)`` for a
+    cylinder — rows then form the ring partition graph the boundary-MPS
+    cache accepts (`boundarympscache.jl:66-78`)."""
     if isinstance(dims, int):
         dims = (dims,)
     dims = tuple(dims)
+    if isinstance(periodic, bool):
+        periodic = (periodic,) * len(dims)
+    periodic = tuple(periodic)
+    if len(periodic) != len(dims):
+        raise ValueError("periodic must be a bool or one flag per axis")
     ranges = [range(1, d + 1) for d in dims]
     vertices = list(itertools.product(*ranges))
     g = NamedGraph(vertices)
@@ -34,7 +42,7 @@ def named_grid(dims, periodic: bool = False) -> NamedGraph:
                 w = list(v)
                 w[axis] += 1
                 g.add_edge_inplace(NamedEdge(v, tuple(w)))
-            elif periodic and d > 2:
+            elif periodic[axis] and d > 2:
                 w = list(v)
                 w[axis] = 1
                 g.add_edge_inplace(NamedEdge(v, tuple(w)))

@@ -64,3 +64,28 @@ def test_bmps_state(dtype):
     eps = float(jnp.finfo(jnp.zeros((), dtype).real.dtype).eps)
     assert (rho_1 - rho_2).norm() <= 300 * eps
     assert (rho_1 - rho_exact).norm() <= 300 * eps
+
+
+def test_bmps_cylinder_ring_partitions():
+    """Ring partitions graph (cylinder, periodic rows): the validity check
+    accepts it (`boundarympscache.jl:66-78`) and partition-loop BP through
+    the MPS strands converges to the exact value on a physical state."""
+    from tensornetworkquantumsimulator_tpu import edge_color, named_grid
+
+    g = named_grid((4, 3), periodic=(True, False))
+    assert len(g.edges()) == 4 * 3 * 2 - 4  # wrap in rows only
+    layer = [("Rx", [v], 0.3) for v in g.vertices()]
+    for grp in edge_color(g, 5):
+        layer += [("Rzz", p, 0.25) for p in grp]
+    psi = tnqs.tensornetworkstate(jnp.complex128, lambda v: "↑", g)
+    for _ in range(2):
+        psi, _ = tnqs.apply_circuit(
+            layer,
+            psi,
+            apply_kwargs=dict(maxdim=4, cutoff=1e-12, normalize_tensors=False),
+        )
+    val = tnqs.expect(
+        psi, ("Z", [(2, 2)]), alg="boundarymps", mps_bond_dimension=16
+    )
+    val_exact = tnqs.expect(psi, ("Z", [(2, 2)]), alg="exact")
+    np.testing.assert_allclose(np.real(val), np.real(val_exact), atol=1e-9)
