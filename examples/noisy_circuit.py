@@ -63,6 +63,29 @@ def main(nx=4, ny=4, layers=5, dt=0.15, h=1.0, J=1.0, p_dep=0.02, gam=0.03):
         bits = s["bitstring"]
         frac = sum(bits.values()) / len(bits)
         print(f"    {frac:.3f}  {s['logp']:+.3f}")
+
+    # the same circuit on the batched TPU engine: evolve + measure as
+    # jitted programs (BatchedCircuit(picture="rho") + one sandwich-BP
+    # expectation program for every site)
+    from tensornetworkquantumsimulator_tpu import (
+        density_matrix_tensornetworkstate as dm_state,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        BatchedCircuit,
+        batched_from_tns,
+        make_layer_fn,
+        make_pauli_expectation_fn,
+    )
+
+    chi = 8
+    spec, state = batched_from_tns(dm_state(jnp.complex64, lambda v: "0", g), chi=chi)
+    bc = BatchedCircuit(layer, g, spec=spec, d=4, picture="rho")
+    layer_fn = jax.jit(make_layer_fn(bc, chi=chi, cutoff=1e-10, normalize_tensors=False))
+    expect_fn = jax.jit(make_pauli_expectation_fn(spec, chi, jnp.complex64))
+    for _ in range(layers):
+        state, _ = layer_fn(state)
+    zb = np.asarray(expect_fn(state)["Z"])
+    print(f"batched engine <Z>_mean after {layers} layers: {np.mean(zb):+.6f}")
     return rho
 
 

@@ -52,7 +52,12 @@ from .certified_sampling import (
     make_sharded_sampler,
 )
 from .gauge import batched_symmetric_gauge
-from .overlap import batched_inner, batched_loschmidt_echo, make_sharded_inner
+from .overlap import (
+    batched_inner,
+    batched_loschmidt_echo,
+    make_pauli_expectation_fn,
+    make_sharded_inner,
+)
 from .loopcorrection import (
     LoopConfigurations,
     batched_partitionfunction,

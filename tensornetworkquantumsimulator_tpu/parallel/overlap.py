@@ -40,7 +40,12 @@ from .engine import (
 )
 from .structure import BatchedGraphSpec
 
-__all__ = ["batched_inner", "batched_loschmidt_echo", "make_sharded_inner"]
+__all__ = [
+    "batched_inner",
+    "batched_loschmidt_echo",
+    "make_pauli_expectation_fn",
+    "make_sharded_inner",
+]
 
 
 def _sandwich_outgoing(spec, t_ket, t_bra_conj, messages):
@@ -167,6 +172,65 @@ def batched_inner(
                      damping)
     # Z_BP = Π_v z_v / Π_e s_e on the sandwich
     return sandwich_logz(spec, t_ket, t_bra_conj, m)
+
+
+def make_pauli_expectation_fn(
+    spec: BatchedGraphSpec,
+    chi: int,
+    dtype,
+    ops: tuple = ("Z",),
+    *,
+    maxiter: int = 50,
+    tolerance: float | None = None,
+):
+    """Per-site ⟨P⟩ = Tr[ρP_v]/Tr[ρ] on a batched density-matrix
+    ("PauliRho", d=4) state, as ONE jitted program.
+
+    The linear functional Tr[ρ·⊗X_v] is the sandwich overlap against a
+    bond-1 product bra (trace vector [1,0,0,0] per site,
+    `measure.pauli_expectation`); one sandwich-BP fixed point serves every
+    site and every op — each value is a local-scalar ratio with the bra's
+    site vector swapped to the Pauli basis vector (exact on trees, BP
+    otherwise).  Returns ``fn(state) -> {op: [V] real array}``.
+
+    No reference counterpart (unitary-only reference); the batched analogue
+    of `measure.pauli_expectation` for the TPU path."""
+    basis = {"I": 0, "X": 1, "Y": 2, "Z": 3}
+    V, D = spec.num_vertices, spec.degree
+    if tolerance is None:
+        tolerance = default_batched_tolerance(dtype)
+
+    def _bra(vec4):
+        t = np.zeros((V,) + (chi,) * D + (4,), dtype=np.dtype(dtype))
+        t[(slice(None),) + (0,) * D] = np.asarray(vec4, dtype=np.dtype(dtype))
+        return t
+
+    bra_tr = _bra([1.0, 0, 0, 0])
+    bra_op = {
+        op: _bra(np.eye(4)[basis[op.upper()]]) for op in ops
+    }
+    lab = "".join(_LETTERS[k] for k in range(D))
+
+    def fn(state: BatchedState):
+        t_ket = state.tensors
+        m0 = identity_messages(V, D, chi, t_ket.dtype)
+        bra_c = jnp.conj(jnp.asarray(bra_tr))
+        m = _sandwich_bp(spec, t_ket, bra_c, m0, maxiter, tolerance, 0.0)
+        acc = t_ket
+        for k in range(D):
+            acc = _absorb(acc, m[:, k], 1 + k)
+        zv = jnp.einsum(f"v{lab}s,v{lab}s->v", acc, bra_c,
+                        precision=_PRECISION)
+        out = {}
+        for op, bra in bra_op.items():
+            zv_op = jnp.einsum(
+                f"v{lab}s,v{lab}s->v", acc, jnp.conj(jnp.asarray(bra)),
+                precision=_PRECISION,
+            )
+            out[op] = jnp.real(zv_op / zv)
+        return out
+
+    return fn
 
 
 def batched_loschmidt_echo(

@@ -387,3 +387,24 @@ def test_batched_channels_vs_generic(picture):
         val_b = pauli_expectation(tns_b, ("Z", [vz]), alg="bp")
     assert abs(np.real(val_ref)) > 0.05
     np.testing.assert_allclose(np.real(val_b), np.real(val_ref), rtol=1e-5)
+
+    if picture == "rho":
+        # fully batched per-site expectations: one jitted program
+        import jax
+
+        from tensornetworkquantumsimulator_tpu.parallel import (
+            make_pauli_expectation_fn,
+        )
+
+        fn = jax.jit(
+            make_pauli_expectation_fn(
+                spec, chi, jnp.complex128, ops=("Z", "X"),
+                maxiter=80, tolerance=1e-13,
+            )
+        )
+        vals = fn(state)
+        for i, v in enumerate(spec.vertices):
+            ref_z = pauli_expectation(ref, ("Z", [v]), alg="bp")
+            np.testing.assert_allclose(
+                float(vals["Z"][i]), np.real(ref_z), rtol=2e-5, atol=1e-7
+            )
