@@ -86,6 +86,27 @@ def main(nx=4, ny=4, layers=5, dt=0.15, h=1.0, J=1.0, p_dep=0.02, gam=0.03):
         state, _ = layer_fn(state)
     zb = np.asarray(expect_fn(state)["Z"])
     print(f"batched engine <Z>_mean after {layers} layers: {np.mean(zb):+.6f}")
+
+    # noise-rate sweep: E depolarizing strengths advance in ONE vmapped
+    # program (make_noisy_field_layer_fn: rates are runtime inputs)
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        ensemble_fn,
+        make_noisy_field_layer_fn,
+        stack_states,
+    )
+
+    _, noisy_layer = make_noisy_field_layer_fn(
+        g, chi, noise=("depolarizing",), spec=spec, jit=False
+    )
+    rates = jnp.asarray([0.0, p_dep, 2 * p_dep, 4 * p_dep])
+    _, st0 = batched_from_tns(dm_state(jnp.complex64, lambda v: "0", g), chi=chi)
+    estate = stack_states([st0] * len(rates))
+    sweep = ensemble_fn(noisy_layer, in_axes=(0, None, None, 0))
+    for _ in range(layers):
+        estate, _ = sweep(estate, 2 * h * dt, 2 * J * dt, rates)
+    z_sweep = jax.vmap(lambda s: expect_fn(s)["Z"])(estate)
+    print("noise-rate sweep <Z>_mean per rate:",
+          [f"{float(np.mean(np.asarray(z_sweep[i]))):+.4f}" for i in range(len(rates))])
     return rho
 
 

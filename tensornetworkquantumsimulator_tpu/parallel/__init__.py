@@ -14,6 +14,9 @@ from .ensemble import (
     ensemble_fn,
     make_ensemble_expectation_fn,
     make_field_layer_fn,
+    make_noisy_field_layer_fn,
+    ptm_channel,
+    ptm_rot,
     rot1,
     rot2,
     stack_states,

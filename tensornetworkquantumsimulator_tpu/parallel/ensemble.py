@@ -78,6 +78,103 @@ def rot2(pauli2: str, phi) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# traceable Pauli-transfer matrices (d=4 picture; angles/rates traced)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+import itertools as _itertools
+
+
+@_functools.lru_cache(maxsize=256)
+def _ptm_rot_tables(gen: str):
+    """Host-side constants for the PTM of exp(-i α P_gen): commuting mask
+    C0, anticommuting mask C1, and the sin-coupling M2[i,j] =
+    Re Tr[P_i·(i·A·P_j)]/d on anticommuting strings."""
+    A = _kron_pauli(gen)
+    n = len(gen)
+    d = 2**n
+    paulis = [
+        _kron_pauli("".join(c)) for c in _itertools.product("IXYZ", repeat=n)
+    ]
+    m = 4**n
+    c0 = np.zeros((m, m))
+    c1 = np.zeros((m, m))
+    m2 = np.zeros((m, m))
+    for j, pj in enumerate(paulis):
+        if np.allclose(A @ pj, pj @ A, atol=1e-13):
+            c0[j, j] = 1.0
+        else:
+            c1[j, j] = 1.0
+            apj = 1j * (A @ pj)
+            for i, pi in enumerate(paulis):
+                v = np.trace(pi @ apj) / d
+                if abs(v) > 1e-12:
+                    m2[i, j] = np.real(v)
+    return c0, c1, m2
+
+
+def ptm_rot(gen: str, angle, heisenberg: bool = False) -> jax.Array:
+    """Traceable PTM of the ``R<gen>`` tuple gate at tuple parameter
+    ``angle`` — the d=4 analogue of :func:`rot1`/:func:`rot2`.
+
+    Every R-gate here is exp(-i(param/2)·P) after conventions
+    (`gate_definitions.jl:28-44`), whose PTM in the {I,X,Y,Z}^⊗n basis is
+    closed-form: identity on commuting strings, a cos/sin rotation on
+    anticommuting pairs — so the angle can be a jitted input.
+    ``angle`` of any shape → ``[..., 4**n, 4**n]``."""
+    c0, c1, m2 = _ptm_rot_tables(gen.upper())
+    angle = jnp.asarray(angle)
+    sgn = 1.0 if heisenberg else -1.0
+    c = jnp.cos(angle)[..., None, None]
+    s = jnp.sin(angle)[..., None, None]
+    return c0 + c * c1 + sgn * s * m2
+
+
+_E = np.eye(4)
+_E00 = np.outer(_E[0], _E[0])
+_E11 = np.outer(_E[1], _E[1])
+_E22 = np.outer(_E[2], _E[2])
+_E33 = np.outer(_E[3], _E[3])
+_E30 = np.outer(_E[3], _E[0])
+
+TRACEABLE_CHANNELS = (
+    "depolarizing",
+    "dephasing",
+    "bitflip",
+    "amplitude_damping",
+    "reset",
+)
+
+
+def ptm_channel(name: str, param, heisenberg: bool = False) -> jax.Array:
+    """Traceable single-site channel PTM at a (possibly traced) rate —
+    the parametric analogue of `models.channels.channel_ptm` for noise
+    sweeps.  ``param`` of any shape → ``[..., 4, 4]``.  Names as in
+    `models/channels.py` (axis suffixes allowed for dephasing)."""
+    base, _, suffix = name.partition(":")
+    base = base.lower()
+    p = jnp.asarray(param)[..., None, None]
+    if base in ("depolarizing", "dep"):
+        return _E00 + (1.0 - p) * (_E11 + _E22 + _E33)
+    if base in ("dephasing", "deph", "phaseflip", "pf", "bitflip", "bf"):
+        axis = "X" if base in ("bitflip", "bf") else (suffix or "Z").upper()
+        c0, c1, _ = _ptm_rot_tables(axis)
+        return c0 + (1.0 - 2.0 * p) * c1
+    if base in ("amplitude_damping", "ad"):
+        s = jnp.sqrt(1.0 - p)
+        # Heisenberg PTM is the transpose: γ couples I→Z instead of Z→I
+        cross = _E30.T if heisenberg else _E30
+        return _E00 + s * (_E11 + _E22) + (1.0 - p) * _E33 + p * cross
+    if base == "reset":
+        cross = _E30.T if heisenberg else _E30
+        return _E00 + (1.0 - p) * (_E11 + _E22 + _E33) + p * cross
+    raise ValueError(
+        f"channel {name!r} has no traceable form (supported: "
+        f"{TRACEABLE_CHANNELS})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # parametric Trotter layer: angles as runtime inputs
 # ---------------------------------------------------------------------------
 
@@ -178,6 +275,130 @@ def make_field_layer_fn(
                     normalize_tensors,
                 )
                 errs.append(err)
+        if final_update:
+            state = bp_update(
+                spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance,
+                damping=bp_damping,
+            )
+        all_errs = (
+            jnp.concatenate(errs) if errs else jnp.zeros((0,), jnp.float32)
+        )
+        return state, all_errs
+
+    return spec, (jax.jit(layer) if jit else layer)
+
+
+def make_noisy_field_layer_fn(
+    g,
+    chi: int,
+    *,
+    site_pauli="X",
+    bond_pauli: str = "ZZ",
+    noise=("depolarizing",),
+    cutoff: float = 1e-12,
+    normalize_tensors: bool = False,
+    bp_maxiter: int = 30,
+    bp_tolerance: float | None = None,
+    bp_damping: float = 0.0,
+    final_update: bool = True,
+    jit: bool = True,
+    spec: BatchedGraphSpec | None = None,
+) -> tuple[BatchedGraphSpec, Callable]:
+    """Parametric NOISY Trotter layer in the density-matrix picture: both
+    the rotation angles and the channel rates are runtime inputs, so one
+    compiled program serves every noise strength — and ``jax.vmap`` turns
+    it into a noise-rate sweep (E rates advancing in one dispatch).
+
+    The state is a batched "PauliRho" coefficient network (d=4,
+    `models/channels.py`; build via ``batched_from_tns(
+    density_matrix_tensornetworkstate(...))``).  Returns ``(spec, layer)``
+    with ``layer(state, site_thetas, bond_thetas, noise_params) ->
+    (state, truncation_errors)``:
+
+    - ``site_thetas`` / ``bond_thetas``: exactly as
+      :func:`make_field_layer_fn` (tuple-gate parameter conventions,
+      applied as Schrödinger PTMs via :func:`ptm_rot`);
+    - ``noise_params``: scalar, ``[C]``, or ``[C, V]`` — one rate per
+      channel name in ``noise`` (see :data:`TRACEABLE_CHANNELS`),
+      broadcast per vertex, applied after the unitary part of the layer
+      as one composed per-vertex 4×4 transfer matrix.
+
+    No reference counterpart (unitary-only reference; and even
+    single-trajectory noise sweeps there would recompile per rate)."""
+    if spec is None:
+        spec = compile_graph(g)
+    V, E = spec.num_vertices, len(spec.edges)
+
+    edge_pos = {}
+    for k, (iu, iv, su, sv) in enumerate(spec.edges):
+        edge_pos[(iu, iv)] = k
+        edge_pos[(iv, iu)] = k
+    group_tables = tuple(
+        tuple(
+            np.asarray(
+                [edge_pos[(u, v)] for u, v in zip(b.u_idx, b.v_idx)],
+                np.int32,
+            )
+            for b in group
+        )
+        for group in spec.color_groups
+    )
+
+    site_paulis = (
+        (site_pauli,) if isinstance(site_pauli, str) else tuple(site_pauli)
+    )
+    S = len(site_paulis)
+    noise_names = (noise,) if isinstance(noise, str) else tuple(noise)
+    C = len(noise_names)
+
+    def layer(state: BatchedState, site_thetas, bond_thetas, noise_params):
+        site_thetas = jnp.asarray(site_thetas)
+        if S > 1 and site_thetas.ndim == 1 and site_thetas.shape[0] == S == V:
+            raise ValueError(
+                f"site_thetas shape ({S},) is ambiguous with {S} rotations "
+                f"on {V} vertices; pass [S, 1] or [S, V] explicitly"
+            )
+        site_thetas = jnp.broadcast_to(site_thetas, (S, V))
+        bond_thetas = jnp.broadcast_to(jnp.asarray(bond_thetas), (E,))
+        noise_params = jnp.asarray(noise_params)
+        if C > 1 and noise_params.ndim == 1 and noise_params.shape[0] == C:
+            if C == V:
+                raise ValueError(
+                    f"noise_params shape ({C},) is ambiguous with {C} "
+                    f"channels on {V} vertices; pass [C, 1] or [C, V] "
+                    "explicitly"
+                )
+            noise_params = noise_params[:, None]  # per-channel scalars
+        noise_params = jnp.broadcast_to(noise_params, (C, V))
+
+        gate = ptm_rot(site_paulis[0], site_thetas[0])
+        for k in range(1, S):
+            gate = jnp.einsum(
+                "vpq,vqr->vpr", ptm_rot(site_paulis[k], site_thetas[k]), gate
+            )
+        state = apply_one_site(state, gate.astype(state.tensors.dtype))
+        errs = []
+        for group, tables in zip(spec.color_groups, group_tables):
+            state = bp_update(
+                spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance,
+                damping=bp_damping,
+            )
+            for b, eidx in zip(group, tables):
+                gmat = ptm_rot(bond_pauli, bond_thetas[jnp.asarray(eidx)])
+                state, err = apply_color_group(
+                    state, (b,),
+                    gmat.reshape(-1, 4, 4, 4, 4).astype(state.tensors.dtype),
+                    chi, cutoff, normalize_tensors,
+                )
+                errs.append(err)
+        # noise after the unitary part: one composed per-vertex channel
+        chan = ptm_channel(noise_names[0], noise_params[0])
+        for k in range(1, C):
+            chan = jnp.einsum(
+                "vpq,vqr->vpr", ptm_channel(noise_names[k], noise_params[k]),
+                chan,
+            )
+        state = apply_one_site(state, chan.astype(state.tensors.dtype))
         if final_update:
             state = bp_update(
                 spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance,

@@ -1,0 +1,132 @@
+"""Parametric noisy Trotter layer (`parallel/ensemble.py::
+make_noisy_field_layer_fn`): traceable channel PTMs, equivalence with the
+compiled BatchedCircuit(picture="rho") path at fixed rates, and vmapped
+noise-rate sweeps in one program.  No reference counterpart."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tensornetworkquantumsimulator_tpu as tnqs
+from tensornetworkquantumsimulator_tpu import (
+    density_matrix_tensornetworkstate,
+    edge_color,
+    named_grid,
+)
+from tensornetworkquantumsimulator_tpu.models import channels as ch
+from tensornetworkquantumsimulator_tpu.models.gates import (
+    gate_matrix,
+    pauli_transfer_matrix,
+)
+from tensornetworkquantumsimulator_tpu.parallel import (
+    BatchedCircuit,
+    batched_from_tns,
+    ensemble_fn,
+    make_layer_fn,
+    make_noisy_field_layer_fn,
+    make_pauli_expectation_fn,
+    ptm_channel,
+    ptm_rot,
+    stack_states,
+)
+
+
+def test_traceable_ptms_match_reference_builders():
+    for name, gen in [("Rx", "X"), ("Rz", "Z"), ("Rzz", "ZZ"), ("Rxx", "XX")]:
+        th = 0.437
+        for heis in (False, True):
+            ref = pauli_transfer_matrix(gate_matrix(name, th), heisenberg=heis)
+            np.testing.assert_allclose(
+                np.array(ptm_rot(gen, th, heisenberg=heis)), ref, atol=1e-12
+            )
+    for cn, par in [
+        ("depolarizing", 0.23),
+        ("dephasing", 0.19),
+        ("dephasing:X", 0.11),
+        ("bitflip", 0.3),
+        ("amplitude_damping", 0.37),
+        ("reset", 0.21),
+    ]:
+        for heis in (False, True):
+            ref = ch.channel_ptm(cn, par, nsites=1, heisenberg=heis)
+            np.testing.assert_allclose(
+                np.array(ptm_channel(cn, par, heisenberg=heis)), ref,
+                atol=1e-12,
+            )
+    # batched rates broadcast
+    out = ptm_channel("depolarizing", jnp.asarray([0.0, 0.5]))
+    assert out.shape == (2, 4, 4)
+    np.testing.assert_allclose(np.array(out[0]), np.eye(4), atol=1e-14)
+
+
+def _setup(chi=4):
+    g = named_grid((3, 3))
+    rho0 = density_matrix_tensornetworkstate(jnp.complex128, lambda v: "0", g)
+    spec, state0 = batched_from_tns(rho0, chi=chi)
+    return g, spec, state0
+
+
+def test_noisy_field_layer_matches_compiled_circuit():
+    """At fixed angles/rates the parametric noisy layer equals the
+    BatchedCircuit(picture='rho') compilation of the same layer."""
+    chi, th, phi, p_dep, gam = 4, 0.31, 0.22, 0.05, 0.08
+    g, spec, state0 = _setup(chi)
+    _, layer = make_noisy_field_layer_fn(
+        g, chi, site_pauli="X", bond_pauli="ZZ",
+        noise=("depolarizing", "amplitude_damping"),
+        cutoff=1e-13, bp_maxiter=80, bp_tolerance=1e-13, spec=spec,
+    )
+    state_a, _ = layer(state0, th, phi, jnp.asarray([p_dep, gam]))
+
+    circuit = [("Rx", [v], th) for v in g.vertices()]
+    for grp in edge_color(g, 4):
+        circuit += [("Rzz", pair, phi) for pair in grp]
+    circuit += [("depolarizing", [v], p_dep) for v in g.vertices()]
+    circuit += [("amplitude_damping", [v], gam) for v in g.vertices()]
+    bc = BatchedCircuit(circuit, g, spec=spec, d=4, picture="rho")
+    ref_layer = make_layer_fn(
+        bc, chi=chi, cutoff=1e-13, normalize_tensors=False,
+        bp_maxiter=80, bp_tolerance=1e-13,
+    )
+    state_b, _ = ref_layer(state0)
+
+    fn = make_pauli_expectation_fn(
+        spec, chi, jnp.complex128, ops=("Z", "X"), maxiter=80,
+        tolerance=1e-13,
+    )
+    va, vb = fn(state_a), fn(state_b)
+    for op in ("Z", "X"):
+        np.testing.assert_allclose(
+            np.asarray(va[op]), np.asarray(vb[op]), rtol=1e-6, atol=1e-8
+        )
+
+
+def test_noise_rate_sweep_one_program():
+    """vmap over the rate axis: E noise strengths advance in one program;
+    the zero-rate row equals a noiseless run and rows match per-rate runs."""
+    chi, th, phi = 4, 0.31, 0.22
+    g, spec, state0 = _setup(chi)
+    _, layer = make_noisy_field_layer_fn(
+        g, chi, noise=("depolarizing",),
+        cutoff=1e-13, bp_maxiter=60, bp_tolerance=1e-13, spec=spec, jit=False,
+    )
+    rates = jnp.asarray([0.0, 0.06, 0.12])
+    estate = stack_states([state0] * len(rates))
+    sweep = ensemble_fn(layer, in_axes=(0, None, None, 0))
+    estate, _ = sweep(estate, th, phi, rates)
+    estate, _ = sweep(estate, th, phi, rates)
+
+    fn = make_pauli_expectation_fn(
+        spec, chi, jnp.complex128, maxiter=60, tolerance=1e-13
+    )
+    z = jax.vmap(lambda s: fn(s)["Z"])(estate)
+
+    for i, p in enumerate(np.asarray(rates)):
+        s, _ = layer(state0, th, phi, jnp.asarray(p))
+        s, _ = layer(s, th, phi, jnp.asarray(p))
+        np.testing.assert_allclose(
+            np.asarray(z[i]), np.asarray(fn(s)["Z"]), rtol=1e-7, atol=1e-9
+        )
+    # noise strictly reduces |<Z>| site-wise on this workload
+    za = np.abs(np.asarray(z))
+    assert np.all(za[0] > za[1]) and np.all(za[1] > za[2])
