@@ -315,31 +315,95 @@ def _pauli_weight_state(tns, vec_of):
     return tensornetworkstate(dtype, vec_of, tns.graph(), tns.siteinds())
 
 
+def _pauli_ops_check(op_strings, obs):
+    from .models.sites import PAULI_BASIS_STATES
+
+    ops = [o.upper() for o in op_strings]
+    bad = [o for o in ops if o not in PAULI_BASIS_STATES]
+    if bad:
+        raise ValueError(
+            f"observable {obs!r}: Pauli-4 expectations take I/X/Y/Z "
+            f"characters, got {bad}"
+        )
+    return ops
+
+
 def pauli_expectation(rho, observable, alg: str | None = None, **kwargs):
     """⟨P_string⟩ = Tr[ρ P]/Tr[ρ] on a density-matrix ("PauliRho") network.
 
     ``observable`` follows the `expect` tuple format: ``(ops, verts[, coeff])``
     or a list thereof; ops are Pauli characters.  Tr[ρ P] is the LINEAR
     functional contracting ρ's coefficient network against per-site basis
-    vectors (e_P on the support, e_I = trace elsewhere), evaluated with
-    `inner` under any alg (exact/bp/boundarymps/loopcorrections).  No
-    reference counterpart (the reference has no density-matrix picture)."""
+    vectors (e_P on the support, e_I = trace elsewhere).  Under
+    ``alg="bp"`` (default) ONE flat-network BP fixed point serves every
+    observable: each value is a Steiner-tree numerator/denominator ratio
+    at the shared messages, exactly mirroring the quadratic `expect`
+    (`expect.jl:58-83`); other algs (exact/boundarymps/loopcorrections)
+    evaluate each functional with `inner`.  No reference counterpart
+    (the reference has no density-matrix picture)."""
     from .models.sites import PAULI_BASIS_STATES
 
     alg = alg if alg is not None else "bp"
     g = rho.graph()
     single = isinstance(observable, tuple)
     obs_list = [observable] if single else list(observable)
-    trace = inner(_pauli_weight_state(rho, lambda v: "I"), rho, alg=alg, **dict(kwargs))
+
+    if alg != "bp":
+        trace = inner(
+            _pauli_weight_state(rho, lambda v: "I"), rho, alg=alg, **dict(kwargs)
+        )
+        out = []
+        for obs in obs_list:
+            op_strings, verts, coeff = collectobservable(obs, g)
+            at = dict(zip(verts, _pauli_ops_check(op_strings, obs)))
+            w = _pauli_weight_state(
+                rho, lambda v: PAULI_BASIS_STATES[at.get(v, "I")]
+            )
+            num = inner(w, rho, alg=alg, **dict(kwargs))
+            out.append(coeff * num / trace)
+        return out[0] if single else out
+
+    # alg="bp": one flat-network fixed point shared by every observable
+    from .models.tensornetwork import TensorNetwork
+    from .ops.tensor import contract_pair
+
+    verts = rho.vertices()
+    site_of = {v: rho.siteinds(v)[0] for v in verts}
+    if any(site_of[v].dim != 4 for v in verts):
+        raise ValueError("pauli_expectation needs Pauli-4 ('PauliRho') sites")
+    dt = rho.scalartype()
+
+    def _dotted(v, vec):
+        w = Tensor(np.asarray(vec, dtype=dt), (site_of[v],))
+        return contract_pair(rho[v], w)
+
+    flat = TensorNetwork(
+        {v: _dotted(v, [1.0, 0, 0, 0]) for v in verts}, g.copy()
+    )
+    cache = BeliefPropagationCache(flat).update(
+        **kwargs.pop("cache_update_kwargs", {})
+    )
     out = []
     for obs in obs_list:
-        op_strings, verts, coeff = collectobservable(obs, g)
-        at = dict(zip(verts, op_strings))
-        w = _pauli_weight_state(
-            rho, lambda v: PAULI_BASIS_STATES[at.get(v, "I")]
-        )
-        num = inner(w, rho, alg=alg, **dict(kwargs))
-        out.append(coeff * num / trace)
+        op_strings, obs_vs, coeff = collectobservable(obs, g)
+        ops = _pauli_ops_check(op_strings, obs)
+        at = dict(zip(obs_vs, ops))
+        if len(obs_vs) == 1:
+            steiner_vs = list(obs_vs)
+        else:
+            steiner_vs = list(cache.network().steiner_tree(obs_vs).vertices())
+        incoming = cache.incoming_messages(steiner_vs)
+        denom_tensors = [cache.network()[v] for v in steiner_vs] + incoming
+        seq = contraction_sequence(denom_tensors, alg="optimal")
+        denom = contract(denom_tensors, seq).scalar()
+        numer_tensors = [
+            _dotted(v, PAULI_BASIS_STATES[at[v]]) if v in at
+            else cache.network()[v]
+            for v in steiner_vs
+        ] + incoming
+        seq = contraction_sequence(numer_tensors, alg="optimal")
+        numer = contract(numer_tensors, seq).scalar()
+        out.append(coeff * numer / denom)
     return out[0] if single else out
 
 

@@ -188,12 +188,21 @@ def pauli_transfer_matrix(u: np.ndarray, heisenberg: bool = True) -> np.ndarray:
     return m
 
 
+@functools.lru_cache(maxsize=4096)
+def _ptm_schrodinger_cached(name: str, param) -> tuple:
+    m = pauli_transfer_matrix(gate_matrix(name, param), heisenberg=False)
+    return tuple(map(tuple, m))
+
+
 def schrodinger_gate_tensor(name: str, param, site_inds: Sequence[Index]) -> Tensor:
     """PTM tensor of a named unitary for density-matrix ("PauliRho") sites:
     ρ's Pauli coefficients evolve forward as c' = T c with
     T[i,j] = Tr[P_i U P_j U†]/d.  Same circuit-tuple conventions as the
-    Schrödinger wavefunction path (`gate_matrix` handles param rescaling)."""
-    m = pauli_transfer_matrix(gate_matrix(name, param), heisenberg=False)
+    Schrödinger wavefunction path (`gate_matrix` handles param rescaling);
+    cached per (name, param) like the Heisenberg `_ptm_cached`."""
+    m = np.array(
+        _ptm_schrodinger_cached(name, None if param is None else float(param))
+    )
     n = len(site_inds)
     if any(s.dim != 4 for s in site_inds):
         raise ValueError("PTM gates act on 4-dimensional Pauli sites")

@@ -156,8 +156,13 @@ def ptm_channel(name: str, param, heisenberg: bool = False) -> jax.Array:
     p = jnp.asarray(param)[..., None, None]
     if base in ("depolarizing", "dep"):
         return _E00 + (1.0 - p) * (_E11 + _E22 + _E33)
-    if base in ("dephasing", "deph", "phaseflip", "pf", "bitflip", "bf"):
-        axis = "X" if base in ("bitflip", "bf") else (suffix or "Z").upper()
+    if base in ("dephasing", "deph", "phaseflip", "bitflip"):
+        axis = "X" if base == "bitflip" else (suffix or "Z").upper()
+        if len(axis) != 1 or axis not in "XYZ":
+            raise ValueError(
+                f"traceable channels are single-site; axis {axis!r} is not "
+                "one of X/Y/Z (use models.channels for multi-site dephasing)"
+            )
         c0, c1, _ = _ptm_rot_tables(axis)
         return c0 + (1.0 - 2.0 * p) * c1
     if base in ("amplitude_damping", "ad"):
@@ -177,6 +182,117 @@ def ptm_channel(name: str, param, heisenberg: bool = False) -> jax.Array:
 # ---------------------------------------------------------------------------
 # parametric Trotter layer: angles as runtime inputs
 # ---------------------------------------------------------------------------
+
+
+def _broadcast_rows(x, R: int, V: int, what: str):
+    """Broadcast a per-row parameter to [R, V]: scalars and [V] broadcast,
+    [R] (per-row scalars, R≠V) reshapes to [R, 1]; the ambiguous R==V case
+    must be passed explicitly."""
+    x = jnp.asarray(x)
+    if R > 1 and x.ndim == 1 and x.shape[0] == R:
+        if R == V:
+            raise ValueError(
+                f"{what} shape ({R},) is ambiguous with {R} rows on {V} "
+                f"vertices; pass [{R}, 1] (per-row scalars) or [{R}, {V}] "
+                "explicitly"
+            )
+        x = x[:, None]
+    return jnp.broadcast_to(x, (R, V))
+
+
+def _group_angle_tables(spec: BatchedGraphSpec):
+    """Per-bucket positions into the [E] bond-angle vector (numpy so they
+    embed as constants at trace time — never eager device arrays)."""
+    edge_pos = {}
+    for k, (iu, iv, su, sv) in enumerate(spec.edges):
+        edge_pos[(iu, iv)] = k
+        edge_pos[(iv, iu)] = k
+    return tuple(
+        tuple(
+            np.asarray(
+                [edge_pos[(u, v)] for u, v in zip(b.u_idx, b.v_idx)],
+                np.int32,
+            )
+            for b in group
+        )
+        for group in spec.color_groups
+    )
+
+
+def _make_parametric_core(
+    spec: BatchedGraphSpec,
+    chi: int,
+    *,
+    site_gate_fn,
+    bond_gate_fn,
+    site_paulis: tuple,
+    bond_pauli: str,
+    noise_names: tuple,
+    noise_gate_fn,
+    cutoff: float,
+    normalize_tensors: bool,
+    bp_maxiter: int,
+    bp_tolerance: float | None,
+    bp_damping: float,
+    final_update: bool,
+) -> Callable:
+    """Shared body of :func:`make_field_layer_fn` (wavefunction, d=2) and
+    :func:`make_noisy_field_layer_fn` (density matrix, d=4): only the gate
+    builders and the optional post-unitary channel stage differ."""
+    V, E = spec.num_vertices, len(spec.edges)
+    group_tables = _group_angle_tables(spec)
+    S, C = len(site_paulis), len(noise_names)
+
+    def refresh(state):
+        return bp_update(
+            spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance,
+            damping=bp_damping,
+        )
+
+    def core(state: BatchedState, site_thetas, bond_thetas, noise_params):
+        site_thetas = _broadcast_rows(site_thetas, S, V, "site_thetas")
+        bond_thetas = jnp.broadcast_to(jnp.asarray(bond_thetas), (E,))
+        # compose the S rotations into ONE per-vertex gate (a [V, d, d]
+        # matmul chain) so the hot loop pays a single tensor contraction
+        gate = site_gate_fn(site_paulis[0], site_thetas[0])
+        for k in range(1, S):
+            gate = jnp.einsum(
+                "vpq,vqr->vpr", site_gate_fn(site_paulis[k], site_thetas[k]),
+                gate,
+            )
+        state = apply_one_site(state, gate.astype(state.tensors.dtype))
+        errs = []
+        for group, tables in zip(spec.color_groups, group_tables):
+            # the 1-site sweep already touched every vertex, so every group
+            # needs a refresh (matches BatchedCircuit's needs_refresh)
+            state = refresh(state)
+            for b, eidx in zip(group, tables):
+                gmat = bond_gate_fn(bond_pauli, bond_thetas[jnp.asarray(eidx)])
+                d = int(round(gmat.shape[-1] ** 0.5))
+                state, err = apply_color_group(
+                    state, (b,),
+                    gmat.reshape(-1, d, d, d, d).astype(state.tensors.dtype),
+                    chi, cutoff, normalize_tensors,
+                )
+                errs.append(err)
+        if C:
+            # noise after the unitary part: one composed per-vertex channel
+            noise_params = _broadcast_rows(noise_params, C, V, "noise_params")
+            chan = noise_gate_fn(noise_names[0], noise_params[0])
+            for k in range(1, C):
+                chan = jnp.einsum(
+                    "vpq,vqr->vpr", noise_gate_fn(noise_names[k],
+                                                  noise_params[k]), chan,
+                )
+            state = apply_one_site(state, chan.astype(state.tensors.dtype))
+        if final_update:
+            state = refresh(state)
+        all_errs = (
+            jnp.concatenate(errs) if errs else jnp.zeros((0,), jnp.float32)
+        )
+        return state, all_errs
+
+    return core
 
 
 def make_field_layer_fn(
@@ -203,8 +319,8 @@ def make_field_layer_fn(
       rotation ``exp(-i θ/2 site_pauli)`` applied first.  ``site_pauli``
       may also be a sequence (e.g. ``("X", "Z")`` for a kicked-Ising
       layer with both transverse and longitudinal fields), in which case
-      ``site_thetas`` broadcasts to ``[S, V]`` (pass ``[S, 1]`` for one
-      scalar per rotation) and the rotations apply in sequence;
+      ``site_thetas`` broadcasts to ``[S, V]`` (``[S]`` per-rotation
+      scalars allowed when S ≠ V) and the rotations apply in sequence;
     - ``bond_thetas``: scalar or ``[E]`` (``spec.edges`` order) — per-edge
       angle of the 2-site rotation applied per edge-color group with a BP
       refresh between groups, exactly where
@@ -216,74 +332,20 @@ def make_field_layer_fn(
     ensemble program over stacked states and per-realization angles."""
     if spec is None:
         spec = compile_graph(g)
-    V, E = spec.num_vertices, len(spec.edges)
-
-    # per-bucket tables: positions into the [E] bond-angle vector (numpy so
-    # they embed as constants at trace time — never eager device arrays)
-    edge_pos = {}
-    for k, (iu, iv, su, sv) in enumerate(spec.edges):
-        edge_pos[(iu, iv)] = k
-        edge_pos[(iv, iu)] = k
-    group_tables = tuple(
-        tuple(
-            np.asarray(
-                [edge_pos[(u, v)] for u, v in zip(b.u_idx, b.v_idx)],
-                np.int32,
-            )
-            for b in group
-        )
-        for group in spec.color_groups
-    )
-
     site_paulis = (
         (site_pauli,) if isinstance(site_pauli, str) else tuple(site_pauli)
     )
-    S = len(site_paulis)
+    core = _make_parametric_core(
+        spec, chi, site_gate_fn=rot1, bond_gate_fn=rot2,
+        site_paulis=site_paulis, bond_pauli=bond_pauli,
+        noise_names=(), noise_gate_fn=None,
+        cutoff=cutoff, normalize_tensors=normalize_tensors,
+        bp_maxiter=bp_maxiter, bp_tolerance=bp_tolerance,
+        bp_damping=bp_damping, final_update=final_update,
+    )
 
     def layer(state: BatchedState, site_thetas, bond_thetas):
-        site_thetas = jnp.asarray(site_thetas)
-        if S > 1 and site_thetas.ndim == 1 and site_thetas.shape[0] == S == V:
-            # [S] and [V] are indistinguishable here; [V] (shared across
-            # rotations) would broadcast silently into wrong gates
-            raise ValueError(
-                f"site_thetas shape ({S},) is ambiguous with {S} rotations "
-                f"on {V} vertices; pass [S, 1] (per-rotation scalars) or "
-                f"[S, V] explicitly"
-            )
-        site_thetas = jnp.broadcast_to(site_thetas, (S, V))
-        bond_thetas = jnp.broadcast_to(jnp.asarray(bond_thetas), (E,))
-        # compose the S rotations into ONE per-vertex gate (a [V, 2, 2]
-        # matmul chain) so the hot loop pays a single tensor contraction
-        gate = rot1(site_paulis[0], site_thetas[0])
-        for k in range(1, S):
-            gate = jnp.einsum(
-                "vpq,vqr->vpr", rot1(site_paulis[k], site_thetas[k]), gate
-            )
-        state = apply_one_site(state, gate)
-        errs = []
-        for group, tables in zip(spec.color_groups, group_tables):
-            # the 1-site sweep already touched every vertex, so every group
-            # needs a refresh (matches BatchedCircuit's needs_refresh)
-            state = bp_update(
-                spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance,
-                damping=bp_damping,
-            )
-            for b, eidx in zip(group, tables):
-                gmat = rot2(bond_pauli, bond_thetas[jnp.asarray(eidx)])
-                state, err = apply_color_group(
-                    state, (b,), gmat.reshape(-1, 2, 2, 2, 2), chi, cutoff,
-                    normalize_tensors,
-                )
-                errs.append(err)
-        if final_update:
-            state = bp_update(
-                spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance,
-                damping=bp_damping,
-            )
-        all_errs = (
-            jnp.concatenate(errs) if errs else jnp.zeros((0,), jnp.float32)
-        )
-        return state, all_errs
+        return core(state, site_thetas, bond_thetas, None)
 
     return spec, (jax.jit(layer) if jit else layer)
 
@@ -327,89 +389,26 @@ def make_noisy_field_layer_fn(
     single-trajectory noise sweeps there would recompile per rate)."""
     if spec is None:
         spec = compile_graph(g)
-    V, E = spec.num_vertices, len(spec.edges)
-
-    edge_pos = {}
-    for k, (iu, iv, su, sv) in enumerate(spec.edges):
-        edge_pos[(iu, iv)] = k
-        edge_pos[(iv, iu)] = k
-    group_tables = tuple(
-        tuple(
-            np.asarray(
-                [edge_pos[(u, v)] for u, v in zip(b.u_idx, b.v_idx)],
-                np.int32,
-            )
-            for b in group
-        )
-        for group in spec.color_groups
-    )
-
     site_paulis = (
         (site_pauli,) if isinstance(site_pauli, str) else tuple(site_pauli)
     )
-    S = len(site_paulis)
     noise_names = (noise,) if isinstance(noise, str) else tuple(noise)
-    C = len(noise_names)
+    for name in noise_names:  # fail at build time, not inside the jit
+        if np.asarray(ptm_channel(name, 0.0)).shape != (4, 4):
+            raise ValueError(f"channel {name!r} is not single-site")
 
-    def layer(state: BatchedState, site_thetas, bond_thetas, noise_params):
-        site_thetas = jnp.asarray(site_thetas)
-        if S > 1 and site_thetas.ndim == 1 and site_thetas.shape[0] == S == V:
-            raise ValueError(
-                f"site_thetas shape ({S},) is ambiguous with {S} rotations "
-                f"on {V} vertices; pass [S, 1] or [S, V] explicitly"
-            )
-        site_thetas = jnp.broadcast_to(site_thetas, (S, V))
-        bond_thetas = jnp.broadcast_to(jnp.asarray(bond_thetas), (E,))
-        noise_params = jnp.asarray(noise_params)
-        if C > 1 and noise_params.ndim == 1 and noise_params.shape[0] == C:
-            if C == V:
-                raise ValueError(
-                    f"noise_params shape ({C},) is ambiguous with {C} "
-                    f"channels on {V} vertices; pass [C, 1] or [C, V] "
-                    "explicitly"
-                )
-            noise_params = noise_params[:, None]  # per-channel scalars
-        noise_params = jnp.broadcast_to(noise_params, (C, V))
+    def ptm_rot_s(gen, angle):
+        return ptm_rot(gen, angle, heisenberg=False)
 
-        gate = ptm_rot(site_paulis[0], site_thetas[0])
-        for k in range(1, S):
-            gate = jnp.einsum(
-                "vpq,vqr->vpr", ptm_rot(site_paulis[k], site_thetas[k]), gate
-            )
-        state = apply_one_site(state, gate.astype(state.tensors.dtype))
-        errs = []
-        for group, tables in zip(spec.color_groups, group_tables):
-            state = bp_update(
-                spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance,
-                damping=bp_damping,
-            )
-            for b, eidx in zip(group, tables):
-                gmat = ptm_rot(bond_pauli, bond_thetas[jnp.asarray(eidx)])
-                state, err = apply_color_group(
-                    state, (b,),
-                    gmat.reshape(-1, 4, 4, 4, 4).astype(state.tensors.dtype),
-                    chi, cutoff, normalize_tensors,
-                )
-                errs.append(err)
-        # noise after the unitary part: one composed per-vertex channel
-        chan = ptm_channel(noise_names[0], noise_params[0])
-        for k in range(1, C):
-            chan = jnp.einsum(
-                "vpq,vqr->vpr", ptm_channel(noise_names[k], noise_params[k]),
-                chan,
-            )
-        state = apply_one_site(state, chan.astype(state.tensors.dtype))
-        if final_update:
-            state = bp_update(
-                spec, state, maxiter=bp_maxiter, tolerance=bp_tolerance,
-                damping=bp_damping,
-            )
-        all_errs = (
-            jnp.concatenate(errs) if errs else jnp.zeros((0,), jnp.float32)
-        )
-        return state, all_errs
-
-    return spec, (jax.jit(layer) if jit else layer)
+    core = _make_parametric_core(
+        spec, chi, site_gate_fn=ptm_rot_s, bond_gate_fn=ptm_rot_s,
+        site_paulis=site_paulis, bond_pauli=bond_pauli,
+        noise_names=noise_names, noise_gate_fn=ptm_channel,
+        cutoff=cutoff, normalize_tensors=normalize_tensors,
+        bp_maxiter=bp_maxiter, bp_tolerance=bp_tolerance,
+        bp_damping=bp_damping, final_update=final_update,
+    )
+    return spec, (jax.jit(core) if jit else core)
 
 
 # ---------------------------------------------------------------------------

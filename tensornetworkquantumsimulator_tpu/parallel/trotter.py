@@ -68,6 +68,10 @@ class BatchedCircuit:
         evolution) or "rho" (Schrödinger maps for density-matrix evolution,
         `models/channels.py`).  Noise-channel names (`channels.is_channel`)
         are accepted in either picture."""
+        if heisenberg and picture not in (None, "heisenberg"):
+            raise ValueError(
+                f"heisenberg=True contradicts picture={picture!r}"
+            )
         if picture is None:
             picture = "heisenberg" if heisenberg else None
         if picture not in (None, "heisenberg", "rho"):
@@ -165,8 +169,10 @@ class BatchedCircuit:
                         _gates._ptm_cached(name[1:].upper(), float(param))
                     )
                 else:
-                    mat = _gates.pauli_transfer_matrix(
-                        _gates.gate_matrix(name, param), heisenberg=False
+                    mat = np.array(
+                        _gates._ptm_schrodinger_cached(
+                            name, None if param is None else float(param)
+                        )
                     )
             else:
                 mat = np.asarray(_gates.gate_matrix(name, param))

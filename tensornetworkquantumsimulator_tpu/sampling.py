@@ -217,8 +217,10 @@ def sample_density_matrix(
     sampler), re-updated after each projection.
 
     Returns a list of ``{"bitstring": {v: 0|1}, "logp": float}`` where
-    ``logp`` is the log of the product of conditional probabilities —
-    exact (= log ⟨x|ρ|x⟩) whenever BP is exact on the graph.
+    ``logp`` is the log of the product of conditional probabilities — the
+    telescoped value is ``log(⟨x|ρ|x⟩ / Tr ρ)`` whenever BP is exact on
+    the graph (equal to log ⟨x|ρ|x⟩ only for trace-normalized states;
+    per-gate tensor rescaling during evolution changes Tr ρ).
     """
     from .models.tensornetwork import TensorNetwork
 
