@@ -189,6 +189,7 @@ _CHANNEL_ALIASES = {
     "gad": "generalized_amplitude_damping",
     "pauli_channel": "pauli_channel",
     "reset": "reset",
+    "kraus": "kraus",
 }
 
 
@@ -204,10 +205,23 @@ def is_channel(name) -> bool:
 
 def channel_kraus(name: str, param, nsites: int = 1) -> list:
     """Kraus list for a named channel.  ``name`` may carry an axis suffix
-    (``"dephasing:ZZ"``); ``param`` is the channel probability/rate(s)."""
+    (``"dephasing:ZZ"``); ``param`` is the channel probability/rate(s).
+    ``("kraus", verts, [K0, K1, …])`` passes an explicit Kraus list for an
+    arbitrary CPTP map."""
     canon, suffix = _parse(name)
     if canon is None:
         raise ValueError(f"unknown channel {name!r}")
+    if canon == "kraus":
+        ks = [np.asarray(k, dtype=np.complex128) for k in param]
+        d = 2**nsites
+        if any(k.shape != (d, d) for k in ks):
+            raise ValueError(
+                f"Kraus operators must be {d}x{d} for a {nsites}-site channel"
+            )
+        total = sum(k.conj().T @ k for k in ks)
+        if not np.allclose(total, np.eye(d), atol=1e-10):
+            raise ValueError("Kraus operators do not satisfy sum K'K = I")
+        return ks
     if canon == "depolarizing":
         return depolarizing_kraus(float(param), nsites)
     if canon == "dephasing":
@@ -254,7 +268,10 @@ def _channel_ptm_cached(name, key, nsites, heisenberg):
 
 
 def channel_ptm(name: str, param, nsites: int = 1, heisenberg: bool = True) -> np.ndarray:
-    """Transfer matrix of a named channel (cached)."""
+    """Transfer matrix of a named channel (cached; explicit "kraus" lists
+    are converted directly, uncached)."""
+    if _parse(name)[0] == "kraus":
+        return kraus_to_ptm(channel_kraus(name, param, nsites), heisenberg)
     return np.array(_channel_ptm_cached(name, _param_key(param), nsites, heisenberg))
 
 

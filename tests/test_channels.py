@@ -146,6 +146,45 @@ def test_channel_ptm_properties():
     )
 
 
+def test_explicit_kraus_gate():
+    """("kraus", verts, [K…]) tuples: arbitrary CPTP maps in circuits."""
+    # a random unitary-rotated amplitude damping
+    rng = np.random.default_rng(5)
+    h = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+    u = np.linalg.qr(h)[0]
+    ks = [u @ k @ u.conj().T for k in ch.amplitude_damping_kraus(0.3)]
+    assert ch.is_channel("kraus")
+    np.testing.assert_allclose(
+        ch.channel_ptm("kraus", ks, 1, heisenberg=False),
+        ch.kraus_to_ptm(ks, heisenberg=False),
+        atol=1e-14,
+    )
+    with pytest.raises(ValueError):  # not trace preserving
+        ch.channel_kraus("kraus", [0.5 * np.eye(2)], 1)
+
+    g = named_grid((2, 2))
+    verts = g.vertices()
+    pos = {v: i for i, v in enumerate(verts)}
+    circuit = [("Rx", [v], 0.6) for v in verts] + [
+        ("kraus", [verts[0]], ks),
+        ("kraus", [verts[2]], ks),
+    ]
+    rho_d = _dense_evolve(circuit, pos, len(verts))
+    rho = density_matrix_tensornetworkstate(jnp.float64, lambda v: "0", g)
+    rho, _ = tnqs.apply_circuit(
+        circuit, rho,
+        apply_kwargs=dict(maxdim=8, cutoff=0.0, normalize_tensors=False),
+    )
+    for v in verts:
+        z_d = np.real(
+            np.trace(rho_d @ _lift1(np.diag([1, -1]), pos[v], len(verts)))
+        )
+        np.testing.assert_allclose(
+            np.real(pauli_expectation(rho, ("Z", [v]), alg="exact")),
+            z_d, atol=1e-9,
+        )
+
+
 def test_channel_param_validation():
     with pytest.raises(ValueError):
         ch.channel_kraus("depolarizing", 1.5, 1)
