@@ -368,6 +368,12 @@ def _measure_all(results: dict) -> None:
         "chi10_fast": ("chi10", {"TNQS_EIGH_ALG": "auto",
                                  "TNQS_SVD_ALG": "gram",
                                  "TNQS_QR_ALG": "cholqr2"}, 255),
+        # the same stack on the 127q heavy-hex flagship (k=1023 × 255
+        # layers ≈ 260k layers so the ~0.1 ms/layer path still spends
+        # tens of seconds of compute against queue noise)
+        "heavyhex_fast": ("heavyhex", {"TNQS_EIGH_ALG": "auto",
+                                       "TNQS_SVD_ALG": "gram",
+                                       "TNQS_QR_ALG": "cholqr2"}, 1023),
         # pure-MXU CholeskyQR2 QR-reduce: the tall-skinny chi>=64 A/B
         # candidate (STATUS.md round-3 continuation 2); opt-in accuracy
         # lever like jacobi, reported under its own key
@@ -574,6 +580,9 @@ def _emit(results: dict) -> None:
         # measured only with leftover budget
         "tfim_5x5_chi10_fast_optin_layers_per_sec": _num(
             _inv(results.get("chi10_fast", {}).get("per_layer")), 3
+        ),
+        "heavyhex127q_chi8_fast_optin_layers_per_sec": _num(
+            _inv(results.get("heavyhex_fast", {}).get("per_layer")), 3
         ),
         "heavyhex127q_chi64_cholqr2_optin_layers_per_sec": _num(
             _inv(results.get("chi64_cholqr2", {}).get("per_layer")), 3
