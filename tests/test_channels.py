@@ -447,3 +447,45 @@ def test_batched_channels_vs_generic(picture):
             np.testing.assert_allclose(
                 float(vals["Z"][i]), np.real(ref_z), rtol=2e-5, atol=1e-7
             )
+
+
+def test_batched_channels_heavyhex():
+    """Channels through the batched engine's mixed slot buckets: noisy
+    Heisenberg evolution on the degree-3 heavy-hex lattice."""
+    from tensornetworkquantumsimulator_tpu import heavy_hexagonal_lattice
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        BatchedCircuit,
+        batched_from_tns,
+        batched_to_tns,
+        make_layer_fn,
+    )
+
+    g = heavy_hexagonal_lattice(1, 1)
+    vz = g.vertices()[len(g.vertices()) // 2]
+    circuit = [("Rx", [v], 0.4) for v in g.vertices()]
+    for grp in edge_color(g, 3):
+        circuit += [("Rzz", pair, 0.3) for pair in grp]
+    circuit += [("depolarizing", [v], 0.05) for v in g.vertices()]
+    circ = list(reversed(circuit))
+    chi = 4
+
+    op0 = paulitensornetworkstate(
+        jnp.complex128, lambda v: "Z" if v == vz else "I", g
+    )
+    ref, _ = tnqs.apply_circuit(
+        circ, op0,
+        apply_kwargs=dict(maxdim=chi, cutoff=1e-13, normalize_tensors=False),
+        bp_update_kwargs=dict(maxiter=80, tolerance=1e-13),
+    )
+    spec, state = batched_from_tns(op0, chi=chi)
+    bc = BatchedCircuit(circ, g, spec=spec, d=4, picture="heisenberg")
+    layer_fn = make_layer_fn(
+        bc, chi=chi, cutoff=1e-13, normalize_tensors=False,
+        bp_maxiter=80, bp_tolerance=1e-13,
+    )
+    state, _ = layer_fn(state)
+    tns_b = batched_to_tns(spec, state, g, op0.siteinds())
+    val_ref = heisenberg_expectation(ref, "0", alg="bp")
+    val_b = heisenberg_expectation(tns_b, "0", alg="bp")
+    assert abs(np.real(val_ref)) > 0.05
+    np.testing.assert_allclose(np.real(val_b), np.real(val_ref), rtol=1e-5)
