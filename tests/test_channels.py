@@ -489,3 +489,69 @@ def test_batched_channels_heavyhex():
     val_b = heisenberg_expectation(tns_b, "0", alg="bp")
     assert abs(np.real(val_ref)) > 0.05
     np.testing.assert_allclose(np.real(val_b), np.real(val_ref), rtol=1e-5)
+
+
+def test_two_time_correlator_vs_dense():
+    """Dynamical response functions C(t) = Tr[ρ₀ A(t) B] come for free from
+    the Heisenberg machinery: by cyclicity C = Tr[(Bρ₀) A(t)], so the
+    product weights of `heisenberg_expectation` just carry the (generally
+    non-Hermitian) local matrix B_w·ρ_w at B's site — `pauli_coefficients`
+    accepts 2×2 matrices and keeps complex coefficients.  Works with noise
+    (A(t) evolves under the adjoint channels)."""
+    from tensornetworkquantumsimulator_tpu.models.sites import (
+        PAULI_X,
+        PAULI_Z,
+        pauli_coefficients,
+    )
+
+    g = named_grid((2, 2))
+    verts = g.vertices()
+    nq = len(verts)
+    pos = {v: i for i, v in enumerate(verts)}
+    va = vb = verts[0]  # autocorrelation ⟨Z_a(t) X_a⟩: complex response
+    circuit = _noisy_layer(g, p_dep=0.04, gam=0.05) * 2
+
+    # dense oracle: A(t) by applying adjoint maps to A in reverse order
+    A = _lift1(PAULI_Z, pos[va], nq)
+    for gate in reversed(circuit):
+        name = gate[0]
+        vs = collect_gate_vertices(gate[1])
+        param = gate[2] if len(gate) > 2 else None
+        if ch.is_channel(name):
+            ks = ch.channel_kraus(name, param, len(vs))
+            lift = (
+                (lambda k: _lift1(k, pos[vs[0]], nq))
+                if len(vs) == 1
+                else (lambda k: _lift2(k, pos[vs[0]], pos[vs[1]], nq))
+            )
+            A = sum(K.conj().T @ A @ K for K in map(lift, ks))
+        else:
+            u = gate_matrix(name, param)
+            U = (
+                _lift1(u, pos[vs[0]], nq)
+                if len(vs) == 1
+                else _lift2(u, pos[vs[0]], pos[vs[1]], nq)
+            )
+            A = U.conj().T @ A @ U
+    psi0 = np.zeros(2**nq)
+    psi0[0] = 1.0
+    rho0 = np.outer(psi0, psi0)
+    B = _lift1(PAULI_X, pos[vb], nq)
+    c_dense = np.trace(rho0 @ A @ B)
+
+    # TNS: evolve A through the reversed circuit, weight B's site with B·ρ
+    op = paulitensornetworkstate(
+        jnp.complex128, lambda v: "Z" if v == va else "I", g
+    )
+    op, _ = tnqs.apply_circuit(
+        list(reversed(circuit)), op,
+        apply_kwargs=dict(maxdim=16, cutoff=0.0, normalize_tensors=False),
+    )
+    rho_loc = np.array([[1.0, 0.0], [0.0, 0.0]])
+
+    def init(v):
+        return PAULI_X @ rho_loc if v == vb else rho_loc
+
+    val = heisenberg_expectation(op, init, alg="exact")
+    np.testing.assert_allclose(np.complex128(val), c_dense, atol=1e-9)
+    assert abs(np.imag(c_dense)) > 1e-3  # a genuinely complex response
