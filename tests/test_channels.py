@@ -555,3 +555,25 @@ def test_two_time_correlator_vs_dense():
     val = heisenberg_expectation(op, init, alg="exact")
     np.testing.assert_allclose(np.complex128(val), c_dense, atol=1e-9)
     assert abs(np.imag(c_dense)) > 1e-3  # a genuinely complex response
+
+
+def test_pauli_expectation_boundarymps_alg():
+    """The linear Tr[ρP] functionals run under every contraction backend:
+    boundary-MPS agrees with exact on a noisy 3×3 state."""
+    g = named_grid((3, 3))
+    rho = density_matrix_tensornetworkstate(jnp.float64, lambda v: "0", g)
+    rho, _ = tnqs.apply_circuit(
+        _noisy_layer(g), rho,
+        apply_kwargs=dict(maxdim=6, cutoff=1e-14, normalize_tensors=False),
+    )
+    v = (2, 2)
+    ref = pauli_expectation(rho, ("Z", [v]), alg="exact")
+    bm = pauli_expectation(
+        rho, ("Z", [v]), alg="boundarymps", mps_bond_dimension=8
+    )
+    np.testing.assert_allclose(np.real(bm), np.real(ref), atol=1e-8)
+    np.testing.assert_allclose(
+        purity(rho, alg="boundarymps", mps_bond_dimension=8),
+        purity(rho, alg="exact"),
+        rtol=1e-8,
+    )
