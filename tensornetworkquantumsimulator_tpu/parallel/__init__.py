@@ -60,6 +60,7 @@ from .overlap import (
     batched_loschmidt_echo,
     make_pauli_expectation_fn,
     make_sharded_inner,
+    make_sharded_pauli_expectations,
 )
 from .loopcorrection import (
     LoopConfigurations,

@@ -187,3 +187,51 @@ def test_sharded_noisy_rho_layer_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out.tensors), np.asarray(ref.tensors), atol=1e-9
     )
+
+
+def test_sharded_pauli_expectations_match_unsharded():
+    """Per-site Tr[ρP] on the vertex-sharded noisy state equals the
+    single-chip batched values (measurement never gathers)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        BatchedState,
+        make_pauli_expectation_fn,
+        make_sharded_pauli_expectations,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.sharding import shard_spec
+
+    nx, ny, chi, S = 8, 4, 3, 8
+    g = named_grid((nx, ny))
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+    rho0 = density_matrix_tensornetworkstate(
+        jnp.complex128, lambda v: "+" if v[0] % 2 else "0", g
+    )
+    _, state = batched_from_tns(rho0, chi=chi, spec=spec)
+    _, layer = make_noisy_field_layer_fn(
+        g, chi, noise=("depolarizing", "amplitude_damping"), spec=spec,
+        bp_maxiter=40, bp_tolerance=1e-12,
+    )
+    state, _ = layer(state, 0.4, 0.3, jnp.asarray([0.04, 0.06]))
+
+    ref_fn = make_pauli_expectation_fn(
+        spec, chi, jnp.complex128, ops=("Z", "X"), maxiter=50,
+        tolerance=1e-12,
+    )
+    ref = ref_fn(state)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    sh = NamedSharding(mesh, P("v"))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    fn = make_sharded_pauli_expectations(
+        sspec, mesh, chi, jnp.complex128, ops=("Z", "X"), maxiter=50,
+        tolerance=1e-12,
+    )
+    out = fn(sharded)
+    for op in ("Z", "X"):
+        np.testing.assert_allclose(
+            np.asarray(out[op]), np.asarray(ref[op]), atol=1e-9
+        )
