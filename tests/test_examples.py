@@ -52,6 +52,11 @@ def test_sharded_dynamics_example():
     _load("sharded_dynamics").main(n_layers=2, chi=2)
 
 
+def test_lindblad_example_small():
+    rho = _load("lindblad_dynamics").main(nx=3, ny=3, t_final=0.3, dt=0.05)
+    assert rho is not None
+
+
 def test_noisy_circuit_example():
     rho = _load("noisy_circuit").main(nx=3, ny=3, layers=2)
     assert rho is not None
