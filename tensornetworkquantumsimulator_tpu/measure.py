@@ -90,7 +90,18 @@ def boundarymps_partitioning(observable, g: NamedGraph) -> str:
 
 
 def expect(psi, observable, alg: str | None = None, **kwargs):
-    """⟨ψ|O|ψ⟩/⟨ψ|ψ⟩ with the chosen backend (`expect.jl:36-157`)."""
+    """⟨ψ|O|ψ⟩/⟨ψ|ψ⟩ with the chosen backend (`expect.jl:36-157`).
+
+    Density-matrix ("PauliRho") networks route to `pauli_expectation`:
+    the physical expectation there is the LINEAR functional Tr[ρP]/Tr[ρ],
+    not the quadratic sandwich this function computes on wavefunctions."""
+    if isinstance(psi, TensorNetworkState):
+        try:
+            s0 = psi.siteinds(psi.vertices()[0])[0]
+        except (IndexError, KeyError):
+            s0 = None
+        if s0 is not None and s0.hastag("PauliRho"):
+            return pauli_expectation(psi, observable, alg=alg, **kwargs)
     if alg is None:
         alg = default_alg(psi)
     algorithm_check(psi, "expect", alg)
