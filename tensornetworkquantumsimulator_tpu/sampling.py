@@ -279,6 +279,16 @@ def sample_density_matrix(
 def sample(psi: TensorNetworkState, nsamples: int, alg: str = None, **kwargs):
     """Draw bitstrings (`sampling.jl:112-117`).  Returns a list of
     {vertex: 0..d-1} dicts."""
+    try:
+        s0 = psi.siteinds(psi.vertices()[0])[0]
+    except (IndexError, KeyError):
+        s0 = None
+    if s0 is not None and s0.hastag("PauliRho"):
+        raise ValueError(
+            "wavefunction samplers square the state; density-matrix "
+            "('PauliRho') networks sample from diag(rho) via "
+            "sample_density_matrix(rho, n)"
+        )
     algorithm_check(psi, "sample", alg)
     results, _ = _sample_impl(alg, psi, nsamples, **kwargs)
     return [r["bitstring"] for r in results]
