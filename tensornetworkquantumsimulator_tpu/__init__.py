@@ -23,6 +23,8 @@ from .utils import (
     edge_color,
     heavy_hexagonal_lattice,
     lieb_lattice,
+    triangular_lattice,
+    kagome_lattice,
     named_comb_tree,
     named_grid,
     named_hexagonal_lattice_graph,
@@ -35,6 +37,7 @@ from .models import (
     TensorNetwork,
     TensorNetworkState,
     channel_kraus,
+    imaginary_time_kraus,
     channel_ptm,
     density_matrix_tensornetworkstate,
     identitytensornetworkstate,
@@ -107,6 +110,7 @@ __all__ = [
     "apply_gates",
     "build_graph_from_circuit",
     "channel_kraus",
+    "imaginary_time_kraus",
     "channel_ptm",
     "contract",
     "density_matrix_tensornetworkstate",
@@ -123,6 +127,8 @@ __all__ = [
     "identitytensornetworkstate",
     "inner",
     "lieb_lattice",
+    "triangular_lattice",
+    "kagome_lattice",
     "loopcorrected_partitionfunction",
     "named_comb_tree",
     "named_grid",

@@ -3,6 +3,7 @@
 from .channels import (
     channel_kraus,
     channel_ptm,
+    imaginary_time_kraus,
     is_channel,
     kraus_to_ptm,
 )

@@ -43,6 +43,7 @@ __all__ = [
     "generalized_amplitude_damping_kraus",
     "pauli_channel_kraus",
     "reset_kraus",
+    "imaginary_time_kraus",
     "is_channel",
     "channel_kraus",
     "channel_ptm",
@@ -190,6 +191,7 @@ _CHANNEL_ALIASES = {
     "pauli_channel": "pauli_channel",
     "reset": "reset",
     "kraus": "kraus",
+    "map": "map",
 }
 
 
@@ -207,20 +209,28 @@ def channel_kraus(name: str, param, nsites: int = 1) -> list:
     """Kraus list for a named channel.  ``name`` may carry an axis suffix
     (``"dephasing:ZZ"``); ``param`` is the channel probability/rate(s).
     ``("kraus", verts, [K0, K1, …])`` passes an explicit Kraus list for an
-    arbitrary CPTP map."""
+    arbitrary CPTP map; ``("map", verts, [K0, …])`` the same WITHOUT the
+    trace-preservation check — for general linear maps ρ → Σ K ρ K†
+    (imaginary-time propagators e^{−τh}, POVM/weak-measurement branches;
+    the trace is restored by the ratio-style measurements,
+    `measure.pauli_expectation`)."""
     canon, suffix = _parse(name)
     if canon is None:
         raise ValueError(f"unknown channel {name!r}")
-    if canon == "kraus":
+    if canon in ("kraus", "map"):
         ks = [np.asarray(k, dtype=np.complex128) for k in param]
         d = 2**nsites
         if any(k.shape != (d, d) for k in ks):
             raise ValueError(
                 f"Kraus operators must be {d}x{d} for a {nsites}-site channel"
             )
-        total = sum(k.conj().T @ k for k in ks)
-        if not np.allclose(total, np.eye(d), atol=1e-10):
-            raise ValueError("Kraus operators do not satisfy sum K'K = I")
+        if canon == "kraus":
+            total = sum(k.conj().T @ k for k in ks)
+            if not np.allclose(total, np.eye(d), atol=1e-10):
+                raise ValueError(
+                    "Kraus operators do not satisfy sum K'K = I "
+                    '(use ("map", verts, [K…]) for non-trace-preserving maps)'
+                )
         return ks
     if canon == "depolarizing":
         return depolarizing_kraus(float(param), nsites)
@@ -249,6 +259,22 @@ def channel_kraus(name: str, param, nsites: int = 1) -> list:
     raise AssertionError(canon)
 
 
+def imaginary_time_kraus(h: np.ndarray, dtau: float) -> list:
+    """Single-element operator list [e^{−dτ·h}] for one imaginary-time
+    Trotter factor: in the density-matrix picture the ("map", verts, [G])
+    tuple evolves ρ → GρG†, so a product formula over all Hamiltonian
+    terms drives ρ(β) ∝ e^{−βH/2}·ρ₀·e^{−βH/2} toward the thermal state
+    from ρ₀ ∝ I (infinite temperature).  ``h`` must be hermitian.  No
+    reference counterpart (the reference is unitary-only).  See
+    `examples/thermal_states.py`."""
+    from scipy.linalg import expm
+
+    h = np.asarray(h, dtype=np.complex128)
+    if not np.allclose(h, h.conj().T, atol=1e-12):
+        raise ValueError("imaginary-time generator must be hermitian")
+    return [expm(-float(dtau) * h)]
+
+
 def _param_key(param):
     if isinstance(param, dict):
         return tuple(sorted((k, float(v)) for k, v in param.items()))
@@ -270,7 +296,7 @@ def _channel_ptm_cached(name, key, nsites, heisenberg):
 def channel_ptm(name: str, param, nsites: int = 1, heisenberg: bool = True) -> np.ndarray:
     """Transfer matrix of a named channel (cached; explicit "kraus" lists
     are converted directly, uncached)."""
-    if _parse(name)[0] == "kraus":
+    if _parse(name)[0] in ("kraus", "map"):
         return kraus_to_ptm(channel_kraus(name, param, nsites), heisenberg)
     return np.array(_channel_ptm_cached(name, _param_key(param), nsites, heisenberg))
 

@@ -16,6 +16,8 @@ from .lattices import (
     heavy_hexagonal_lattice,
     ibm_eagle_lattice,
     lieb_lattice,
+    triangular_lattice,
+    kagome_lattice,
     named_comb_tree,
     named_grid,
     named_hexagonal_lattice_graph,

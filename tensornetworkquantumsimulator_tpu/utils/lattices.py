@@ -151,6 +151,51 @@ def lieb_lattice(nx_: int, ny_: int, periodic: bool = False) -> NamedGraph:
     return g
 
 
+def triangular_lattice(nx_: int, ny_: int, periodic: bool = False) -> NamedGraph:
+    """nx×ny triangular lattice: the square grid plus one diagonal per
+    plaquette, giving interior vertices degree 6 (2 up / 2 down / left /
+    right).  No reference counterpart (the reference builds custom graphs
+    for such geometries by hand); the batched engine is degree-generic, so
+    triangular states run through the same BP/simple-update path as grids
+    (degree-6 is already exercised by the 3-d torus).  ``periodic`` wraps
+    both axes (needs nx, ny > 2, like `named_grid`)."""
+    g = named_grid((nx_, ny_), periodic=periodic)
+    rmax = nx_ if periodic else nx_ - 1
+    cmax = ny_ if periodic else ny_ - 1
+    if periodic and (nx_ <= 2 or ny_ <= 2):
+        raise ValueError("periodic triangular lattice needs nx, ny > 2")
+    for r in range(1, rmax + 1):
+        for c in range(1, cmax + 1):
+            v = (r, c)
+            w = (r % nx_ + 1, c % ny_ + 1)
+            g.add_edge_inplace(NamedEdge(v, w))
+    return g
+
+
+def kagome_lattice(m: int, n: int) -> NamedGraph:
+    """Kagome (trihexagonal) lattice with m×n hexagons: the medial graph of
+    the hexagonal lattice — one vertex per honeycomb edge (named by its
+    midpoint coordinates), two vertices adjacent when their honeycomb edges
+    share an endpoint.  Corner-sharing triangles, degree ≤ 4.  No reference
+    counterpart; runs on the generic and batched engines like any graph."""
+    hg = named_hexagonal_lattice_graph(m, n)
+    mid = {}
+    for e in hg.edges():
+        u, v = e.src, e.dst
+        mid[frozenset((u, v))] = ((u[0] + v[0]) / 2, (u[1] + v[1]) / 2)
+    if len(set(mid.values())) != len(mid):
+        raise ValueError("hexagonal embedding produced colliding midpoints")
+    g = NamedGraph(sorted(mid.values()))
+    for hv in hg.vertices():
+        incident = sorted(
+            mid[frozenset((hv, w))] for w in hg.neighbors(hv)
+        )
+        for a, b in itertools.combinations(incident, 2):
+            if not g.has_edge(NamedEdge(a, b)):
+                g.add_edge_inplace(NamedEdge(a, b))
+    return g
+
+
 def topology_to_graph(topology) -> NamedGraph:
     """Adjacency-pair list -> graph with integer vertices (`graph_ops.jl:40-49`)."""
     nq = max(max(pair) for pair in topology)

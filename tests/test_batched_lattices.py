@@ -121,3 +121,56 @@ def test_batched_heisenberg_picture():
     tr_b = tnqs.inner(w_b, op_b, alg="bp")
     assert abs(np.real(tr_ref)) > 0.1  # ⟨Z(t)⟩ on |↑...↑⟩ is O(1)
     np.testing.assert_allclose(np.real(tr_b), np.real(tr_ref), rtol=1e-5)
+
+
+def test_triangular_lattice_structure():
+    from tensornetworkquantumsimulator_tpu import triangular_lattice
+
+    g = triangular_lattice(4, 4)
+    assert len(list(g.vertices())) == 16
+    assert sum(1 for _ in g.edges()) == 24 + 9  # grid bonds + diagonals
+    gp = triangular_lattice(4, 4, periodic=True)
+    assert all(len(gp.neighbors(v)) == 6 for v in gp.vertices())
+    assert sum(1 for _ in gp.edges()) == 48
+    with pytest.raises(ValueError):
+        triangular_lattice(2, 4, periodic=True)
+
+
+def test_kagome_lattice_structure():
+    from tensornetworkquantumsimulator_tpu import kagome_lattice
+
+    k = kagome_lattice(2, 2)
+    degs = sorted(len(k.neighbors(v)) for v in k.vertices())
+    assert max(degs) == 4  # corner-sharing triangles
+    # medial-graph counts: one vertex per honeycomb edge
+    from tensornetworkquantumsimulator_tpu import named_hexagonal_lattice_graph
+
+    hg = named_hexagonal_lattice_graph(2, 2)
+    assert len(list(k.vertices())) == sum(1 for _ in hg.edges())
+    # every honeycomb degree-3 vertex contributes a triangle (3 edges)
+    tri_edges = sum(
+        3 if len(hg.neighbors(v)) == 3 else 1 for v in hg.vertices()
+    ) // 2
+    assert sum(1 for _ in k.edges()) >= tri_edges
+
+
+def test_triangular_batched_matches_generic():
+    from tensornetworkquantumsimulator_tpu import triangular_lattice
+
+    g = triangular_lattice(3, 3)
+    layer = [("Rx", [v], 0.3) for v in g.vertices()]
+    for group in edge_color(g, 7):
+        layer += [("Rzz", pair, 0.5) for pair in group]
+    vc = (2, 2)
+    _check_lattice(g, layer, chi=4, obs_v=vc, nl=1, atol=2e-5)
+
+
+def test_kagome_batched_matches_generic():
+    from tensornetworkquantumsimulator_tpu import kagome_lattice
+
+    g = kagome_lattice(1, 2)
+    layer = [("Rx", [v], 0.3) for v in g.vertices()]
+    for group in edge_color(g, 5):
+        layer += [("Rzz", pair, 0.5) for pair in group]
+    vc = sorted(g.vertices())[len(list(g.vertices())) // 2]
+    _check_lattice(g, layer, chi=4, obs_v=vc, nl=1, atol=2e-5)

@@ -657,3 +657,95 @@ def test_lindblad_trotter_convergence():
         errs.append(err)
     assert errs[0] < 0.1  # already accurate at dt=0.08
     assert errs[1] < 0.65 * errs[0]  # ~first-order in dt
+
+
+def test_thermal_state_imaginary_time_vs_dense():
+    """Finite-temperature states by imaginary time: ("map", verts, [G]) with
+    G = e^{−dτ·h} (non-trace-preserving, `imaginary_time_kraus`) drives
+    ρ ∝ I toward e^{−βH} under a Strang product formula (each layer
+    advances β by 2dτ since ρ → GρG†).  Machinery oracle: exact agreement
+    with dense evolution of the SAME formula from ρ₀ = I/2ⁿ on a 4-site
+    path (BP exact on trees); physics oracle: the Strang error vs exact
+    e^{−βH} is O(dτ²)."""
+    from scipy.linalg import expm as dense_expm
+
+    from tensornetworkquantumsimulator_tpu import (
+        imaginary_time_kraus,
+        named_path_graph,
+    )
+
+    g = named_path_graph(4)
+    verts = sorted(g.vertices())
+    nq = len(verts)
+    pos = {v: i for i, v in enumerate(verts)}
+    J, hx, dtau, nsteps = 1.0, 0.7, 0.05, 8
+    beta = 2 * dtau * nsteps
+
+    x = np.array([[0.0, 1.0], [1.0, 0.0]])
+    z = np.diag([1.0, -1.0])
+    h_site = -hx * x
+    h_bond = -J * np.kron(z, z)
+
+    # one Strang step: X(dτ/2) · ZZ(dτ) · X(dτ/2)
+    layer = [("map", [v], imaginary_time_kraus(h_site, dtau / 2))
+             for v in verts]
+    for group in edge_color(g, 3):
+        layer += [("map", pair, imaginary_time_kraus(h_bond, dtau))
+                  for pair in group]
+    layer += [("map", [v], imaginary_time_kraus(h_site, dtau / 2))
+              for v in verts]
+
+    rho = density_matrix_tensornetworkstate(
+        jnp.complex128, lambda v: "mixed", g
+    )
+    for _ in range(nsteps):
+        rho, _ = tnqs.apply_circuit(
+            layer, rho,
+            apply_kwargs=dict(maxdim=16, cutoff=1e-14,
+                              normalize_tensors=True),
+            bp_update_kwargs=dict(maxiter=80, tolerance=1e-13),
+        )
+
+    # dense oracle of the same product formula, from I/2ⁿ
+    dim = 2**nq
+    rho_d = np.eye(dim, dtype=complex) / dim
+    for _ in range(nsteps):
+        for gate in layer:
+            vs = collect_gate_vertices(gate[1])
+            (G,) = gate[2]
+            lifted = (
+                _lift1(G, pos[vs[0]], nq)
+                if len(vs) == 1
+                else _lift2(G, pos[vs[0]], pos[vs[1]], nq)
+            )
+            rho_d = lifted @ rho_d @ lifted.conj().T
+    rho_d /= np.trace(rho_d).real
+
+    obs = [("Z", [v]) for v in verts] + [("X", [v]) for v in verts]
+    vals = pauli_expectation(
+        rho, obs, cache_update_kwargs=dict(maxiter=200, tolerance=1e-14)
+    )
+    for (name, (v,)), got in zip(obs, vals):
+        mat = z if name == "Z" else x
+        want = np.real(np.trace(rho_d @ _lift1(mat, pos[v], nq)))
+        np.testing.assert_allclose(np.real(got), want, atol=1e-8)
+    pur = purity(rho, cache_update_kwargs=dict(maxiter=200, tolerance=1e-14))
+    np.testing.assert_allclose(
+        pur, np.real(np.trace(rho_d @ rho_d)), atol=1e-8
+    )
+
+    # physics: Strang ⇒ O(dτ²) from the true thermal state
+    H = np.zeros((dim, dim), dtype=complex)
+    for v in verts:
+        H += -hx * _lift1(x, pos[v], nq)
+    for e in g.edges():
+        H += -J * _lift1(z, pos[e.src], nq) @ _lift1(z, pos[e.dst], nq)
+    rho_th = dense_expm(-beta * H)
+    rho_th /= np.trace(rho_th).real
+    zc = np.real(np.trace(rho_th @ _lift1(x, pos[verts[1]], nq)))
+    got = np.real(vals[nq + 1])
+    np.testing.assert_allclose(got, zc, atol=5e-3)
+
+    # the checked "kraus" form must still reject non-trace-preserving lists
+    with pytest.raises(ValueError, match="map"):
+        ch.channel_kraus("kraus", imaginary_time_kraus(h_site, dtau), 1)

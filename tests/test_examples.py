@@ -88,3 +88,23 @@ def test_excited_states_example():
     e0, e1, pen, levels = _load("excited_states").main(steps=120, chi=4)
     assert e0 < e1  # the penalty keeps the second run off the ground state
     assert pen < 0.3
+
+
+def test_thermal_states_example():
+    """3×3 TFIM cooled to β=0.4: energy must drop below the β=0 value (0)
+    and the Rényi-2 entropy density below its β=0 maximum of 1."""
+    import numpy as np
+
+    from tensornetworkquantumsimulator_tpu import pauli_expectation, purity
+
+    rho = _load("thermal_states").main(nx=3, ny=3, beta_max=0.4, dtau=0.05,
+                                       chi=4)
+    g = rho.graph()
+    xs = np.real(pauli_expectation(rho, [("X", [v]) for v in g.vertices()]))
+    zzs = np.real(pauli_expectation(
+        rho, [("ZZ", [e.src, e.dst]) for e in g.edges()]
+    ))
+    energy = -np.sum(zzs) - np.sum(xs)
+    assert energy < -1.0  # cooled below infinite temperature (E=0)
+    s2_density = -np.log2(purity(rho)) / 9
+    assert 0.0 < s2_density < 1.0  # mixed, but below the beta=0 maximum

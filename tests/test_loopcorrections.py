@@ -84,3 +84,21 @@ def test_expect_loopcorrections_improves_on_bp():
         psi, obs, alg="loopcorrections", max_configuration_size=8, **kw
     ))
     assert abs(val_loop - val_exact) < abs(val_bp - val_exact)
+
+
+def test_loop_corrections_on_triangular_lattice():
+    """Triangles (3-cycles) are BP's worst case — the shortest loops the
+    enumeration produces.  On a 3×3 triangular patch the size-5 series
+    (triangles + squares + pentagons) must beat plain BP against exact."""
+    from tensornetworkquantumsimulator_tpu import triangular_lattice
+
+    g = triangular_lattice(3, 3)
+    egs = edgeinduced_subgraphs_no_leaves(g, 3)
+    assert len(egs) == 8  # 4 square plaquettes × 2 triangles each
+    tnqs.seed(7)
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2", bond_dimension=2)
+    psi = tnqs.normalize(psi, alg="bp")
+    n_exact = tnqs.norm_sqr(psi, alg="exact")
+    n_bp = tnqs.norm_sqr(psi, alg="bp")
+    n_lc = tnqs.norm_sqr(psi, alg="loopcorrections", max_configuration_size=5)
+    assert abs(n_lc - n_exact) < abs(n_bp - n_exact)
