@@ -89,3 +89,27 @@ def test_bmps_cylinder_ring_partitions():
     )
     val_exact = tnqs.expect(psi, ("Z", [(2, 2)]), alg="exact")
     np.testing.assert_allclose(np.real(val), np.real(val_exact), atol=1e-9)
+
+
+def test_bmps_triangular_multibond_interfaces():
+    """Triangular lattices put TWO bonds between a vertex and the adjacent
+    row (the diagonal + the vertical) — the case the batched planar engine
+    fences out (`parallel/boundarymps.py`) and routes here: the generic
+    cache's MPS strands carry multi-bond interfaces like the reference's
+    MPO strands (`boundarympscache.jl:554-569`), exactly at full rank."""
+    from tensornetworkquantumsimulator_tpu import (
+        random_tensornetworkstate,
+        triangular_lattice,
+    )
+
+    g = triangular_lattice(3, 3)
+    tnqs.seed(3)
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=2
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    val = tnqs.expect(
+        psi, ("Z", [(2, 2)]), alg="boundarymps", mps_bond_dimension=16
+    )
+    val_exact = tnqs.expect(psi, ("Z", [(2, 2)]), alg="exact")
+    np.testing.assert_allclose(np.real(val), np.real(val_exact), atol=1e-10)

@@ -749,3 +749,53 @@ def test_thermal_state_imaginary_time_vs_dense():
     # the checked "kraus" form must still reject non-trace-preserving lists
     with pytest.raises(ValueError, match="map"):
         ch.channel_kraus("kraus", imaginary_time_kraus(h_site, dtau), 1)
+
+
+def test_thermal_state_batched_matches_generic():
+    """Imaginary-time ("map") channels run through the batched rho-picture
+    engine unchanged (non-unitary PTMs go through the same simple-update
+    path as CPTP channels): ⟨X⟩ of the cooled 3×3 TFIM matches the generic
+    engine."""
+    from tensornetworkquantumsimulator_tpu import imaginary_time_kraus
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        BatchedCircuit,
+        batched_from_tns,
+        make_layer_fn,
+        make_pauli_expectation_fn,
+    )
+
+    x = np.array([[0.0, 1.0], [1.0, 0.0]])
+    z = np.diag([1.0, -1.0])
+    g = named_grid((3, 3))
+    dtau = 0.05
+    half = [("map", [v], imaginary_time_kraus(-x, dtau / 2))
+            for v in g.vertices()]
+    layer = list(half)
+    for grp in edge_color(g, 4):
+        layer += [("map", pair, imaginary_time_kraus(-np.kron(z, z), dtau))
+                  for pair in grp]
+    layer += half
+
+    rho = density_matrix_tensornetworkstate(
+        jnp.complex128, lambda v: "mixed", g
+    )
+    for _ in range(4):
+        rho, _ = tnqs.apply_circuit(
+            layer, rho,
+            apply_kwargs=dict(maxdim=8, cutoff=1e-13,
+                              normalize_tensors=True),
+        )
+    x_gen = np.real(pauli_expectation(rho, [("X", [(2, 2)])]))[0]
+
+    rho0 = density_matrix_tensornetworkstate(
+        jnp.complex128, lambda v: "mixed", g
+    )
+    spec, state = batched_from_tns(rho0, chi=8)
+    circ = BatchedCircuit(layer, g, spec=spec, d=4, picture="rho")
+    fn = make_layer_fn(circ, chi=8, cutoff=1e-13, normalize_tensors=True,
+                       bp_maxiter=80, bp_tolerance=1e-13)
+    for _ in range(4):
+        state, _ = fn(state)
+    pe = make_pauli_expectation_fn(spec, 8, jnp.complex128, ops=("X",))
+    x_b = float(np.asarray(pe(state)["X"])[spec.vertex_position((2, 2))])
+    np.testing.assert_allclose(x_b, x_gen, atol=1e-6)
