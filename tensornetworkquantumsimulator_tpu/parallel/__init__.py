@@ -38,8 +38,10 @@ from .correlations import (
     make_path_correlation_fn,
     make_path_rdm_fn,
     make_sharded_path_correlations,
+    make_string_expectation_fn,
     path_correlations,
     shortest_path,
+    string_expectations,
 )
 from .boundarymps import (
     PlanarBMPSSpec,

@@ -57,8 +57,10 @@ __all__ = [
     "make_mutual_information_fn",
     "make_path_rdm_fn",
     "make_sharded_path_correlations",
+    "make_string_expectation_fn",
     "path_correlations",
     "shortest_path",
+    "string_expectations",
 ]
 
 
@@ -450,6 +452,241 @@ def make_sharded_path_correlations(
         return jnp.real(out) if real_output else out
 
     return connected_fn
+
+
+def _site_transfer2_op(state: BatchedState, idx, skip1: int, skip2: int, op):
+    """Op-inserted variant of :func:`_site_transfer2`: the ``[d, d]`` site
+    operator is applied between the ket and bra site legs instead of the
+    identity trace.  Same index order ``E[b, o, p, q, r]``."""
+    D = state.degree
+    t = state.tensors[idx]
+    m = state.messages[idx]
+    acc = t
+    for k in range(D):
+        if k != skip1 and k != skip2:
+            acc = _absorb(acc, m[:, k], 1 + k)
+    lab = [_LETTERS[k] for k in range(D)]
+    acc_lab, conj_lab = list(lab), list(lab)
+    acc_lab[skip1], conj_lab[skip1] = "o", "p"
+    acc_lab[skip2], conj_lab[skip2] = "q", "r"
+    eq = f"v{''.join(acc_lab)}s,v{''.join(conj_lab)}z,zs->vopqr"
+    return jnp.einsum(eq, acc, jnp.conj(t), op, precision=_PRECISION)
+
+
+def make_string_expectation_fn(
+    spec: BatchedGraphSpec,
+    strings: Sequence[tuple],
+    *,
+    real_output: bool = False,
+    jit: bool = True,
+) -> Callable:
+    """Compile ``fn(state) -> [len(strings)]`` of multi-site string
+    expectations ⟨∏_i op_i⟩ (BP alg) — the batched counterpart of the
+    generic ``expect(psi, (op_string, verts), alg="bp")`` for observables
+    on MORE than two vertices whose Steiner tree is a path: parity
+    strings ⟨Z Z … Z⟩, string order parameters ⟨Z X … X Z⟩, Wilson-line
+    operators (reference Steiner-tree semantics: `expect.jl:58-83`).
+
+    Each string is ``(ops, verts)``: ``ops`` a string of Pauli letters
+    (one per vertex, resolved via the gate zoo's Pauli table) or a
+    sequence of ``[d, d]`` matrices; ``verts`` the operator-carrying
+    vertices *in path order* — consecutive entries are joined by BFS
+    shortest paths and intermediate vertices carry the identity, exactly
+    like the generic engine's Steiner-tree fill-in.  The combined walk
+    must be vertex-disjoint (a path); branching vertex sets raise (use
+    the generic ``expect`` there).
+
+    Same transfer-chain design as :func:`make_path_correlation_fn`; the
+    numerator and denominator chains no longer share every interior
+    entry (op-inserted vs identity-traced), so each op-inserted transfer
+    is rescaled by its OWN vertex's identity-traced scale — numerator
+    and denominator then carry identical rescale factors per step and
+    the ratio is untouched."""
+    from ..models.gates import _PAULIS
+
+    op_mats: list[np.ndarray] = []
+    op_key: dict = {}
+
+    def op_id(mat: np.ndarray) -> int:
+        k = (mat.shape, mat.dtype.str, mat.tobytes())
+        if k not in op_key:
+            op_key[k] = len(op_mats)
+            op_mats.append(mat)
+        return op_key[k]
+
+    P = len(strings)
+    if P == 0:
+        raise ValueError("need at least one string observable")
+    resolved = []  # (full_verts, full_slots, {pos: opid})
+    for ops, verts in strings:
+        if isinstance(ops, str):
+            mats = [np.asarray(_PAULIS[c.upper()], np.complex128) for c in ops]
+        else:
+            mats = [np.asarray(o) for o in ops]
+        if len(mats) != len(verts):
+            raise ValueError(
+                f"need one operator per vertex: got {len(mats)} ops for "
+                f"{len(verts)} vertices"
+            )
+        if len(verts) < 2:
+            raise ValueError(
+                "string observables need >= 2 vertices; use "
+                "local_expectations for single sites"
+            )
+        full_verts = [spec.vertex_position(verts[0])]
+        full_slots: list[int] = []
+        for a, b in zip(verts, verts[1:]):
+            vs, ss = shortest_path(spec, a, b)
+            full_verts += vs[1:]
+            full_slots += ss
+        if len(set(full_verts)) != len(full_verts):
+            raise ValueError(
+                "the string's walk revisits a vertex — only path-shaped "
+                "Steiner trees run on the batched engine; use the generic "
+                "expect for branching vertex sets"
+            )
+        opid_at = {
+            spec.vertex_position(v): op_id(m) for v, m in zip(verts, mats)
+        }
+        resolved.append((full_verts, full_slots, opid_at))
+
+    # --- host-side bucket/table construction (numpy only: axon rule) ---
+    a_num: dict = {}   # (slot, opid) -> [(p, vertex)]
+    a_den: dict = {}   # slot -> [(p, vertex)]
+    b_num: dict = {}
+    b_den: dict = {}
+    den_entries: list[tuple] = []   # (vertex, slot_prev, slot_next)
+    den_key: dict = {}
+    num_entries: list[tuple] = []   # (vertex, slot_prev, slot_next, opid)
+    num_key: dict = {}
+    for full_verts, full_slots, opid_at in resolved:
+        for i in range(1, len(full_verts) - 1):
+            sp = spec.nbr_slot[full_verts[i - 1]][full_slots[i - 1]]
+            sn = full_slots[i]
+            dk = (full_verts[i], sp, sn)
+            if dk not in den_key:
+                den_key[dk] = len(den_entries)
+                den_entries.append(dk)
+            oid = opid_at.get(full_verts[i])
+            if oid is not None:
+                nk = (full_verts[i], sp, sn, oid)
+                if nk not in num_key:
+                    num_key[nk] = len(num_entries)
+                    num_entries.append(nk)
+    n_den, n_num = len(den_entries), len(num_entries)
+    pad = n_den + n_num  # identity row
+    Lmax = max(len(fv) - 2 for fv, _, _ in resolved)
+    tab = np.full((P, max(Lmax, 1), 2), pad, dtype=np.int64)  # [.., (num, den)]
+    for p, (full_verts, full_slots, opid_at) in enumerate(resolved):
+        sa = full_slots[0]
+        a_num.setdefault((sa, opid_at[full_verts[0]]), []).append(
+            (p, full_verts[0])
+        )
+        a_den.setdefault(sa, []).append((p, full_verts[0]))
+        sb = spec.nbr_slot[full_verts[-2]][full_slots[-1]]
+        b_num.setdefault((sb, opid_at[full_verts[-1]]), []).append(
+            (p, full_verts[-1])
+        )
+        b_den.setdefault(sb, []).append((p, full_verts[-1]))
+        for i in range(1, len(full_verts) - 1):
+            sp = spec.nbr_slot[full_verts[i - 1]][full_slots[i - 1]]
+            sn = full_slots[i]
+            j_den = den_key[(full_verts[i], sp, sn)]
+            oid = opid_at.get(full_verts[i])
+            # identity interiors share the den row in the num chain, so
+            # their rescale factors cancel step-by-step by construction
+            j_num = j_den if oid is None else n_den + num_key[
+                (full_verts[i], sp, sn, oid)
+            ]
+            tab[p, i - 1] = (j_num, j_den)
+    tab_t = np.asarray(tab.transpose(1, 2, 0), dtype=np.int32)  # [L, 2, P]
+    den_buckets: dict = {}
+    for j, (v, sp, sn) in enumerate(den_entries):
+        den_buckets.setdefault((sp, sn), []).append((j, v))
+    num_buckets: dict = {}
+    for j, (v, sp, sn, oid) in enumerate(num_entries):
+        num_buckets.setdefault((sp, sn, oid), []).append(
+            (j, v, den_key[(v, sp, sn)])
+        )
+
+    def string_fn(state: BatchedState) -> jax.Array:
+        chi = state.chi
+        chi2 = chi * chi
+        cdtype = state.tensors.dtype
+        rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
+        ops_dev = [jnp.asarray(m).astype(cdtype) for m in op_mats]
+
+        def endpoints(nbuckets, dbuckets):
+            vn = jnp.zeros((P, chi2), cdtype)
+            vd = jnp.zeros((P, chi2), cdtype)
+            for (s, oid), entries in sorted(nbuckets.items()):
+                idx = jnp.asarray([v for _, v in entries], jnp.int32)
+                pos = jnp.asarray([p for p, _ in entries], jnp.int32)
+                e = _site_transfer(state, idx, s)  # [B, o, p, s, z]
+                vn = vn.at[pos].set(
+                    jnp.einsum("bopsz,zs->bop", e, ops_dev[oid],
+                               precision=_PRECISION).reshape(-1, chi2)
+                )
+            for s, entries in sorted(dbuckets.items()):
+                idx = jnp.asarray([v for _, v in entries], jnp.int32)
+                pos = jnp.asarray([p for p, _ in entries], jnp.int32)
+                e = _site_transfer(state, idx, s)  # XLA CSE merges with above
+                vd = vd.at[pos].set(
+                    jnp.einsum("bopss->bop", e).reshape(-1, chi2)
+                )
+            return vn, vd
+
+        va_n, va_d = endpoints(a_num, a_den)
+        vb_n, vb_d = endpoints(b_num, b_den)
+
+        T = jnp.zeros((pad + 1, chi2, chi2), cdtype)
+        T = T.at[pad].set(jnp.eye(chi2, dtype=cdtype))
+        scales = jnp.ones((max(n_den, 1),), rdtype)
+        for (sp, sn), entries in sorted(den_buckets.items()):
+            idx = jnp.asarray([v for _, v in entries], jnp.int32)
+            pos = jnp.asarray([j for j, _ in entries], jnp.int32)
+            e = _site_transfer2(state, idx, sp, sn).reshape(-1, chi2, chi2)
+            sc = jnp.max(jnp.abs(e), axis=(1, 2))
+            sc = jnp.where(sc == 0, jnp.ones((), rdtype), sc)
+            T = T.at[pos].set(e / sc[:, None, None])
+            scales = scales.at[pos].set(sc)
+        for (sp, sn, oid), entries in sorted(num_buckets.items()):
+            idx = jnp.asarray([v for _, v, _ in entries], jnp.int32)
+            pos = jnp.asarray([n_den + j for j, _, _ in entries], jnp.int32)
+            partner = jnp.asarray([d for _, _, d in entries], jnp.int32)
+            e = _site_transfer2_op(
+                state, idx, sp, sn, ops_dev[oid]
+            ).reshape(-1, chi2, chi2)
+            sc = scales[partner]  # partner den scale: cancels in the ratio
+            T = T.at[pos].set(e / sc[:, None, None])
+
+        m = jnp.stack([va_n, va_d], axis=0)  # [2, P, χ²]
+
+        def body(m_c, idxs):  # idxs [2, P]
+            ts = T[idxs]  # [2, P, χ², χ²]
+            return jnp.einsum("kpi,kpij->kpj", m_c, ts,
+                              precision=_PRECISION), None
+
+        m, _ = jax.lax.scan(body, m, tab_t)
+        vals = jnp.einsum(
+            "kpi,kpi->kp", m, jnp.stack([vb_n, vb_d], axis=0),
+            precision=_PRECISION,
+        )
+        out = vals[0] / vals[1]
+        return jnp.real(out) if real_output else out
+
+    return jax.jit(string_fn) if jit else string_fn
+
+
+def string_expectations(
+    spec: BatchedGraphSpec,
+    state: BatchedState,
+    strings: Sequence[tuple],
+    **kwargs,
+) -> jax.Array:
+    """One-shot multi-site string expectations (BP path alg).  See
+    :func:`make_string_expectation_fn`."""
+    return make_string_expectation_fn(spec, strings, **kwargs)(state)
 
 
 def make_path_rdm_fn(

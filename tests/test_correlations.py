@@ -296,3 +296,73 @@ def test_mutual_information():
     want = (_ent(np.linalg.eigvalsh(m_a)) + _ent(np.linalg.eigvalsh(m_b))
             - _ent(np.linalg.eigvalsh(m_ab)))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_string_expectations_match_generic_expect():
+    """Multi-site Pauli strings along grid rows vs the generic Steiner-tree
+    expect: contiguous strings, identity fill-in between distant operator
+    vertices, parity strings, and explicit-matrix op lists."""
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        make_string_expectation_fn,
+        string_expectations,
+    )
+
+    g = named_grid((4, 4))
+    psi, spec, state = _converged(g, seed=11)
+    strings = [
+        ("ZZ", [(1, 1), (1, 2)]),                      # adjacent pair
+        ("ZXZ", [(2, 1), (2, 2), (2, 3)]),             # contiguous 3-site
+        ("ZZ", [(3, 1), (3, 4)]),                      # identity fill-in
+        ("ZZZZ", [(4, 1), (4, 2), (4, 3), (4, 4)]),    # parity string
+        ("XYZX", [(1, 1), (1, 2), (1, 3), (1, 4)]),    # mixed letters
+    ]
+    got = np.asarray(string_expectations(spec, state, strings))
+    want = np.asarray([
+        _generic_obs(psi, obs) for obs in strings
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+    # explicit [d, d] matrices give the same values as the letters
+    mats = [np.asarray(op_matrix(c, 2)) for c in "ZXZ"]
+    got_m = np.asarray(
+        string_expectations(spec, state, [(mats, [(2, 1), (2, 2), (2, 3)])])
+    )
+    np.testing.assert_allclose(got_m, want[1], atol=1e-10)
+
+    # distance-1 ZZ agrees with the two-point path correlator
+    z = np.asarray(op_matrix("Z", 2))
+    pc = np.asarray(
+        path_correlations(spec, state, [((1, 1), (1, 2))], z)
+    )
+    np.testing.assert_allclose(got[0], pc[0], atol=1e-10)
+
+    # branching vertex sets are fenced to the generic engine
+    import pytest
+
+    with pytest.raises(ValueError, match="revisits"):
+        make_string_expectation_fn(
+            spec, [("ZZZ", [(1, 2), (2, 1), (1, 2)])]
+        )
+
+
+def _generic_obs(psi, obs):
+    ops, verts = obs
+    return tnqs.expect(
+        psi,
+        (ops, list(verts)),
+        alg="bp",
+        cache_update_kwargs=dict(maxiter=400, tolerance=1e-14),
+    )
+
+
+def test_string_expectations_tree_exact():
+    """On a tree BP is exact: string expectations match alg="exact"."""
+    from tensornetworkquantumsimulator_tpu.parallel import string_expectations
+    from tensornetworkquantumsimulator_tpu.utils.lattices import named_comb_tree
+
+    gt = named_comb_tree((3, 3))
+    psi, spec, state = _converged(gt, seed=12)
+    verts = [(1, 1), (2, 1), (3, 1)]  # the comb's spine: a path
+    got = complex(string_expectations(spec, state, [("ZXZ", verts)])[0])
+    want = complex(tnqs.expect(psi, ("ZXZ", verts), alg="exact"))
+    np.testing.assert_allclose(got, want, atol=1e-9)
