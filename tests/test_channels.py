@@ -799,3 +799,67 @@ def test_thermal_state_batched_matches_generic():
     pe = make_pauli_expectation_fn(spec, 8, jnp.complex128, ops=("X",))
     x_b = float(np.asarray(pe(state)["X"])[spec.vertex_position((2, 2))])
     np.testing.assert_allclose(x_b, x_gen, atol=1e-6)
+
+
+def test_batched_rho_sampler_vs_dense():
+    """make_rho_sampler: each drawn bitstring's accumulated logp equals
+    log⟨x|ρ|x⟩ on a tree (Tr ρ = 1 with normalize_tensors=False), matching
+    the generic sample_density_matrix oracle contract."""
+    import jax
+
+    from tensornetworkquantumsimulator_tpu.parallel.convert import (
+        batched_from_tns,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.sampling import (
+        make_rho_sampler,
+    )
+
+    g = named_comb_tree((3, 2))
+    verts = g.vertices()
+    nq = len(verts)
+    pos = {v: i for i, v in enumerate(verts)}
+    circuit = [("Rx", [v], 0.7) for v in verts]
+    for grp in edge_color(g, 4):
+        circuit += [("Rzz", p, 0.5) for p in grp]
+    circuit += [("depolarizing", [v], 0.1) for v in verts]
+    circuit += [("amplitude_damping", [v], 0.15) for v in verts]
+    rho_d = _dense_evolve(circuit, pos, nq)
+
+    rho = density_matrix_tensornetworkstate(jnp.float64, lambda v: "0", g)
+    rho, _ = tnqs.apply_circuit(
+        circuit,
+        rho,
+        apply_kwargs=dict(maxdim=8, cutoff=0.0, normalize_tensors=False),
+    )
+    chi = 8
+    spec, state = batched_from_tns(rho, chi=chi)
+    sampler = make_rho_sampler(
+        spec, chi, jnp.float64, refresh_iters=8, init_maxiter=80,
+        tolerance=1e-12,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(11), 12)
+    bits, logps = sampler(state, keys)
+    bits = np.asarray(bits)
+    logps = np.asarray(logps)
+    # spec vertex order -> dense index
+    order = [pos[v] for v in spec.vertices] if hasattr(spec, "vertices") \
+        else None
+    assert order is not None
+    for s in range(bits.shape[0]):
+        idx = 0
+        for v in verts:
+            idx = idx * 2 + int(bits[s, spec.vertex_position(v)])
+        np.testing.assert_allclose(
+            logps[s], np.log(np.real(rho_d[idx, idx])), atol=1e-7
+        )
+
+    # p=1 reset makes sampling deterministic all-zeros at logp 0
+    wipe = [("reset", [v], 1.0) for v in verts]
+    rho, _ = tnqs.apply_circuit(
+        wipe, rho, apply_kwargs=dict(maxdim=8, cutoff=0.0,
+                                     normalize_tensors=False),
+    )
+    _, state = batched_from_tns(rho, chi=chi)
+    bits, logps = sampler(state, keys[:3])
+    assert not np.asarray(bits).any()
+    np.testing.assert_allclose(np.asarray(logps), 0.0, atol=1e-9)
