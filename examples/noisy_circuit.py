@@ -87,6 +87,21 @@ def main(nx=4, ny=4, layers=5, dt=0.15, h=1.0, J=1.0, p_dep=0.02, gam=0.03):
     zb = np.asarray(expect_fn(state)["Z"])
     print(f"batched engine <Z>_mean after {layers} layers: {np.mean(zb):+.6f}")
 
+    # batched counterparts of purity + sampling: one jitted program each
+    from tensornetworkquantumsimulator_tpu.parallel import (
+        batched_purity,
+        make_rho_sampler,
+    )
+
+    p2_b = float(np.asarray(batched_purity(spec, state)))
+    print(f"batched engine purity after {layers} layers: {p2_b:.6f}")
+    sampler = make_rho_sampler(spec, chi, jnp.complex64, refresh_iters=6)
+    bits, logps = sampler(state, jax.random.split(jax.random.PRNGKey(0), 5))
+    print("batched samples (bit fraction, logp):")
+    for i in range(5):
+        frac = float(np.mean(np.asarray(bits[i])))
+        print(f"    {frac:.3f}  {float(logps[i]):+.3f}")
+
     # noise-rate sweep: E depolarizing strengths advance in ONE vmapped
     # program (make_noisy_field_layer_fn: rates are runtime inputs)
     from tensornetworkquantumsimulator_tpu.parallel import (

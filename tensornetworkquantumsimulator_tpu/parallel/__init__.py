@@ -61,6 +61,7 @@ from .gauge import batched_symmetric_gauge
 from .overlap import (
     batched_inner,
     batched_loschmidt_echo,
+    batched_purity,
     make_pauli_expectation_fn,
     make_sharded_inner,
     make_sharded_pauli_expectations,

@@ -43,6 +43,7 @@ from .structure import BatchedGraphSpec
 __all__ = [
     "batched_inner",
     "batched_loschmidt_echo",
+    "batched_purity",
     "make_pauli_expectation_fn",
     "make_sharded_inner",
 ]
@@ -231,6 +232,38 @@ def make_pauli_expectation_fn(
         return out
 
     return fn
+
+
+def batched_purity(
+    spec: BatchedGraphSpec,
+    state: BatchedState,
+    *,
+    log2: bool = False,
+    maxiter: int = 50,
+    tolerance: float | None = None,
+):
+    """Tr[ρ²]/Tr[ρ]² of a batched density-matrix ("PauliRho", d=4) state
+    — the jitted counterpart of `measure.purity` (no reference
+    counterpart; unitary-only reference).
+
+    With ρ a ⊗-network of Pauli coefficients c: Tr[ρ²] = ‖c‖²/2ⁿ (one
+    self-sandwich fixed point) and Tr[ρ] is the overlap against the
+    bond-1 trace-vector product bra — both in log space, so
+    ``log2=True`` returns log₂ of the value (finite at any size; the
+    second Rényi entropy is its negation) while the default
+    exponentiates."""
+    t = state.tensors
+    V, chi, D = spec.num_vertices, t.shape[1], spec.degree
+    la, _ = batched_inner(spec, state, state, maxiter=maxiter,
+                          tolerance=tolerance)
+    tr_t = np.zeros((V,) + (chi,) * D + (4,), dtype=t.dtype)
+    tr_t[(slice(None),) + (0,) * D + (0,)] = 1.0
+    lt, _ = batched_inner(
+        spec, state, BatchedState(jnp.asarray(tr_t), state.messages),
+        maxiter=maxiter, tolerance=tolerance,
+    )
+    log2p = (la - V * jnp.log(2.0) - 2.0 * lt) / jnp.log(2.0)
+    return log2p if log2 else 2.0 ** log2p
 
 
 def batched_loschmidt_echo(

@@ -863,3 +863,35 @@ def test_batched_rho_sampler_vs_dense():
     bits, logps = sampler(state, keys[:3])
     assert not np.asarray(bits).any()
     np.testing.assert_allclose(np.asarray(logps), 0.0, atol=1e-9)
+
+
+def test_batched_purity_vs_generic():
+    """batched_purity == measure.purity (both BP, exact on trees), and
+    log2=True returns its log₂."""
+    from tensornetworkquantumsimulator_tpu.parallel.convert import (
+        batched_from_tns,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.overlap import (
+        batched_purity,
+    )
+
+    g = named_comb_tree((3, 2))
+    circuit = [("Rx", [v], 0.6) for v in g.vertices()]
+    for grp in edge_color(g, 4):
+        circuit += [("Rzz", p, 0.4) for p in grp]
+    circuit += [("dephasing", [v], 0.2) for v in g.vertices()]
+
+    rho = density_matrix_tensornetworkstate(jnp.float64, lambda v: "0", g)
+    rho, _ = tnqs.apply_circuit(
+        circuit,
+        rho,
+        apply_kwargs=dict(maxdim=8, cutoff=0.0, normalize_tensors=True),
+    )
+    p_gen = purity(rho, alg="bp")
+    spec, state = batched_from_tns(rho, chi=8)
+    p_b = float(np.asarray(batched_purity(spec, state, tolerance=1e-13)))
+    np.testing.assert_allclose(p_b, p_gen, rtol=1e-8)
+    l2 = float(np.asarray(batched_purity(spec, state, log2=True,
+                                         tolerance=1e-13)))
+    np.testing.assert_allclose(2.0 ** l2, p_gen, rtol=1e-8)
+    assert 0.0 < p_b < 1.0 + 1e-12
