@@ -56,7 +56,11 @@ from .certified_sampling import (
     make_planar_certified_sampler,
     make_sharded_sampler,
 )
-from .sampling import make_bp_sampler, make_rho_sampler
+from .sampling import (
+    make_bp_sampler,
+    make_rho_sampler,
+    make_sharded_rho_sampler,
+)
 from .gauge import batched_symmetric_gauge
 from .overlap import (
     batched_inner,

@@ -189,3 +189,41 @@ def make_rho_sampler(
         return jax.vmap(lambda k: sample_one(t_ket, m_init, k))(keys)
 
     return jax.jit(sampler) if jit else sampler
+
+
+def make_sharded_rho_sampler(sampler, mesh, axis: str = "s"):
+    """Wrap a :func:`make_rho_sampler` sampler for SPMD execution over
+    the SAMPLE axis — the density-matrix counterpart of
+    `certified_sampling.make_sharded_sampler`.
+
+    Draws are embarrassingly parallel, so the key batch shards over
+    ``mesh[axis]`` and the (replicated) state's initial sandwich fixed
+    point is recomputed per device — cheap relative to the per-sample
+    conditioning scans, and avoiding it would need a broadcast anyway.
+    Same bitstrings/logps as the single-chip sampler for the same keys.
+
+    ``keys`` must have leading dimension divisible by the mesh axis size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from .sharded_bmps import _shard_map
+
+    smap = _shard_map(
+        lambda tensors, messages, keys: sampler(
+            BatchedState(tensors, messages), keys
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+
+    @jax.jit
+    def sharded(state: BatchedState, keys):
+        if keys.shape[0] % mesh.shape[axis] != 0:
+            raise ValueError(
+                f"{keys.shape[0]} keys not divisible by mesh axis "
+                f"{axis!r} ({mesh.shape[axis]})"
+            )
+        return smap(state.tensors, state.messages, keys)
+
+    return sharded

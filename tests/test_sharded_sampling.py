@@ -74,3 +74,48 @@ def test_sharded_sampler_rejects_indivisible_batch():
     keys = jax.random.split(jax.random.PRNGKey(0), 6)
     with pytest.raises(ValueError, match="not divisible"):
         sharded(state.tensors, keys)
+
+
+def test_sharded_rho_sampler_matches_single_chip():
+    """Sample-axis SPMD density-matrix sampling: same keys -> same
+    bitstrings and logps as the single-chip make_rho_sampler."""
+    from tensornetworkquantumsimulator_tpu import (
+        density_matrix_tensornetworkstate,
+        edge_color,
+        named_comb_tree,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.sampling import (
+        make_rho_sampler,
+        make_sharded_rho_sampler,
+    )
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    g = named_comb_tree((3, 2))
+    circuit = [("Rx", [v], 0.7) for v in g.vertices()]
+    for grp in edge_color(g, 4):
+        circuit += [("Rzz", p, 0.5) for p in grp]
+    circuit += [("depolarizing", [v], 0.1) for v in g.vertices()]
+    rho = density_matrix_tensornetworkstate(jnp.float64, lambda v: "0", g)
+    rho, _ = tnqs.apply_circuit(
+        circuit, rho,
+        apply_kwargs=dict(maxdim=4, cutoff=0.0, normalize_tensors=False),
+    )
+    chi = 4
+    spec, state = batched_from_tns(rho, chi=chi)
+    sampler = make_rho_sampler(
+        spec, chi, jnp.float64, refresh_iters=6, tolerance=1e-12
+    )
+    keys = jax.random.split(jax.random.PRNGKey(3), 16)
+    bits_r, logp_r = sampler(state, keys)
+
+    mesh = Mesh(np.array(devices[:8]), ("s",))
+    sharded = make_sharded_rho_sampler(sampler, mesh)
+    bits_s, logp_s = sharded(state, keys)
+    np.testing.assert_array_equal(np.asarray(bits_s), np.asarray(bits_r))
+    np.testing.assert_allclose(
+        np.asarray(logp_s), np.asarray(logp_r), atol=1e-9
+    )
+    with pytest.raises(ValueError):
+        sharded(state, keys[:7])
