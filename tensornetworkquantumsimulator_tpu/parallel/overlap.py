@@ -300,7 +300,10 @@ def _sandwich_fixed_point_local(t_ket, t_bra_conj, snv, sns, spv, sps, src,
     m0 = jnp.broadcast_to(eye, (Vl, D, chi, chi))
     # the identity init is device-invariant but the loop carry varies per
     # shard: mark the variance explicitly for shard_map's VMA check
-    if hasattr(jax.lax, "pvary"):
+    # (pcast replaced the deprecated jax.lax.pvary in jax 0.9)
+    if hasattr(jax.lax, "pcast"):
+        m0 = jax.lax.pcast(m0, (axis,), to="varying")
+    elif hasattr(jax.lax, "pvary"):  # pragma: no cover - older jax
         m0 = jax.lax.pvary(m0, (axis,))
     return _bp_fixed_point(
         t_ket, m0, snv, sns, spv, sps, src, mask, D, S, axis, maxiter,

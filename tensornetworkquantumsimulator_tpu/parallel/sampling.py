@@ -161,16 +161,30 @@ def make_rho_sampler(
             vec = acc[(0,) * D]  # [4]
             w = jnp.real(vec @ proj_j.T.astype(vec.dtype))  # [2]
             # the two weights share one (possibly negative-scaled) flat
-            # environment — only the ratio matters
-            p = w / jnp.sum(w)
-            p = jnp.clip(p, 0.0, 1.0)
+            # environment — only the ratio matters.  Divide the common
+            # sign out FIRST, then clip any residual negative weight
+            # (loopy-BP artifact) and renormalize (ADVICE r3): clipping
+            # after normalization left p summing < 1 (logp inconsistent
+            # with the categorical draw), and a fully degenerate pair
+            # (sum == 0) now falls back to a uniform draw, not NaN.
+            s = jnp.sum(w)
+            wc = jnp.clip(jnp.where(s < 0, -w, w), 0.0, None)
+            p = wc / jnp.maximum(jnp.sum(wc), 1e-300)
+            p = jnp.where(jnp.sum(wc) > 0, p, jnp.full_like(p, 0.5))
             key, sub = jax.random.split(key)
             config = jax.random.categorical(sub, jnp.log(p + 1e-300))
             logp = logp + jnp.log(jnp.maximum(p[config], 1e-300))
             bra_c = bra_c.at[(v,) + (0,) * D].set(
                 proj_j[config].astype(bra_c.dtype)
             )
-            m = _refresh(t_ket, bra_c, m)
+            # skip the flooding refresh after the FINAL vertex projection
+            # (ADVICE r3): the refreshed messages are discarded.  v is the
+            # unbatched scan iterate, so under the sample vmap this stays
+            # a true cond (predicate unbatched), saving ~1/V of the work.
+            m = jax.lax.cond(
+                v < V - 1, lambda args: _refresh(*args), lambda args: args[2],
+                (t_ket, bra_c, m),
+            )
             return (bra_c, m, key, logp), config
 
         rdt = jnp.zeros((), t_ket.dtype).real.dtype

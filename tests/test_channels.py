@@ -841,10 +841,6 @@ def test_batched_rho_sampler_vs_dense():
     bits, logps = sampler(state, keys)
     bits = np.asarray(bits)
     logps = np.asarray(logps)
-    # spec vertex order -> dense index
-    order = [pos[v] for v in spec.vertices] if hasattr(spec, "vertices") \
-        else None
-    assert order is not None
     for s in range(bits.shape[0]):
         idx = 0
         for v in verts:
