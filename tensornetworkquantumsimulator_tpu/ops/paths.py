@@ -79,9 +79,11 @@ def contraction_sequence(tensors: Sequence, alg: str = "optimal", **kwargs):
         return hit
 
     seq = None
-    if alg == "optimal" and n <= 16:
+    if alg == "optimal" and n <= 40:
         # native exact DP (C++, `native/pathopt.cpp`) — the counterpart of
-        # the reference's TensorOperations.optimaltree
+        # the reference's TensorOperations.optimaltree: all-subsets DP to
+        # n=16, connected-subset (netcon) DP to n=40 with budgeted
+        # enumeration (falls through to greedy on overflow)
         from ..native import optimal_path_native
 
         dims = {}
@@ -91,7 +93,10 @@ def contraction_sequence(tensors: Sequence, alg: str = "optimal", **kwargs):
         seq = optimal_path_native([tuple(sub) for sub in inputs], dims)
     if seq is None:
         if alg == "optimal":
-            optimize = "dp" if n <= 14 else "greedy"
+            # opt_einsum's cost-capped DP is exact and handles dense
+            # mid-size lists the budgeted native search declines
+            # (measured 0.1-7 s at n=20-25, memoised); greedy beyond
+            optimize = "dp" if n <= 24 else "greedy"
         elif alg in ("einexpr", "greedy"):
             optimize = "greedy"
         else:
