@@ -119,13 +119,14 @@ def optimal_path_native(inputs: list, dims: dict):
 
 
 def _configure_subgraphs(lib):
-    lib.enumerate_leaffree.restype = ctypes.c_longlong
-    lib.enumerate_leaffree.argtypes = [
+    lib.enumerate_leaffree2.restype = ctypes.c_longlong
+    lib.enumerate_leaffree2.argtypes = [
         ctypes.c_int,
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte),
         ctypes.POINTER(ctypes.c_uint64),
         ctypes.c_longlong,
         ctypes.c_int,
@@ -137,13 +138,18 @@ def get_subgraphs():
     return _get_lib("subgraphs", _configure_subgraphs)
 
 
-def leaffree_subsets_native(edge_pairs, n_vertices, max_edges):
-    """All vertex-disjoint unions of leaf-free connected edge subsets with
-    <= max_edges edges, as lists of edge indices into `edge_pairs` — or
-    None when the native library is unavailable / the graph exceeds the
-    256-edge/256-vertex bitset capacity.
+def leaffree_subsets_native(edge_pairs, n_vertices, max_edges,
+                            leaf_ok=None):
+    """All vertex-disjoint unions of connected edge subsets with
+    <= max_edges edges whose every degree-1 vertex is flagged in
+    ``leaf_ok`` (strictly leaf-free when ``leaf_ok`` is None), as lists of
+    edge indices into `edge_pairs` — or None when the native library is
+    unavailable / the graph exceeds the 256-edge/256-vertex bitset
+    capacity.
 
-    `edge_pairs` is a list of (src_index, dst_index) vertex-index pairs.
+    `edge_pairs` is a list of (src_index, dst_index) vertex-index pairs;
+    ``leaf_ok`` an optional boolean sequence per vertex index (the
+    observable vertices of the loop-corrected-expectation numerator).
     """
     lib = get_subgraphs()
     n_edges = len(edge_pairs)
@@ -154,11 +160,17 @@ def leaffree_subsets_native(edge_pairs, n_vertices, max_edges):
     words = (n_edges + 63) // 64
     src = (ctypes.c_int * n_edges)(*[p[0] for p in edge_pairs])
     dst = (ctypes.c_int * n_edges)(*[p[1] for p in edge_pairs])
+    if leaf_ok is None:
+        mask = ctypes.POINTER(ctypes.c_ubyte)()
+    else:
+        mask = (ctypes.c_ubyte * n_vertices)(
+            *[1 if leaf_ok[i] else 0 for i in range(n_vertices)]
+        )
     cap = 1 << 16
     while True:
         out = (ctypes.c_uint64 * (cap * words))()
-        total = lib.enumerate_leaffree(
-            n_vertices, n_edges, src, dst, max_edges, out, cap, words
+        total = lib.enumerate_leaffree2(
+            n_vertices, n_edges, src, dst, max_edges, mask, out, cap, words
         )
         if total < 0:
             return None

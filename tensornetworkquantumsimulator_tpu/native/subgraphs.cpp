@@ -55,29 +55,43 @@ struct Enumerator {
   int n_vertices, n_edges, max_edges, words;
   const int* src;
   const int* dst;
+  const unsigned char* leaf_ok = nullptr;  // per-vertex: degree-1 allowed
   std::vector<Mask> adj;      // per edge: adjacent edges (shared vertex)
   std::vector<int> degree;    // per vertex, for the current subset
   std::vector<int> cur;       // current edge indices (stack)
   int n_deg1 = 0;             // vertices at degree exactly 1 in current
+  int n_bad1 = 0;             // ... of which degree-1 is NOT allowed
   // stage-1 results: connected leaf-free components
   std::vector<Mask> comp_edges;
   std::vector<Mask> comp_verts;
   std::vector<int> comp_size;
 
+  bool allowed(int v) const { return leaf_ok && leaf_ok[v]; }
+
   void add_edge_to_cur(int k) {
     cur.push_back(k);
     for (int v : {src[k], dst[k]}) {
       int d = ++degree[v];
-      if (d == 1) ++n_deg1;
-      else if (d == 2) --n_deg1;
+      if (d == 1) {
+        ++n_deg1;
+        if (!allowed(v)) ++n_bad1;
+      } else if (d == 2) {
+        --n_deg1;
+        if (!allowed(v)) --n_bad1;
+      }
     }
   }
   void pop_edge_from_cur(int k) {
     cur.pop_back();
     for (int v : {src[k], dst[k]}) {
       int d = --degree[v];
-      if (d == 0) --n_deg1;
-      else if (d == 1) ++n_deg1;
+      if (d == 0) {
+        --n_deg1;
+        if (!allowed(v)) --n_bad1;
+      } else if (d == 1) {
+        ++n_deg1;
+        if (!allowed(v)) ++n_bad1;
+      }
     }
   }
 
@@ -99,7 +113,10 @@ struct Enumerator {
   // adj[e] for e in S.  Emits every connected superset of S reachable by
   // adding non-banned adjacent edges exactly once.
   void grow(Mask curmask, Mask banned, Mask adjmask) {
-    if (n_deg1 == 0 && (int)cur.size() >= 3) record_component();
+    // leaf-free (n_deg1 == 0, >= 3 edges) or every leaf at an allowed
+    // vertex (op-anchored excitation components of the observable series)
+    if (n_bad1 == 0 && ((int)cur.size() >= 3 || n_deg1 > 0))
+      record_component();
     if ((int)cur.size() >= max_edges) return;
     // candidates = adjacent \ current \ banned
     Mask cand;
@@ -157,9 +174,14 @@ struct Enumerator {
 
 }  // namespace
 
-extern "C" long long enumerate_leaffree(
+// `leaf_ok` (may be null) flags vertices where configuration leaves are
+// allowed — the numerator series of loop-corrected expectation values
+// anchors excitation paths/tadpoles at the observable vertices; null
+// reproduces the strict leaf-free enumeration.
+extern "C" long long enumerate_leaffree2(
     int n_vertices, int n_edges, const int* src, const int* dst,
-    int max_edges, unsigned long long* out_raw, long long cap, int words) {
+    int max_edges, const unsigned char* leaf_ok, unsigned long long* out_raw,
+    long long cap, int words) {
   uint64_t* out = reinterpret_cast<uint64_t*>(out_raw);
   if (n_vertices <= 0 || n_edges <= 0 || max_edges <= 0) return 0;
   if (n_edges > 64 * kMaxWords || n_vertices > 64 * kMaxWords) return -1;
@@ -172,6 +194,7 @@ extern "C" long long enumerate_leaffree(
   en.words = words;
   en.src = src;
   en.dst = dst;
+  en.leaf_ok = leaf_ok;
 
   // edge-edge adjacency via per-vertex incidence masks
   std::vector<Mask> incident(n_vertices);
@@ -221,4 +244,12 @@ extern "C" long long enumerate_leaffree(
   z.clear();
   en.unions(0, z, z, 0);
   return en.total;
+}
+
+// backward-compatible strict leaf-free entry point
+extern "C" long long enumerate_leaffree(
+    int n_vertices, int n_edges, const int* src, const int* dst,
+    int max_edges, unsigned long long* out_raw, long long cap, int words) {
+  return enumerate_leaffree2(n_vertices, n_edges, src, dst, max_edges,
+                             nullptr, out_raw, cap, words);
 }

@@ -38,6 +38,9 @@ def batched_product_state(
     V, D = spec.num_vertices, spec.degree
     tensors = np.zeros((V,) + (chi,) * D + (d,), dtype=dtype)
     for i, v in enumerate(spec.vertices):
+        if not g.has_vertex(v):  # inert shard-padding row (sharding.PAD_VERTEX)
+            tensors[(i,) + (0,) * D + (0,)] = 1.0
+            continue
         local = state_fn(v)
         vec = state_vector(local, d) if isinstance(local, str) else np.asarray(local)
         tensors[(i,) + (0,) * D] = vec.astype(dtype)
@@ -59,7 +62,10 @@ def batched_from_tns(
     if spec is None:
         spec = compile_graph(tns.graph())
     V, D = spec.num_vertices, spec.degree
-    d = tns.siteinds(spec.vertices[0])[0].dim
+    tg = tns.graph()
+    d = tns.siteinds(
+        next(v for v in spec.vertices if tg.has_vertex(v))
+    )[0].dim
     if dtype is None:
         dtype = tns.scalartype()
 
@@ -68,6 +74,9 @@ def batched_from_tns(
     tensors = np.zeros((V,) + (chi,) * D + (d,), dtype=dtype)
     msgs = np.broadcast_to(np.eye(chi, dtype=dtype), (V, D, chi, chi)).copy()
     for i, v in enumerate(spec.vertices):
+        if not tg.has_vertex(v):  # inert shard-padding row
+            tensors[(i,) + (0,) * D + (0,)] = 1.0
+            continue
         t = tns[v]
         sind = tns.siteinds(v)[0]
         bond_inds = []

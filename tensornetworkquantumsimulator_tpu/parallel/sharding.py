@@ -41,21 +41,44 @@ class ShardedBPSpec:
     mask: np.ndarray  # [S, Vl, D]
 
 
+PAD_VERTEX = "_tnqs_pad"
+
+
 def shard_spec(
-    g, num_shards: int, strip_key=None, num_colors=None
+    g, num_shards: int, strip_key=None, num_colors=None, pad: bool = False
 ) -> ShardedBPSpec:
     """Compile a lattice into a strip-sharded BP spec.
 
     ``strip_key(v)`` orders vertices into strips (default: first coordinate).
     Requires V divisible by num_shards and all cross-shard edges to connect
     adjacent shards (true for coordinate strips of grids/tori of width ≥
-    num_shards)."""
+    num_shards).
+
+    ``pad=True`` admits lattices whose vertex count does not divide the
+    shard count (e.g. Eagle-127 on 8 chips): inert ``(PAD_VERTEX, i)``
+    vertices (product rows, no edges, vertex scalar 1) are appended to the
+    strip order until V divides — and until the local strip is at least
+    the largest sorted edge span, so every cross-shard edge stays
+    adjacent.  Pad rows ride along in the [V, ...] buffers and drop out
+    of every contraction; callers index real vertices by name as usual."""
     if strip_key is None:
         strip_key = lambda v: v
     vertices = sorted(g.vertices(), key=strip_key)
     V = len(vertices)
-    if V % num_shards != 0:
-        raise ValueError(f"{V} vertices not divisible by {num_shards} shards")
+    if V % num_shards != 0 or pad:
+        if not pad:
+            raise ValueError(
+                f"{V} vertices not divisible by {num_shards} shards"
+            )
+        pos = {v: i for i, v in enumerate(vertices)}
+        span = max(
+            [1] + [abs(pos[e.src] - pos[e.dst]) for e in g.edges()]
+        )
+        Vl = max(-(-V // num_shards), span)
+        vertices = vertices + [
+            (PAD_VERTEX, i) for i in range(Vl * num_shards - V)
+        ]
+        V = len(vertices)
     Vl = V // num_shards
 
     # rebuild the batched spec with the strip vertex order

@@ -323,7 +323,17 @@ def _bipartite_edge_color(g: NamedGraph) -> list:
     """Exact Δ-edge-coloring of a bipartite graph (König): pad to a
     Δ-regular bipartite multigraph and peel perfect matchings."""
     delta = g.max_degree()
-    left_set, right_set = nx.bipartite.sets(g.nx())
+    # per-component 2-coloring: nx.bipartite.sets raises on disconnected
+    # graphs (e.g. a shard-padded lattice with inert isolated vertices)
+    left_set: set = set()
+    right_set: set = set()
+    nxg = g.nx()
+    for comp in nx.connected_components(nxg):
+        if len(comp) == 1:
+            continue  # isolated vertex touches no edge
+        lc, rc = nx.bipartite.sets(nxg.subgraph(comp))
+        left_set |= lc
+        right_set |= rc
     left, right = sorted(left_set, key=str), sorted(right_set, key=str)
     n = max(len(left), len(right))
     # build bipartite multigraph adjacency with dummy vertices/edges
@@ -448,13 +458,20 @@ def _kempe_edge_color(g: NamedGraph, ncolors: int) -> list:
 # ---------------------------------------------------------------------------
 
 
-def edgeinduced_subgraphs_no_leaves(g: NamedGraph, max_edges: int) -> list:
+def edgeinduced_subgraphs_no_leaves(
+    g: NamedGraph, max_edges: int, allowed_leaves=()
+) -> list:
     """All edge-induced subgraphs with ≤ max_edges edges and min degree ≥ 2
     (the 'generalized loops' of the BP loop series; NamedGraphs
     `edgeinduced_subgraphs_no_leaves`, used in `loopcorrection.jl:11-12`).
 
+    ``allowed_leaves`` optionally names vertices where degree-1 IS allowed
+    — the numerator series of loop-corrected expectation values anchors
+    excitation components (paths, tadpoles) at the observable vertices;
+    the default (empty) is the strict leaf-free enumeration.
+
     Returns a list of NamedGraph (possibly disconnected unions of
-    vertex-disjoint leaf-free components).
+    vertex-disjoint components).
 
     Dispatches to the native C++ bitset enumerator
     (`native/subgraphs.cpp`) when available — the pure-Python enumeration
@@ -466,8 +483,9 @@ def edgeinduced_subgraphs_no_leaves(g: NamedGraph, max_edges: int) -> list:
     if max_edges is None or max_edges <= 0:
         return []
     edges = g.edges()
+    allowed = frozenset(allowed_leaves)
 
-    native_sets = _leaffree_edge_sets_native(g, edges, max_edges)
+    native_sets = _leaffree_edge_sets_native(g, edges, max_edges, allowed)
     if native_sets is not None:
         out = []
         for es in sorted(native_sets, key=lambda s: (len(s), sorted(s))):
@@ -479,10 +497,11 @@ def edgeinduced_subgraphs_no_leaves(g: NamedGraph, max_edges: int) -> list:
                 sub.add_edge_inplace(e)
             out.append(sub)
         return out
-    return _edgeinduced_subgraphs_no_leaves_py(g, max_edges)
+    return _edgeinduced_subgraphs_no_leaves_py(g, max_edges, allowed)
 
 
-def _leaffree_edge_sets_native(g: NamedGraph, edges: list, max_edges: int):
+def _leaffree_edge_sets_native(g: NamedGraph, edges: list, max_edges: int,
+                               allowed=frozenset()):
     """Edge-index sets from the native enumerator, or None (no toolchain /
     graph exceeds the 256-edge/vertex bitset capacity)."""
     try:
@@ -491,11 +510,19 @@ def _leaffree_edge_sets_native(g: NamedGraph, edges: list, max_edges: int):
         return None
     verts = {v: i for i, v in enumerate(g.vertices())}
     pairs = [(verts[e.src], verts[e.dst]) for e in edges]
-    sets = leaffree_subsets_native(pairs, len(verts), max_edges)
+    leaf_ok = None
+    if allowed:
+        leaf_ok = [False] * len(verts)
+        for v in allowed:
+            if v in verts:
+                leaf_ok[verts[v]] = True
+    sets = leaffree_subsets_native(pairs, len(verts), max_edges, leaf_ok)
     return None if sets is None else [frozenset(s) for s in sets]
 
 
-def _edgeinduced_subgraphs_no_leaves_py(g: NamedGraph, max_edges: int) -> list:
+def _edgeinduced_subgraphs_no_leaves_py(
+    g: NamedGraph, max_edges: int, allowed=frozenset()
+) -> list:
     """Pure-Python fallback (and parity oracle) for
     `edgeinduced_subgraphs_no_leaves`."""
     edges = g.edges()
@@ -514,7 +541,11 @@ def _edgeinduced_subgraphs_no_leaves_py(g: NamedGraph, max_edges: int) -> list:
         for e in sub:
             degs[e.src] = degs.get(e.src, 0) + 1
             degs[e.dst] = degs.get(e.dst, 0) + 1
-        if all(d >= 2 for d in degs.values()) and len(current) >= 3:
+        n_leaves = sum(1 for d in degs.values() if d == 1)
+        leaves_ok = all(
+            d >= 2 or v in allowed for v, d in degs.items()
+        )
+        if leaves_ok and (len(current) >= 3 or n_leaves > 0):
             connected.append(frozenset(current))
         if len(current) >= max_edges:
             return

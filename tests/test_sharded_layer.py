@@ -608,3 +608,65 @@ def test_sharded_rdms_match_unsharded_and_generic():
         # different schedules; ~1e-7 entrywise agreement is the convergence
         # level, not roundoff
         np.testing.assert_allclose(rho2[pos], arr, atol=1e-6)
+
+
+def test_sharded_layer_eagle127_chi4():
+    """Flagship Eagle-127 lattice through shard_spec(pad=True) /
+    make_sharded_layer at chi=4 on 8 shards (VERDICT r3 item 5: the pod
+    story proven on the flagship lattice, not just heavy-hex(3,3)).
+    V=127 pads to 128 = 8x16 with one inert row; the sharded evolve +
+    measure pipeline matches the single-device engine."""
+    from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+    from tensornetworkquantumsimulator_tpu.parallel.engine import (
+        local_expectations,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.sharded_layer import (
+        make_sharded_site_expectations,
+    )
+    from tensornetworkquantumsimulator_tpu.utils.lattices import (
+        ibm_eagle_lattice,
+    )
+
+    g = ibm_eagle_lattice()
+    chi, S = 4, 8
+    sspec = shard_spec(g, S, pad=True)
+    spec = sspec.spec
+    assert spec.num_vertices == 128  # one pad row
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+
+    gate2 = np.asarray(gate_matrix("Rzz", 0.3)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 0.7))
+    tol = 1e-10
+    ref_state, _ = _unsharded_layer(spec, state, gate2, gate1, chi, 1e-12, tol)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    layer = make_sharded_layer(
+        sspec, mesh, gate2, gate1, chi, cutoff=1e-12,
+        bp_tolerance=tol, one_site_first=True,
+    )
+    sh = NamedSharding(mesh, P("v"))
+    sharded_state = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    out_state, _ = layer(sharded_state)
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.messages), np.asarray(ref_state.messages),
+        atol=1e-9,
+    )
+
+    # sharded measurement on the evolved state (pad row's <Z> is ignored)
+    z = np.asarray(op_matrix("Z", 2))
+    site_fn = make_sharded_site_expectations(sspec, mesh, z)
+    got = np.asarray(site_fn(out_state))
+    ref = np.asarray(local_expectations(spec, ref_state, jnp.asarray(z)))
+    real = [i for i, v in enumerate(spec.vertices) if g.has_vertex(v)]
+    np.testing.assert_allclose(got[real], ref[real], atol=1e-9)
