@@ -490,3 +490,289 @@ def make_sharded_layer_2d(
         return BatchedState(t, m), errs
 
     return layer
+
+
+# ---------------------------------------------------------------------------
+# 2-D sharded measurement + gauge (VERDICT r3 item 7: the block mesh must
+# cover more than the Trotter layer)
+# ---------------------------------------------------------------------------
+
+_REVERSE_DIR = {"xprev": "xnext", "xnext": "xprev",
+                "yprev": "ynext", "ynext": "yprev"}
+
+
+def _shard_map():
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
+def make_sharded_site_expectations_2d(sspec: Sharded2DSpec, mesh: Mesh):
+    """Jitted ``state -> [V]`` of per-vertex ⟨op⟩-style one-site RDMs'
+    expectations on the (Sx, Sy) block mesh — vertex-local once messages
+    are converged, so zero collectives (the 2-D twin of
+    `sharded_layer.make_sharded_site_expectations`); the op is passed at
+    call time."""
+    from .engine import local_expectations
+
+    spec = sspec.spec
+
+    def body(tensors, messages, op):
+        st = BatchedState(tensors, messages)
+        return local_expectations(spec, st, op)
+
+    fn = _shard_map()(
+        body, mesh=mesh,
+        in_specs=(P(("x", "y")), P(("x", "y")), P()),
+        out_specs=P(("x", "y")),
+    )
+
+    @jax.jit
+    def site_fn(state: BatchedState, op):
+        return fn(state.tensors, state.messages, jnp.asarray(op))
+
+    return site_fn
+
+
+def _build_bond_tables_2d(sspec: Sharded2DSpec):
+    """Bucket ``spec.edges`` by (slot_u, slot_v, direction-of-partner)
+    with per-shard 0-padded gather tables — the 2-D twin of
+    `sharded_layer._build_bond_tables`; direction is one of `_DIRS` (or
+    None for intra-block), naming which axis neighbor owns the partner
+    vertex."""
+    from .sharded_layer import _inverse_table
+
+    spec = sspec.spec
+    S, sx, sy = sspec.num_shards, sspec.sx, sspec.sy
+    Vl = spec.num_vertices // S
+
+    def xy(s):
+        return divmod(s, sy)
+
+    def sid(x, y):
+        return (x % sx) * sy + (y % sy)
+
+    def neighbor(s, d):
+        x, y = xy(s)
+        return {
+            "xprev": sid(x - 1, y), "xnext": sid(x + 1, y),
+            "yprev": sid(x, y - 1), "ynext": sid(x, y + 1),
+        }[d]
+
+    grouped: dict = {}
+    for pos, (iu, iv, su, sv) in enumerate(spec.edges):
+        s_u, s_v = iu // Vl, iv // Vl
+        if s_u == s_v:
+            d = None
+        else:
+            bu, bv = xy(s_u), xy(s_v)
+            dx = (bv[0] - bu[0]) % sx
+            dy = (bv[1] - bu[1]) % sy
+            if dy == 0 and dx == sx - 1:
+                d = "xprev"  # partner lives in the previous x-block
+            elif dy == 0 and dx == 1:
+                d = "xnext"
+            elif dx == 0 and dy == sy - 1:
+                d = "yprev"
+            elif dx == 0 and dy == 1:
+                d = "ynext"
+            else:
+                raise ValueError(
+                    "cross-shard edge between non-adjacent blocks"
+                )
+        grouped.setdefault((su, sv, d), []).append(
+            (s_u, iu % Vl, iv % Vl, pos)
+        )
+
+    out = []
+    for (su, sv, d), entries in sorted(
+        grouped.items(), key=lambda kv: (kv[0][0], kv[0][1], str(kv[0][2]))
+    ):
+        per_shard: list = [[] for _ in range(S)]
+        for e in entries:
+            per_shard[e[0]].append(e[1:])
+        B = max(1, max(len(l) for l in per_shard))
+        u_tab = np.zeros((S, B), np.int32)
+        v_tab = np.zeros((S, B), np.int32)
+        valid = np.zeros((S, B), bool)
+        pos_tab = np.full((S, B), -1, np.int64)
+        v_pairs: list = [[] for _ in range(S)]
+        for s, lst in enumerate(per_shard):
+            for i, (lu, lv, pos) in enumerate(lst):
+                u_tab[s, i], valid[s, i], pos_tab[s, i] = lu, True, pos
+                if d is None:
+                    v_tab[s, i] = lv
+                    v_pairs[s].append((lv, i))
+        if d is not None:
+            # partner rows laid out in the SENDER shard's row at the
+            # computing shard's lane index; ppermute(d) aligns them
+            for s, lst in enumerate(per_shard):
+                sender = neighbor(s, d)
+                for i, (_, lv, _) in enumerate(lst):
+                    v_tab[sender, i] = lv
+                    v_pairs[sender].append((lv, i))
+        u_inv, u_wr = _inverse_table(
+            [[(lu, i) for i, (lu, _, _) in enumerate(lst)]
+             for lst in per_shard], Vl)
+        v_inv, v_wr = _inverse_table(v_pairs, Vl)
+        out.append((su, sv, d, u_tab, v_tab, valid, pos_tab,
+                    u_inv, u_wr, v_inv, v_wr))
+    return out
+
+
+def _edge_order_table(buckets, n_edges, S):
+    offsets = []
+    off = 0
+    for b in buckets:
+        offsets.append(off)
+        off += b[6].shape[1]
+    b_total = off
+    order = np.zeros(n_edges, np.int64)
+    for b, boff in zip(buckets, offsets):
+        pos_tab = b[6]
+        for s in range(S):
+            for i in range(pos_tab.shape[1]):
+                if pos_tab[s, i] >= 0:
+                    order[pos_tab[s, i]] = s * b_total + boff + i
+    return order
+
+
+def make_sharded_bond_expectations_2d(sspec: Sharded2DSpec, mesh: Mesh,
+                                      op1, op2):
+    """Jitted ``state -> [E]`` of ⟨op1 ⊗ op2⟩ on every edge (order of
+    ``spec.edges``) over the (Sx, Sy) block mesh: each edge evaluates on
+    the block owning u; partners halo in with ONE `ppermute` along the
+    right mesh axis per (slot-pair, direction) bucket.  The 2-D twin of
+    `sharded_layer.make_sharded_bond_expectations`."""
+    from .engine import _site_transfer
+
+    spec = sspec.spec
+    S = sspec.num_shards
+    buckets = _build_bond_tables_2d(sspec)
+    o1 = np.asarray(op1)
+    o2 = np.asarray(op2)
+    order = _edge_order_table(buckets, len(spec.edges), S)
+    perms = _perms(sspec.sx, sspec.sy)
+
+    flat_tables = tuple(
+        np.asarray(t) for b in buckets for t in (b[3], b[4], b[5])
+    )
+
+    def body(tensors, messages, *tables):
+        st = BatchedState(tensors, messages)
+        it = iter(tables)
+        outs = []
+        for (su, sv, d, *_unused) in buckets:
+            u_tab, v_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+            eu = _site_transfer(st, u_tab, su)
+            ev = _site_transfer(st, v_tab, sv)
+            if d is not None:
+                ax, perm = perms[d]
+                ev = jax.lax.ppermute(ev, ax, perm)
+            numer = jnp.einsum(
+                "bopsz,zs,bopcx,xc->b", eu, o1.astype(eu.dtype), ev,
+                o2.astype(eu.dtype), precision=_PRECISION,
+            )
+            denom = jnp.einsum(
+                "bopss,bopcc->b", eu, ev, precision=_PRECISION)
+            outs.append(jnp.where(valid, numer / denom, 0.0))
+        return jnp.concatenate(outs)
+
+    fn = _shard_map()(
+        body, mesh=mesh,
+        in_specs=(P(("x", "y")), P(("x", "y")))
+        + (P(("x", "y")),) * len(flat_tables),
+        out_specs=P(("x", "y")),
+    )
+    order_j = np.asarray(order)
+
+    @jax.jit
+    def bond_fn(state: BatchedState):
+        flat = fn(state.tensors, state.messages, *flat_tables)
+        return jnp.take(flat, order_j)
+
+    return bond_fn
+
+
+def make_sharded_gauge_2d(sspec: Sharded2DSpec, mesh: Mesh,
+                          rel_cutoff: float | None = None):
+    """Jitted ``state -> (state, spectra[E, χ])``: Vidal/symmetric gauge
+    (`symmetric_gauge.jl:85-114`) on the 2-D block-sharded state — the
+    block-mesh twin of `sharded_layer.make_sharded_gauge`: each edge is
+    gauged on the block owning u; cross-block edges halo-in the partner's
+    stored message and halo-out the partner's transform + new diagonal
+    message along the right mesh axis."""
+    from .gauge import _edge_gauge_transforms
+    from .sharded_layer import _absorb_rows
+
+    spec = sspec.spec
+    S = sspec.num_shards
+    buckets = _build_bond_tables_2d(sspec)
+    order = _edge_order_table(buckets, len(spec.edges), S)
+    perms = _perms(sspec.sx, sspec.sy)
+
+    flat_tables = tuple(
+        np.asarray(t) for b in buckets for t in b[3:11]
+    )
+
+    def body(tensors, messages, *tables):
+        rc = rel_cutoff
+        if rc is None:
+            rc = 1e3 * float(
+                jnp.finfo(jnp.zeros((), tensors.dtype).real.dtype).eps
+            )
+        it = iter(tables)
+        outs = []
+        for (su, sv, d, *_unused) in buckets:
+            u_tab, v_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+            _pos = next(it)
+            u_inv, u_wr = next(it)[0], next(it)[0]
+            v_inv, v_wr = next(it)[0], next(it)[0]
+            Y = messages[u_tab, su]          # v→u message, stored at u
+            Xs = messages[v_tab, sv]         # u→v message, stored at v
+            if d is not None:
+                ax, perm = perms[d]
+                X = jax.lax.ppermute(Xs, ax, perm)
+            else:
+                X = Xs
+            a_u, a_v, ss = _edge_gauge_transforms(X, Y, tensors.dtype, rc)
+            s_diag = jax.vmap(jnp.diag)(ss.astype(messages.dtype))
+            tu = _absorb_rows(tensors[u_tab], su, a_u)
+            tensors = _select_rows(tensors, tu, u_inv, u_wr)
+            messages = messages.at[:, su].set(
+                _select_rows(messages[:, su], s_diag, u_inv, u_wr))
+            if d is None:
+                tv = _absorb_rows(tensors[v_tab], sv, a_v)
+                tensors = _select_rows(tensors, tv, v_inv, v_wr)
+                messages = messages.at[:, sv].set(
+                    _select_rows(messages[:, sv], s_diag, v_inv, v_wr))
+            else:
+                payload = jnp.stack(
+                    [a_v, s_diag.astype(a_v.dtype)], axis=1)  # [B,2,χ,χ]
+                rax, rperm = perms[_REVERSE_DIR[d]]
+                payload = jax.lax.ppermute(payload, rax, rperm)
+                a_v_r = payload[:, 0]
+                s_diag_r = payload[:, 1].astype(messages.dtype)
+                tv = _absorb_rows(tensors[v_tab], sv, a_v_r)
+                tensors = _select_rows(tensors, tv, v_inv, v_wr)
+                messages = messages.at[:, sv].set(
+                    _select_rows(messages[:, sv], s_diag_r, v_inv, v_wr))
+            outs.append(jnp.where(valid[:, None], ss, 0.0))
+        return tensors, messages, jnp.concatenate(outs)
+
+    fn = _shard_map()(
+        body, mesh=mesh,
+        in_specs=(P(("x", "y")), P(("x", "y")))
+        + (P(("x", "y")),) * len(flat_tables),
+        out_specs=(P(("x", "y")), P(("x", "y")), P(("x", "y"))),
+    )
+    order_j = np.asarray(order)
+
+    @jax.jit
+    def gauge_fn(state: BatchedState):
+        t, m, flat = fn(state.tensors, state.messages, *flat_tables)
+        return BatchedState(t, m), jnp.take(flat, order_j, axis=0)
+
+    return gauge_fn
