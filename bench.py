@@ -386,6 +386,14 @@ def _measure_all(results: dict) -> None:
         "heavyhex_fast": ("heavyhex", {"TNQS_EIGH_ALG": "auto",
                                        "TNQS_SVD_ALG": "gram",
                                        "TNQS_QR_ALG": "cholqr2"}, 1023),
+        # headline-stack refinement A/B: single-pass CholeskyQR (R
+        # cancels in the restored tensor, so pass 2's orthogonality
+        # restoration buys nothing — measured IDENTICAL 4.8e-6 CPU drift)
+        # + the fused-roots polar QR-reduce; whichever wins a hardware
+        # A/B takes over the chi10 headline env next round
+        "chi10_cholqr1": ("chi10", {"TNQS_EIGH_ALG": "auto",
+                                    "TNQS_SVD_ALG": "gram",
+                                    "TNQS_QR_ALG": "cholqr1"}, 255),
         # chi64 MXU-regime A/B (VERDICT r3 item 4): gram SVD turns the
         # 256x256 theta SVD into one eigh; CholeskyQR2 replaces the
         # serializing tall-skinny Householder QR with two MXU
@@ -604,6 +612,9 @@ def _emit(results: dict) -> None:
         ),
         "heavyhex127q_chi64_fast_optin_layers_per_sec": _num(
             _inv(results.get("chi64_fast", {}).get("per_layer")), 3
+        ),
+        "tfim_5x5_chi10_cholqr1_optin_layers_per_sec": _num(
+            _inv(results.get("chi10_cholqr1", {}).get("per_layer")), 3
         ),
         "quality": {c: r.get("quality") for c, r in results.items()},
         "sync": "download-forced sync; best valid sample k*n/wall lower "

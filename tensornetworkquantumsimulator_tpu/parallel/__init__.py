@@ -75,6 +75,7 @@ from .loopcorrection import (
     batched_partitionfunction,
     find_plaquettes,
     loopcorrected_partitionfunction as batched_loopcorrected_partitionfunction,
+    make_loopcorrected_expectations,
 )
 from .truncate import batched_truncate
 from .sharded_bmps import make_sharded_grid_bmps, make_sharded_planar_bmps
@@ -90,7 +91,14 @@ from .sharded_layer import (
     make_sharded_truncate,
 )
 from .sharding import ShardedBPSpec, make_sharded_bp_update, shard_spec
-from .sharding2d import Sharded2DSpec, make_sharded_layer_2d, shard2d_spec
+from .sharding2d import (
+    Sharded2DSpec,
+    make_sharded_bond_expectations_2d,
+    make_sharded_gauge_2d,
+    make_sharded_layer_2d,
+    make_sharded_site_expectations_2d,
+    shard2d_spec,
+)
 from .structure import BatchedGraphSpec, SlotPairBucket, compile_graph
 from .trotter import BatchedCircuit, make_expectation_fn, make_layer_fn
 from .variational import (

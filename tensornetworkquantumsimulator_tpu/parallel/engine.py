@@ -107,19 +107,16 @@ def _eigh(m):
 # ~4e-4/layer on c64, ~3e-6 on c128.  Use for exploratory large-χ runs;
 # the production default keeps Householder QR.
 def _polar_once(mat):
+    """One polar-QR pass: M = (A†A)^{1/2}, Q = A·(A†A)^{-1/2}.
+
+    Routes through :func:`_pseudo_roots`, so on the jacobi/auto path the
+    whole gram→eigh→clip→both-roots chain is ONE fused Pallas launch
+    (`pallas_linalg.jacobi_pseudo_roots`) and the pass costs two MXU
+    matmuls + one kernel — the launch-minimal QR-reduce for the
+    small-gram (χd ≤ 24) regime the chi10 workload lives in."""
     gram = jnp.conj(jnp.swapaxes(mat, -1, -2)) @ mat  # [B, k, k]
-    w, v = _eigh(gram)
-    w = w.real
-    eps = jnp.finfo(w.dtype).eps
-    wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
-    good = w > 10 * eps * jnp.maximum(wmax, eps)
-    safe = jnp.where(good, w, 1.0)
-    sq = jnp.where(good, jnp.sqrt(safe), 0.0)
-    isq = jnp.where(good, 1.0 / jnp.sqrt(safe), 0.0)
-    vh = jnp.conj(jnp.swapaxes(v, -1, -2))
-    m = (v * sq[..., None, :].astype(mat.dtype)) @ vh
-    q = mat @ (v * isq[..., None, :].astype(mat.dtype)) @ vh
-    return q, m
+    root, inv_root = _pseudo_roots(gram)
+    return mat @ inv_root, root
 
 
 def _chol_once(mat):
@@ -150,6 +147,13 @@ def _chol_once(mat):
 
 def _qr_split(mat):
     alg = os.environ.get("TNQS_QR_ALG", "default")
+    if alg == "cholqr1":
+        # Single-pass CholeskyQR: in the simple-update the QR factor R
+        # cancels exactly in the restored tensor (t_new = A·R⁻¹·x — any
+        # invertible R gives the same result in exact arithmetic; the QR
+        # only conditions θ's SVD), so the orthogonality-restoring second
+        # pass buys little here — half the QR-stage launches
+        return _chol_once(mat)
     if alg == "cholqr2":
         # CholeskyQR2: the Gram squares the condition number, so one pass
         # leaves Q†Q − I ~ κ²ε; the second pass acts on the near-isometric
