@@ -499,6 +499,12 @@ def _measure_all(results: dict) -> None:
                 continue
             if st["extra"] and not (headline_resolved() and rem() > 120.0):
                 continue  # extras never compete with headline configs
+            if st["extra"] and sum(
+                1 for s2 in state.values() if s2["extra"] and s2["live"]
+            ) >= 2:
+                continue  # ≤2 extra probes at once: leave tunnel bandwidth
+                # for headline refinement samples (round-3 post-mortem:
+                # three extras + refinement all timed out together)
             if not st["resolved"]:
                 if endgame and not st["klo_done"] and any(
                     r["wall_seconds"] >= 2.0 and r["k"] > st["k_lo"]
