@@ -79,7 +79,10 @@ from .loopcorrection import (
 )
 from .truncate import batched_truncate
 from .sharded_bmps import make_sharded_grid_bmps, make_sharded_planar_bmps
-from .sharded_loopcorrection import make_sharded_loopcorrections
+from .sharded_loopcorrection import (
+    make_sharded_loopcorrected_expectations,
+    make_sharded_loopcorrections,
+)
 from .sharded_layer import (
     build_layer_groups,
     make_sharded_bond_expectations,

@@ -286,3 +286,238 @@ def make_sharded_loopcorrections(
         return fn(state.tensors, state.messages, *flat_tables)
 
     return z_fn
+
+
+def make_sharded_loopcorrected_expectations(
+    sspec: ShardedBPSpec,
+    mesh: Mesh,
+    g,
+    observables,
+    max_configuration_size: int = 4,
+    axis: str = "v",
+):
+    """Jitted ``state -> [n_obs]`` of loop-corrected ⟨O⟩ on the
+    vertex-sharded state — the SPMD counterpart of
+    `loopcorrection.make_loopcorrected_expectations` (same
+    norm-fixed-point series; see that docstring for the physics),
+    completing the sharded op set at loop-corrected OBSERVABLES.
+
+    Everything runs in the rescaled gauge (z_v = s_e = 1, so Z_BP drops
+    out of the ratio): the bond-bucket rescale and halo discipline are
+    those of :func:`make_sharded_loopcorrections`; per observable the
+    site operators absorb into the owner shard's ket rows before the
+    halo, the op-anchored numerator components run the batched weight
+    kernels with the distinct bra layer on the halo-extended state, and
+    each op scalar replicates with one masked ``psum``."""
+    try:
+        from jax import shard_map as _shard_map_raw
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _shard_map_raw
+
+    def shard_map(f, **kw):
+        try:
+            return _shard_map_raw(f, check_vma=False, **kw)
+        except TypeError:  # pragma: no cover - older jax kwarg name
+            return _shard_map_raw(f, check_rep=False, **kw)
+
+    from ..measure import collectobservable
+    from ..models.sites import op_matrix
+    from .loopcorrection import _sandwich_vertex_scalars
+
+    spec = sspec.spec
+    S = sspec.num_shards
+    Vl = spec.num_vertices // S
+    cfgs_den = LoopConfigurations(spec, g, max_configuration_size)
+    den_tabs, den_send, den_groups, _ = _build_loop_tables(sspec, cfgs_den)
+
+    parsed = []
+    for obs in observables:
+        op_strings, verts, coeff = collectobservable(obs, g)
+        iv = [spec.vertex_position(v) for v in verts]
+        cfgs_num = LoopConfigurations(
+            spec, g, max_configuration_size,
+            allowed_leaves=verts, op_positions=iv,
+        )
+        num_tabs, num_send, num_groups, _ = _build_loop_tables(
+            sspec, cfgs_num
+        )
+        # per op: (string, [S,1] owner-local row, [S,1] ownership mask)
+        op_rows = []
+        for o, p in zip(op_strings, iv):
+            own = np.zeros((S, 1), np.int32)
+            ok = np.zeros((S, 1), bool)
+            own[p // Vl, 0] = p % Vl
+            ok[p // Vl, 0] = True
+            op_rows.append((o, own, ok))
+        cov = (
+            {n: np.asarray(c) for n, c in cfgs_num.op_covered.items()}
+            if cfgs_num.op_covered is not None else {}
+        )
+        parsed.append((op_rows, coeff, num_tabs, num_send, num_groups, cov))
+
+    bond_buckets = _build_bond_tables(sspec)
+    left = [(i, (i - 1) % S) for i in range(S)]
+    right = [(i, (i + 1) % S) for i in range(S)]
+
+    flat_tables: list = []
+    for b in bond_buckets:
+        flat_tables += [np.asarray(b[3]), np.asarray(b[4]),
+                        np.asarray(b[5]), np.asarray(b[7]),
+                        np.asarray(b[8]), np.asarray(b[9]),
+                        np.asarray(b[10])]
+    flat_tables.append(np.asarray(den_send))
+    for (_k, _s, idx_tab, valid) in den_tabs:
+        flat_tables += [np.asarray(idx_tab), np.asarray(valid)]
+    for (op_rows, _c, num_tabs, num_send, _gr, _cov) in parsed:
+        for (_o, own, ok) in op_rows:
+            flat_tables += [own, ok]
+        flat_tables.append(np.asarray(num_send))
+        for (_k, _s, idx_tab, valid) in num_tabs:
+            flat_tables += [np.asarray(idx_tab), np.asarray(valid)]
+    flat_tables = tuple(flat_tables)
+
+    def _weights(st, tabs, it, bra_conj=None):
+        ws = []
+        for (kind, sig, _i, _v) in tabs:
+            idx, valid = next(it)[0], next(it)[0]
+            if kind == "c":
+                w = _bucket_weights(spec, st, idx, sig, bra_conj)
+            else:
+                w = _general_weights(spec, st, idx, sig, bra_conj)
+            ws.append(jnp.where(valid, w, 0.0))
+        return jnp.concatenate(ws) if ws else None
+
+    def _series(flat, groups, cov, z_ops, cdtype):
+        """Σ_configs Π w × Π_{op ∉ config} z_op over the gathered vector."""
+        total = jnp.prod(z_ops) if z_ops is not None else jnp.ones((), cdtype)
+        for n, gidx in groups.items():
+            w = jnp.prod(flat[np.asarray(gidx)], axis=1).astype(cdtype)
+            if z_ops is not None and n in cov:
+                mult = jnp.prod(
+                    jnp.where(
+                        jnp.asarray(cov[n]),
+                        jnp.ones((), cdtype),
+                        z_ops[None, :],
+                    ),
+                    axis=1,
+                )
+                w = w * mult
+            total = total + jnp.sum(w)
+        return total
+
+    def body(tensors, messages, *tables):
+        it = iter(tables)
+        cdtype = jnp.result_type(tensors.dtype, jnp.complex64)
+        d = tensors.shape[-1]
+
+        # ---- rescale to the z_v = s_e = 1 gauge ----
+        for (su, sv, dir_, *_unused) in bond_buckets:
+            u_tab, v_tab, _valid = next(it)[0], next(it)[0], next(it)[0]
+            u_inv, u_wr = next(it)[0], next(it)[0]
+            v_inv, v_wr = next(it)[0], next(it)[0]
+            Y = messages[u_tab, su]
+            Xs = messages[v_tab, sv]
+            if dir_ == +1:
+                X = jax.lax.ppermute(Xs, axis, perm=left)
+            elif dir_ == -1:
+                X = jax.lax.ppermute(Xs, axis, perm=right)
+            else:
+                X = Xs
+            se = jnp.einsum("eab,eab->e", X, Y, precision=_PRECISION)
+            inv_root = (
+                1.0 / jnp.sqrt(se.astype(messages.dtype))
+            )[:, None, None]
+            messages = messages.at[:, su].set(
+                _select_rows(messages[:, su], Y * inv_root, u_inv, u_wr)
+            )
+            newX = X * inv_root
+            if dir_ == 0:
+                messages = messages.at[:, sv].set(
+                    _select_rows(messages[:, sv], newX, v_inv, v_wr)
+                )
+            else:
+                back = right if dir_ == +1 else left
+                newX = jax.lax.ppermute(newX, axis, perm=back)
+                messages = messages.at[:, sv].set(
+                    _select_rows(messages[:, sv], newX, v_inv, v_wr)
+                )
+        st1 = BatchedState(tensors, messages)
+        zv2 = jnp.einsum("vss->v", local_rdms(spec, st1))
+        scale = 1.0 / jnp.sqrt(zv2.astype(tensors.dtype))
+        tensors = tensors * scale.reshape(
+            (-1,) + (1,) * (tensors.ndim - 1)
+        )
+
+        # ---- denominator series (leaf-free, plain sandwich) ----
+        dstab = next(it)[0]
+        recv_t = jax.lax.ppermute(tensors[dstab], axis, perm=left)
+        recv_m = jax.lax.ppermute(messages[dstab], axis, perm=left)
+        st_den = BatchedState(
+            jnp.concatenate([tensors, recv_t], axis=0),
+            jnp.concatenate([messages, recv_m], axis=0),
+        )
+        wden = _weights(st_den, den_tabs, it)
+        denom = jnp.ones((), cdtype)
+        if wden is not None:
+            flat = jax.lax.all_gather(wden, axis).reshape(-1)
+            denom = _series(flat, den_groups, {}, None, cdtype)
+
+        # ---- numerators ----
+        bra_local = jnp.conj(tensors.astype(cdtype))
+        m_c = messages.astype(cdtype)
+        outs = []
+        for (op_rows, coeff, num_tabs, _ns, num_groups, cov) in parsed:
+            t_num = tensors.astype(cdtype)
+            op_tabs = []
+            for (o, _own, _ok) in op_rows:
+                own, ok = next(it)[0], next(it)[0]
+                op_tabs.append((o, own, ok))
+                if o in ("I", "Id"):
+                    continue
+                mat = jnp.asarray(op_matrix(o, d), dtype=cdtype)
+                row = t_num[own[0]]  # [1, chi..., d]
+                absorbed = jnp.einsum(
+                    "...s,ps->...p", row, mat, precision=_PRECISION
+                )
+                t_num = t_num.at[own[0]].set(jnp.where(
+                    ok[0].reshape((-1,) + (1,) * (row.ndim - 1)),
+                    absorbed, row,
+                ))
+            # replicated op scalars (one masked psum each)
+            zv_num = _sandwich_vertex_scalars(t_num, bra_local, m_c)
+            z_ops = jnp.stack([
+                jax.lax.psum(
+                    jnp.sum(jnp.where(ok[0], zv_num[own[0]], 0.0)), axis
+                )
+                for (_o, own, ok) in op_tabs
+            ]).astype(cdtype)
+            nstab = next(it)[0]
+            recv_tn = jax.lax.ppermute(t_num[nstab], axis, perm=left)
+            recv_bn = jax.lax.ppermute(bra_local[nstab], axis, perm=left)
+            recv_mn = jax.lax.ppermute(m_c[nstab], axis, perm=left)
+            st_num = BatchedState(
+                jnp.concatenate([t_num, recv_tn], axis=0),
+                jnp.concatenate([m_c, recv_mn], axis=0),
+            )
+            bra_ext = jnp.concatenate([bra_local, recv_bn], axis=0)
+            wnum = _weights(st_num, num_tabs, it, bra_ext)
+            if wnum is None:
+                numer = jnp.prod(z_ops)
+            else:
+                flat = jax.lax.all_gather(wnum, axis).reshape(-1)
+                numer = _series(flat, num_groups, cov, z_ops, cdtype)
+            outs.append(coeff * numer / denom)
+        return jnp.stack(outs)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(axis),) * len(flat_tables),
+        out_specs=P(),
+    )
+
+    @jax.jit
+    def expect_fn(state: BatchedState):
+        return fn(state.tensors, state.messages, *flat_tables)
+
+    return expect_fn

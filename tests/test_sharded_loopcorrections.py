@@ -121,3 +121,50 @@ def test_sharded_loopcorrections_span_error():
     mesh = Mesh(np.array(jax.devices()[:8]), ("v",))
     with pytest.raises(ValueError, match="two adjacent strip shards"):
         make_sharded_loopcorrections(sspec, mesh, g, max_configuration_size=6)
+
+
+def test_sharded_loopcorrected_expectations_match_batched():
+    """make_sharded_loopcorrected_expectations == the single-chip
+    make_loopcorrected_expectations (same norm-fixed-point series) on a
+    strip-sharded 8x4 grid — single-site and bond observables, including
+    the op-anchored numerator configurations."""
+    from tensornetworkquantumsimulator_tpu.parallel.loopcorrection import (
+        make_loopcorrected_expectations,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.sharded_loopcorrection import (
+        make_sharded_loopcorrected_expectations,
+    )
+
+    nx, ny, chi, S = 8, 4, 2, 4
+    g = named_grid((nx, ny))
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+    state = bp_update(spec, state, maxiter=60, tolerance=1e-12)
+
+    vs = list(spec.vertices)
+    obs = [
+        ("Z", [vs[9]]),
+        ("X", [vs[14]]),
+        ("ZZ", [vs[9], vs[10]], 0.5),
+    ]
+    ref_fn = make_loopcorrected_expectations(
+        spec, g, obs, max_configuration_size=4
+    )
+    ref = np.asarray(ref_fn(state))
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    sh = NamedSharding(mesh, P("v"))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    fn = make_sharded_loopcorrected_expectations(
+        sspec, mesh, g, obs, max_configuration_size=4
+    )
+    got = np.asarray(fn(sharded))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
