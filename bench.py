@@ -97,6 +97,10 @@ CONFIGS = {
     "chi10": (2005, 1, 255, 5e-5),
     "heavyhex": (255, 1, 63, 5e-5),
     "chi32": (255, 1, 12, 1e-3),
+    # k_hi stays 8: a k=16 probe measured 6.5 s for 1008 layers against
+    # 17-24 s for 504 — the deep-k fixed-point collapse (BASELINE.md
+    # round-3 caveat), NOT a speed; k=8 walls are consistently in the
+    # demonstrably-executing band
     "chi64": (63, 1, 8, 1e-3),
 }
 
@@ -113,6 +117,16 @@ CONFIGS = {
 HEADLINE_ENV = {
     "chi10": {
         "TNQS_EIGH_ALG": "auto",
+        "TNQS_SVD_ALG": "gram",
+        "TNQS_QR_ALG": "cholqr2",
+    },
+    # chi64's design-regime A/B landed 1.34× (same-window cached-program
+    # samples 2026-08-20: default 46.8 ms/layer = 21.4 layers/s vs
+    # gram+cholqr2 34.9 ms/layer = 28.7 layers/s ≈ 5.3% MFU) — promoted
+    # with the same recorded-band policy as chi10 (gram/cholqr2 drift
+    # 4.8e-6 CPU-c64 at chi10; jacobi kernel not in play at these n);
+    # the QDWH path stays recorded under chi64_qdwh
+    "chi64": {
         "TNQS_SVD_ALG": "gram",
         "TNQS_QR_ALG": "cholqr2",
     },
@@ -386,20 +400,14 @@ def _measure_all(results: dict) -> None:
         "heavyhex_fast": ("heavyhex", {"TNQS_EIGH_ALG": "auto",
                                        "TNQS_SVD_ALG": "gram",
                                        "TNQS_QR_ALG": "cholqr2"}, 1023),
-        # headline-stack refinement A/B: single-pass CholeskyQR (R
-        # cancels in the restored tensor, so pass 2's orthogonality
-        # restoration buys nothing — measured IDENTICAL 4.8e-6 CPU drift)
-        # + the fused-roots polar QR-reduce; whichever wins a hardware
-        # A/B takes over the chi10 headline env next round
-        "chi10_cholqr1": ("chi10", {"TNQS_EIGH_ALG": "auto",
-                                    "TNQS_SVD_ALG": "gram",
-                                    "TNQS_QR_ALG": "cholqr1"}, 255),
-        # chi64 MXU-regime A/B (VERDICT r3 item 4): gram SVD turns the
-        # 256x256 theta SVD into one eigh; CholeskyQR2 replaces the
-        # serializing tall-skinny Householder QR with two MXU
-        # gram/cholesky passes — their design regime is exactly chi>=64
-        "chi64_fast": ("chi64", {"TNQS_SVD_ALG": "gram",
-                                 "TNQS_QR_ALG": "cholqr2"}, None),
+        # (chi10_cholqr1 removed: the cholqr1 HLO fast-fails on the axon
+        # service — 0.5 s "walls" at k ∈ {1, 255} in three processes,
+        # 2026-08-20 — while the same program is CPU-valid with drift
+        # identical to cholqr2; knob retained for other runtimes)
+        # the chi64 reference-accuracy QDWH path, now that the headline
+        # runs gram+cholqr2 (1.34× A/B, see HEADLINE_ENV note)
+        "chi64_qdwh": ("chi64", {"TNQS_SVD_ALG": "default",
+                                 "TNQS_QR_ALG": "default"}, 8),
     }.items():
         if base not in CONFIGS:
             continue
@@ -616,11 +624,8 @@ def _emit(results: dict) -> None:
         "heavyhex127q_chi8_fast_optin_layers_per_sec": _num(
             _inv(results.get("heavyhex_fast", {}).get("per_layer")), 3
         ),
-        "heavyhex127q_chi64_fast_optin_layers_per_sec": _num(
-            _inv(results.get("chi64_fast", {}).get("per_layer")), 3
-        ),
-        "tfim_5x5_chi10_cholqr1_optin_layers_per_sec": _num(
-            _inv(results.get("chi10_cholqr1", {}).get("per_layer")), 3
+        "heavyhex127q_chi64_qdwh_layers_per_sec": _num(
+            _inv(results.get("chi64_qdwh", {}).get("per_layer")), 3
         ),
         "quality": {c: r.get("quality") for c, r in results.items()},
         "sync": "download-forced sync; best valid sample k*n/wall lower "
