@@ -242,3 +242,29 @@ def test_batched_loopcorrected_expectations_exact_on_single_loop():
     for k, o in enumerate(obs):
         exact = complex(tnqs.expect(psi, o, alg="exact"))
         np.testing.assert_allclose(got[k], exact, rtol=1e-6, atol=1e-9)
+
+
+def test_batched_loopcorrected_expectations_heavyhex():
+    """Flagship-lattice loop-corrected observables: heavy-hex girth is
+    12, so the size-12 series (two hexagons + op-anchored configurations)
+    runs through the batched factory and matches the generic engine."""
+    from tensornetworkquantumsimulator_tpu import heavy_hexagonal_lattice
+
+    g = heavy_hexagonal_lattice(2, 1)
+    tnqs.seed(13)
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2",
+                                    bond_dimension=2)
+    cache = BeliefPropagationCache(psi).update(maxiter=300, tolerance=1e-14)
+    spec, state = batched_from_tns(psi, chi=2, messages=cache.messages())
+    verts = list(g.vertices())
+    obs = [("Z", [verts[3]]), ("ZZ", [verts[0], verts[1]])]
+    gen = tnqs.expect(
+        psi, obs, alg="loopcorrections", max_configuration_size=12,
+        cache_update_kwargs=dict(maxiter=300, tolerance=1e-14),
+    )
+    fn = blc.make_loopcorrected_expectations(
+        spec, g, obs, max_configuration_size=12
+    )
+    got = np.asarray(fn(state))
+    np.testing.assert_allclose(got, np.asarray(gen, dtype=complex),
+                               rtol=1e-6, atol=1e-8)

@@ -7,9 +7,15 @@ import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 import tensornetworkquantumsimulator_tpu as tnqs
-from tensornetworkquantumsimulator_tpu import named_grid, tensornetworkstate
+from tensornetworkquantumsimulator_tpu import (
+    named_grid,
+    random_tensornetworkstate,
+    tensornetworkstate,
+)
 from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
 from tensornetworkquantumsimulator_tpu.parallel import (
+    BatchedState,
+    batched_from_tns,
     batched_product_state,
     bp_update,
     local_expectations,
@@ -75,4 +81,37 @@ def test_sharded_bp_periodic(mesh8):
     out = update(jax.device_put(state, shard))
     np.testing.assert_allclose(
         np.asarray(out.messages), np.asarray(ref.messages), atol=1e-5
+    )
+
+
+def test_shard_spec_padding_small_lattice():
+    """shard_spec(pad=True): a 10-vertex path over 4 shards pads to 12
+    with inert rows; sharded BP equals unsharded on the real vertices."""
+    from tensornetworkquantumsimulator_tpu.parallel.sharding import (
+        PAD_VERTEX,
+        make_sharded_bp_update,
+        shard_spec,
+    )
+
+    g = named_grid((10, 1))
+    sspec = shard_spec(g, 4, pad=True)
+    spec = sspec.spec
+    assert spec.num_vertices == 12
+    assert sum(1 for v in spec.vertices
+               if isinstance(v, tuple) and v and v[0] == PAD_VERTEX) == 2
+
+    psi = random_tensornetworkstate(jnp.complex128, g, "S=1/2",
+                                    bond_dimension=2)
+    _, state = batched_from_tns(psi, chi=2, spec=spec)
+    ref = bp_update(spec, state, maxiter=30, tolerance=1e-12)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("v",))
+    sh = NamedSharding(mesh, P("v"))
+    sharded = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    update = make_sharded_bp_update(sspec, mesh, maxiter=30, tolerance=1e-12)
+    out = update(sharded)
+    np.testing.assert_allclose(
+        np.asarray(out.messages), np.asarray(ref.messages), atol=1e-10
     )
