@@ -618,6 +618,8 @@ def _emit(results: dict) -> None:
         # QDWH path (band ≤3e-6) is recorded below as an opt-in slot
         "chi10_engine": "jacobi+gram+cholqr2 (promoted r4; band "
         "(3e-5,1e-4]/10 layers, BASELINE.md)",
+        "chi64_engine": "gram+cholqr2 (promoted r4; 1.34x A/B at chi=64, "
+        "BASELINE.md)",
         "tfim_5x5_chi10_qdwh_layers_per_sec": _num(
             _inv(results.get("chi10_qdwh", {}).get("per_layer")), 3
         ),
