@@ -120,6 +120,39 @@ def main(n_layers=10, chi=4):
     print(f"sharded loop correction factor Z_lc/Z_BP (plaquette series): "
           f"{zlc / zbp:+.8f}")
 
+    # the flagship Eagle-127 lattice through the same pipeline: V=127
+    # does not divide the device count, so shard_spec(pad=True) appends
+    # one inert product row (V -> 128 = S x 16) — evolve + measure at
+    # chi=4 with the state never gathered
+    from tensornetworkquantumsimulator_tpu.utils.lattices import (
+        ibm_eagle_lattice,
+    )
+
+    g_eg = ibm_eagle_lattice()
+    sspec_eg = shard_spec(g_eg, S, pad=True)
+    print(f"\nEagle-127 over {S} devices "
+          f"(padded to V={sspec_eg.spec.num_vertices})")
+    _, st_eg = batched_product_state(g_eg, chi=4, spec=sspec_eg.spec)
+    st_eg = BatchedState(
+        jax.device_put(st_eg.tensors, sh),
+        jax.device_put(st_eg.messages, sh),
+    )
+    layer_eg = make_sharded_layer(
+        sspec_eg, mesh,
+        np.asarray(gate_matrix("Rzz", 2 * (3.14159 / 4))).reshape(2, 2, 2, 2),
+        np.asarray(gate_matrix("Rx", 0.4)),
+        chi=4, cutoff=1e-12, bp_maxiter=25,
+    )
+    site_eg = make_sharded_site_expectations(sspec_eg, mesh, z)
+    for l in range(3):
+        st_eg, errs_eg = layer_eg(st_eg)
+    zs_eg = np.asarray(site_eg(st_eg)).real
+    real_rows = [
+        i for i, v in enumerate(sspec_eg.spec.vertices) if g_eg.has_vertex(v)
+    ]
+    print(f"kicked-Ising <Z> after 3 layers: mean over 127 qubits "
+          f"{zs_eg[real_rows].mean():+.6f}")
+
 
 if __name__ == "__main__":
     main()
