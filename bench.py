@@ -104,6 +104,16 @@ CONFIGS = {
     "chi64": (63, 1, 8, 1e-3),
 }
 
+# probe-only configs (extras; never headline): chi10_rolled rolls the
+# layer angles per iteration (64 distinct kicked-Ising layers cycled via
+# the parametric field layer), so the state NEVER reaches the fixed
+# point that lets data-dependent while_loops exit early — a throughput
+# number immune to the deep-k collapse caveat, i.e. the honest
+# "real-dynamics" rate of the promoted stack
+EXTRA_CONFIGS = {
+    "chi10_rolled": (2005, 1, 63, 5e-5),
+}
+
 # Round-4 conditional promotion (VERDICT r3 item 1): the chi10 HEADLINE
 # samples the full fast stack — Pallas double-NS jacobi env eighs + gram
 # SVD + CholeskyQR2 (0.133 ms/layer A/B'd on hardware, 3× the 0.40 ms
@@ -157,6 +167,51 @@ def _build(config: str, seed: int = 0):
     from tensornetworkquantumsimulator_tpu.parallel import BatchedCircuit, make_layer_fn
     from tensornetworkquantumsimulator_tpu.parallel.convert import batched_product_state
 
+    if config == "chi10_rolled":
+        # de-converged variant: same 5x5 lattice/χ as chi10, but the
+        # layer angles are per-iteration inputs rolled through 64
+        # distinct configurations — no fixed point, no early while_loop
+        # exits (see EXTRA_CONFIGS note)
+        from tensornetworkquantumsimulator_tpu.parallel.ensemble import (
+            make_field_layer_fn,
+        )
+
+        chi = 10
+        g = named_grid((5, 5))
+        state_fn = (
+            (lambda v: np.array([1.0 + 1.0e-6 * seed, 0.0])) if seed else None
+        )
+        spec, state = batched_product_state(
+            g, chi=chi, dtype=np.complex64, state_fn=state_fn
+        )
+        _, field_layer = make_field_layer_fn(
+            g, chi=chi, site_pauli=("X", "Z"), bond_pauli="ZZ",
+            cutoff=1e-10, bp_maxiter=25, jit=False, spec=spec,
+        )
+        R = 64
+        V, E = spec.num_vertices, len(spec.edges)
+        rr = np.arange(R, dtype=np.float32)
+        site_rolls = np.stack(
+            [
+                0.5 * (1.0 + 0.05 * np.sin(rr)[:, None] + np.zeros((R, V))),
+                0.4 * (1.0 + 0.05 * np.cos(rr)[:, None] + np.zeros((R, V))),
+            ],
+            axis=1,
+        ).astype(np.float32)  # [R, 2, V]
+        bond_rolls = (
+            0.25 * (1.0 + 0.05 * np.sin(2.0 * rr)[:, None] + np.zeros((R, E)))
+        ).astype(np.float32)  # [R, E]
+
+        def layer_fn(st, i):
+            import jax.numpy as jnp
+
+            j = i % R
+            return field_layer(
+                st, jnp.asarray(site_rolls)[j], jnp.asarray(bond_rolls)[j]
+            )
+
+        return spec, state, layer_fn, True
+
     if config in ("heavyhex", "chi64"):
         from tensornetworkquantumsimulator_tpu.utils.lattices import ibm_eagle_lattice
 
@@ -193,7 +248,7 @@ def _build(config: str, seed: int = 0):
         bp_maxiter=25, jit=False,
         scan_groups=os.environ.get("TNQS_BENCH_SCAN", "1") == "1",
     )
-    return spec, state, layer_fn
+    return spec, state, layer_fn, False
 
 
 def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
@@ -211,7 +266,7 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
     from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
     from tensornetworkquantumsimulator_tpu.parallel import local_expectations
 
-    spec, state, layer_fn = _build(config, seed)
+    spec, state, layer_fn, takes_index = _build(config, seed)
     op = np.asarray(op_matrix("Z", 2))
     center = len(spec.vertices) // 2
 
@@ -222,16 +277,29 @@ def run_probe(config: str, n: int, k: int = 1, seed: int = 0) -> None:
         # 2M-layer fori_loop program did not), so the work knob must be
         # in-program, not a host-side dispatch loop.  k must be a STATIC
         # scan length: the dynamic-bound variant is pathological on this
-        # runtime (see the module docstring).
-        def rep(s, _):
-            def body(s2, _):
-                s2, _errs = layer_fn(s2)
-                return s2, None
+        # runtime (see the module docstring).  The rolled variant gets
+        # the flat iteration index (its own scan shape — the standard
+        # configs' HLOs stay byte-identical to the warmed programs).
+        if takes_index:
+            def rep(s, kk):
+                def body(s2, i):
+                    s2, _errs = layer_fn(s2, kk * n + i)
+                    return s2, None
 
-            s, _ = jax.lax.scan(body, s, None, length=n)
-            return s, None
+                s, _ = jax.lax.scan(body, s, jnp.arange(n))
+                return s, None
 
-        st, _ = jax.lax.scan(rep, st, None, length=k)
+            st, _ = jax.lax.scan(rep, st, jnp.arange(k))
+        else:
+            def rep(s, _):
+                def body(s2, _):
+                    s2, _errs = layer_fn(s2)
+                    return s2, None
+
+                s, _ = jax.lax.scan(body, s, None, length=n)
+                return s, None
+
+            st, _ = jax.lax.scan(rep, st, None, length=k)
         # whole real-valued vector: the axon runtime can download full real
         # arrays but (usually) not 0-d scalars — see CLAUDE.md
         z = jnp.real(local_expectations(spec, st, op))
@@ -408,10 +476,15 @@ def _measure_all(results: dict) -> None:
         # runs gram+cholqr2 (1.34× A/B, see HEADLINE_ENV note)
         "chi64_qdwh": ("chi64", {"TNQS_SVD_ALG": "default",
                                  "TNQS_QR_ALG": "default"}, 8),
+        # de-converged rolled-angle chi10 on the promoted stack: the
+        # collapse-immune real-dynamics rate (see EXTRA_CONFIGS)
+        "chi10_rolled": ("chi10_rolled", {"TNQS_EIGH_ALG": "auto",
+                                          "TNQS_SVD_ALG": "gram",
+                                          "TNQS_QR_ALG": "cholqr2"}, None),
     }.items():
-        if base not in CONFIGS:
+        if base not in CONFIGS and base not in EXTRA_CONFIGS:
             continue
-        n, k_lo, k_hi, floor = CONFIGS[base]
+        n, k_lo, k_hi, floor = CONFIGS.get(base) or EXTRA_CONFIGS[base]
         if k_extra is not None:
             k_hi = k_extra
         state[name] = {
@@ -628,6 +701,11 @@ def _emit(results: dict) -> None:
         ),
         "heavyhex127q_chi64_qdwh_layers_per_sec": _num(
             _inv(results.get("chi64_qdwh", {}).get("per_layer")), 3
+        ),
+        # rolled per-iteration angles — no fixed point, no early
+        # while_loop exits: the collapse-immune real-dynamics rate
+        "tfim_5x5_chi10_rolled_layers_per_sec": _num(
+            _inv(results.get("chi10_rolled", {}).get("per_layer")), 3
         ),
         "quality": {c: r.get("quality") for c, r in results.items()},
         "sync": "download-forced sync; best valid sample k*n/wall lower "
