@@ -172,3 +172,21 @@ def test_scheduler_extends_budget_for_unresolved_configs(monkeypatch):
     bench._measure_all(results)
     assert tries["chi64"] == 3
     assert all(results[c]["per_layer"] is not None for c in bench.CONFIGS)
+
+
+def test_rolled_probe_builds_and_steps():
+    """chi10_rolled: the de-converged probe config builds, reports
+    takes_index, and one indexed layer step preserves shapes (CPU)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    os.environ["TNQS_BENCH_CPU"] = "1"
+    import bench
+
+    spec, state, layer_fn, takes_index = bench._build("chi10_rolled", seed=1)
+    assert takes_index
+    out, errs = jax.jit(lambda s: layer_fn(s, 3))(state)
+    assert out.tensors.shape == state.tensors.shape
+    assert np.all(np.isfinite(np.asarray(out.tensors).real))
