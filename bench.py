@@ -114,6 +114,38 @@ EXTRA_CONFIGS = {
     "chi10_rolled": (2005, 1, 63, 5e-5),
 }
 
+# opt-in extra slots: name -> (base probe config, env overrides, k_hi
+# override or None).  Measured strictly AFTER the headline configs
+# resolve, ≤2 live at once (see _measure_all); shared with
+# scripts/warm_bench.py so every program the driver may dispatch gets
+# pre-warmed.
+EXTRA_SLOTS = {
+    # the reference-accuracy QDWH path (band ≤3e-6): recorded as an
+    # opt-in slot now that the headline chi10 runs the fast stack
+    "chi10_qdwh": ("chi10", {"TNQS_EIGH_ALG": "default",
+                             "TNQS_SVD_ALG": "default",
+                             "TNQS_QR_ALG": "default"}, 63),
+    # (chi10_cholqr1 removed: the cholqr1 HLO fast-fails on the axon
+    # service — 0.5 s "walls" at k ∈ {1, 255} in three processes,
+    # 2026-08-20 — while the same program is CPU-valid with drift
+    # identical to cholqr2; knob retained for other runtimes)
+    # the fast stack on the 127q heavy-hex flagship (k=1023 × 255
+    # layers ≈ 260k layers so the ~0.1 ms/layer path still spends
+    # tens of seconds of compute against queue noise)
+    "heavyhex_fast": ("heavyhex", {"TNQS_EIGH_ALG": "auto",
+                                   "TNQS_SVD_ALG": "gram",
+                                   "TNQS_QR_ALG": "cholqr2"}, 1023),
+    # the chi64 reference-accuracy QDWH path, now that the headline
+    # runs gram+cholqr2 (1.34× A/B, see HEADLINE_ENV note)
+    "chi64_qdwh": ("chi64", {"TNQS_SVD_ALG": "default",
+                             "TNQS_QR_ALG": "default"}, 8),
+    # de-converged rolled-angle chi10 on the promoted stack: the
+    # collapse-immune real-dynamics rate (see EXTRA_CONFIGS)
+    "chi10_rolled": ("chi10_rolled", {"TNQS_EIGH_ALG": "auto",
+                                      "TNQS_SVD_ALG": "gram",
+                                      "TNQS_QR_ALG": "cholqr2"}, None),
+}
+
 # Round-4 conditional promotion (VERDICT r3 item 1): the chi10 HEADLINE
 # samples the full fast stack — Pallas double-NS jacobi env eighs + gram
 # SVD + CholeskyQR2 (0.133 ms/layer A/B'd on hardware, 3× the 0.40 ms
@@ -456,32 +488,7 @@ def _measure_all(results: dict) -> None:
     # still opt-in pending the physics gate, BASELINE.md) so the fast
     # path has a driver-verified number; it never competes with the four
     # headline configs for budget
-    for name, (base, env_extra, k_extra) in {
-        # the reference-accuracy QDWH path (band ≤3e-6): recorded as an
-        # opt-in slot now that the headline chi10 runs the fast stack
-        "chi10_qdwh": ("chi10", {"TNQS_EIGH_ALG": "default",
-                                 "TNQS_SVD_ALG": "default",
-                                 "TNQS_QR_ALG": "default"}, 63),
-        # the fast stack on the 127q heavy-hex flagship (k=1023 × 255
-        # layers ≈ 260k layers so the ~0.1 ms/layer path still spends
-        # tens of seconds of compute against queue noise)
-        "heavyhex_fast": ("heavyhex", {"TNQS_EIGH_ALG": "auto",
-                                       "TNQS_SVD_ALG": "gram",
-                                       "TNQS_QR_ALG": "cholqr2"}, 1023),
-        # (chi10_cholqr1 removed: the cholqr1 HLO fast-fails on the axon
-        # service — 0.5 s "walls" at k ∈ {1, 255} in three processes,
-        # 2026-08-20 — while the same program is CPU-valid with drift
-        # identical to cholqr2; knob retained for other runtimes)
-        # the chi64 reference-accuracy QDWH path, now that the headline
-        # runs gram+cholqr2 (1.34× A/B, see HEADLINE_ENV note)
-        "chi64_qdwh": ("chi64", {"TNQS_SVD_ALG": "default",
-                                 "TNQS_QR_ALG": "default"}, 8),
-        # de-converged rolled-angle chi10 on the promoted stack: the
-        # collapse-immune real-dynamics rate (see EXTRA_CONFIGS)
-        "chi10_rolled": ("chi10_rolled", {"TNQS_EIGH_ALG": "auto",
-                                          "TNQS_SVD_ALG": "gram",
-                                          "TNQS_QR_ALG": "cholqr2"}, None),
-    }.items():
+    for name, (base, env_extra, k_extra) in EXTRA_SLOTS.items():
         if base not in CONFIGS and base not in EXTRA_CONFIGS:
             continue
         n, k_lo, k_hi, floor = CONFIGS.get(base) or EXTRA_CONFIGS[base]

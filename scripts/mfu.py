@@ -43,7 +43,7 @@ def main():
 
     out = {}
     for config in bench.CONFIGS:
-        spec, state, layer_fn = bench._build(config)
+        spec, state, layer_fn, _takes_index = bench._build(config)
         compiled = jax.jit(lambda s: layer_fn(s)[0]).lower(state).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca

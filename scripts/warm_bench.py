@@ -28,23 +28,17 @@ import bench  # noqa: E402
 
 
 def warm_list():
-    """(name, config, env, n, k) for every headline + extra program."""
+    """(name, config, env, n, k) for every headline + extra program —
+    straight from the bench's own CONFIGS/HEADLINE_ENV/EXTRA_SLOTS
+    tables, so the warm set cannot drift from what the driver
+    dispatches."""
     jobs = []
     for config, (n, _k_lo, k_hi, _floor) in bench.CONFIGS.items():
         jobs.append((config, config, bench.HEADLINE_ENV.get(config), n, k_hi))
-    # keep in sync with the extras table in bench._measure_all
-    extras = {
-        "chi10_qdwh": ("chi10", {"TNQS_EIGH_ALG": "default",
-                                 "TNQS_SVD_ALG": "default",
-                                 "TNQS_QR_ALG": "default"}, 63),
-        "heavyhex_fast": ("heavyhex", {"TNQS_EIGH_ALG": "auto",
-                                       "TNQS_SVD_ALG": "gram",
-                                       "TNQS_QR_ALG": "cholqr2"}, 1023),
-        "chi64_qdwh": ("chi64", {"TNQS_SVD_ALG": "default",
-                                 "TNQS_QR_ALG": "default"}, 8),
-    }
-    for name, (base, env, k) in extras.items():
-        n, _k_lo, k_hi, _f = bench.CONFIGS[base]
+    for name, (base, env, k) in bench.EXTRA_SLOTS.items():
+        n, _k_lo, k_hi, _f = (
+            bench.CONFIGS.get(base) or bench.EXTRA_CONFIGS[base]
+        )
         jobs.append((name, base, env, n, k or k_hi))
     return jobs
 

@@ -667,13 +667,22 @@ def make_loopcorrected_expectations(
 
     cfgs_den = LoopConfigurations(spec, g, max_configuration_size)
     parsed = []
+    # one enumeration per DISTINCT observable vertex set (several ops on
+    # the same sites — e.g. X/Y/Z sweeps — share a configuration space);
+    # large observable lists still pay one native subgraph sweep per
+    # distinct support at factory time (~0.1-1 s each at size ≤ 12)
+    cfgs_cache: dict = {}
     for obs in observables:
         op_strings, verts, coeff = collectobservable(obs, g)
         iv = [spec.vertex_position(v) for v in verts]
-        cfgs_num = LoopConfigurations(
-            spec, g, max_configuration_size,
-            allowed_leaves=verts, op_positions=iv,
-        )
+        key = tuple(iv)  # ordered: op_covered columns align with z_ops
+        cfgs_num = cfgs_cache.get(key)
+        if cfgs_num is None:
+            cfgs_num = LoopConfigurations(
+                spec, g, max_configuration_size,
+                allowed_leaves=verts, op_positions=iv,
+            )
+            cfgs_cache[key] = cfgs_num
         parsed.append((tuple(op_strings), tuple(iv), coeff, cfgs_num))
 
     def fn(state: BatchedState):

@@ -132,6 +132,69 @@ def _build_loop_tables(sspec: ShardedBPSpec, configurations):
     return bucket_tabs, send_tab, groups, total
 
 
+
+def _shard_map_norep(f, **kw):
+    """shard_map with the static replication checker off — the
+    replicated-scalar outputs (psum'd logs × all_gathered weight
+    products) are beyond check_vma/check_rep (same opt-out as
+    parallel/sharded_bmps.py)."""
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+    try:
+        return _sm(f, check_vma=False, **kw)
+    except TypeError:  # pragma: no cover - older jax kwarg name
+        return _sm(f, check_rep=False, **kw)
+
+
+def _pair_normalize(bond_buckets, messages, it, axis, left, right,
+                    log_dtype=None):
+    """Pair-normalize every edge's two stored messages through the
+    bond-bucket halo tables (`beliefpropagationcache.jl:129-142`),
+    consuming 7 tables per bucket from ``it``.  Returns
+    ``(messages, log_se)`` — ``log_se`` is the psum'd Σ log⟨m, m̄⟩ when
+    ``log_dtype`` is given (the Z_BP edge part), else None."""
+    log_se = jnp.zeros((), log_dtype) if log_dtype is not None else None
+    for (su, sv, dir_, *_unused) in bond_buckets:
+        u_tab, v_tab, valid = next(it)[0], next(it)[0], next(it)[0]
+        u_inv, u_wr = next(it)[0], next(it)[0]
+        v_inv, v_wr = next(it)[0], next(it)[0]
+        Y = messages[u_tab, su]  # v→u message, stored at u (local)
+        Xs = messages[v_tab, sv]  # u→v message, stored at v
+        if dir_ == +1:  # v lives on the next shard
+            X = jax.lax.ppermute(Xs, axis, perm=left)
+        elif dir_ == -1:
+            X = jax.lax.ppermute(Xs, axis, perm=right)
+        else:
+            X = Xs
+        se = jnp.einsum("eab,eab->e", X, Y, precision=_PRECISION)
+        if log_se is not None:
+            log_se = log_se + jnp.sum(
+                jnp.where(valid, jnp.log(se.astype(log_dtype)), 0.0)
+            )
+        inv_root = (
+            1.0 / jnp.sqrt(se.astype(messages.dtype))
+        )[:, None, None]
+        messages = messages.at[:, su].set(
+            _select_rows(messages[:, su], Y * inv_root, u_inv, u_wr)
+        )
+        newX = X * inv_root
+        if dir_ == 0:
+            messages = messages.at[:, sv].set(
+                _select_rows(messages[:, sv], newX, v_inv, v_wr)
+            )
+        else:
+            back = right if dir_ == +1 else left
+            newX = jax.lax.ppermute(newX, axis, perm=back)
+            messages = messages.at[:, sv].set(
+                _select_rows(messages[:, sv], newX, v_inv, v_wr)
+            )
+    if log_se is not None:
+        log_se = jax.lax.psum(log_se, axis)
+    return messages, log_se
+
+
 def make_sharded_loopcorrections(
     sspec: ShardedBPSpec,
     mesh: Mesh,
@@ -145,20 +208,7 @@ def make_sharded_loopcorrections(
     `loopcorrection.loopcorrected_partitionfunction`, matching it to float
     roundoff).  ``state`` must be at a BP fixed point (run the sharded BP
     update first), sharded on ``mesh[axis]``."""
-    try:
-        from jax import shard_map as _shard_map_raw
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map as _shard_map_raw
-
-    def shard_map(f, **kw):
-        # the replicated-scalar output (psum'd Z_BP × all_gathered weight
-        # products) is beyond the static replication checker — same
-        # check_vma/check_rep opt-out as parallel/sharded_bmps.py
-        try:
-            return _shard_map_raw(f, check_vma=False, **kw)
-        except TypeError:  # pragma: no cover - older jax kwarg name
-            return _shard_map_raw(f, check_rep=False, **kw)
-
+    shard_map = _shard_map_norep
     spec = sspec.spec
     S = sspec.num_shards
     if configurations is None:
@@ -194,41 +244,9 @@ def make_sharded_loopcorrections(
 
         # ---- edge pair scalars + message pair-normalization ----
         # (`beliefpropagationcache.jl:129-142`; bond-bucket halo tables)
-        log_se = jnp.zeros((), cdtype)
-        for (su, sv, dir_, *_unused) in bond_buckets:
-            u_tab, v_tab, valid = next(it)[0], next(it)[0], next(it)[0]
-            u_inv, u_wr = next(it)[0], next(it)[0]
-            v_inv, v_wr = next(it)[0], next(it)[0]
-            Y = messages[u_tab, su]  # v→u message, stored at u (local)
-            Xs = messages[v_tab, sv]  # u→v message, stored at v
-            if dir_ == +1:  # v lives on the next shard
-                X = jax.lax.ppermute(Xs, axis, perm=left)
-            elif dir_ == -1:
-                X = jax.lax.ppermute(Xs, axis, perm=right)
-            else:
-                X = Xs
-            se = jnp.einsum("eab,eab->e", X, Y, precision=_PRECISION)
-            log_se = log_se + jnp.sum(
-                jnp.where(valid, jnp.log(se.astype(cdtype)), 0.0)
-            )
-            inv_root = (
-                1.0 / jnp.sqrt(se.astype(messages.dtype))
-            )[:, None, None]
-            messages = messages.at[:, su].set(
-                _select_rows(messages[:, su], Y * inv_root, u_inv, u_wr)
-            )
-            newX = X * inv_root
-            if dir_ == 0:
-                messages = messages.at[:, sv].set(
-                    _select_rows(messages[:, sv], newX, v_inv, v_wr)
-                )
-            else:
-                back = right if dir_ == +1 else left
-                newX = jax.lax.ppermute(newX, axis, perm=back)
-                messages = messages.at[:, sv].set(
-                    _select_rows(messages[:, sv], newX, v_inv, v_wr)
-                )
-        log_se = jax.lax.psum(log_se, axis)
+        messages, log_se = _pair_normalize(
+            bond_buckets, messages, it, axis, left, right, log_dtype=cdtype
+        )
         zbp = jnp.exp(log_zv - log_se)
 
         # ---- vertex normalization on the pair-normalized messages ----
@@ -309,17 +327,7 @@ def make_sharded_loopcorrected_expectations(
     halo, the op-anchored numerator components run the batched weight
     kernels with the distinct bra layer on the halo-extended state, and
     each op scalar replicates with one masked ``psum``."""
-    try:
-        from jax import shard_map as _shard_map_raw
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map as _shard_map_raw
-
-    def shard_map(f, **kw):
-        try:
-            return _shard_map_raw(f, check_vma=False, **kw)
-        except TypeError:  # pragma: no cover - older jax kwarg name
-            return _shard_map_raw(f, check_rep=False, **kw)
-
+    shard_map = _shard_map_norep
     from ..measure import collectobservable
     from ..models.sites import op_matrix
     from .loopcorrection import _sandwich_vertex_scalars
@@ -411,36 +419,9 @@ def make_sharded_loopcorrected_expectations(
         d = tensors.shape[-1]
 
         # ---- rescale to the z_v = s_e = 1 gauge ----
-        for (su, sv, dir_, *_unused) in bond_buckets:
-            u_tab, v_tab, _valid = next(it)[0], next(it)[0], next(it)[0]
-            u_inv, u_wr = next(it)[0], next(it)[0]
-            v_inv, v_wr = next(it)[0], next(it)[0]
-            Y = messages[u_tab, su]
-            Xs = messages[v_tab, sv]
-            if dir_ == +1:
-                X = jax.lax.ppermute(Xs, axis, perm=left)
-            elif dir_ == -1:
-                X = jax.lax.ppermute(Xs, axis, perm=right)
-            else:
-                X = Xs
-            se = jnp.einsum("eab,eab->e", X, Y, precision=_PRECISION)
-            inv_root = (
-                1.0 / jnp.sqrt(se.astype(messages.dtype))
-            )[:, None, None]
-            messages = messages.at[:, su].set(
-                _select_rows(messages[:, su], Y * inv_root, u_inv, u_wr)
-            )
-            newX = X * inv_root
-            if dir_ == 0:
-                messages = messages.at[:, sv].set(
-                    _select_rows(messages[:, sv], newX, v_inv, v_wr)
-                )
-            else:
-                back = right if dir_ == +1 else left
-                newX = jax.lax.ppermute(newX, axis, perm=back)
-                messages = messages.at[:, sv].set(
-                    _select_rows(messages[:, sv], newX, v_inv, v_wr)
-                )
+        messages, _ = _pair_normalize(
+            bond_buckets, messages, it, axis, left, right
+        )
         st1 = BatchedState(tensors, messages)
         zv2 = jnp.einsum("vss->v", local_rdms(spec, st1))
         scale = 1.0 / jnp.sqrt(zv2.astype(tensors.dtype))

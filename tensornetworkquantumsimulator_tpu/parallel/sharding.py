@@ -71,10 +71,20 @@ def shard_spec(
                 f"{V} vertices not divisible by {num_shards} shards"
             )
         pos = {v: i for i, v in enumerate(vertices)}
-        span = max(
-            [1] + [abs(pos[e.src] - pos[e.dst]) for e in g.edges()]
-        )
-        Vl = max(-(-V // num_shards), span)
+
+        def adjacency_ok(vl):
+            # same rule the table builder enforces: every edge's strip
+            # pair at ring distance <= 1 (handles periodic wraps, which
+            # a plain position-difference span would misjudge)
+            for e in g.edges():
+                ds = (pos[e.src] // vl - pos[e.dst] // vl) % num_shards
+                if ds not in (0, 1, num_shards - 1):
+                    return False
+            return True
+
+        Vl = -(-V // num_shards)
+        while not adjacency_ok(Vl):
+            Vl += 1  # terminates: at Vl >= V everything is one strip
         vertices = vertices + [
             (PAD_VERTEX, i) for i in range(Vl * num_shards - V)
         ]
