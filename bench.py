@@ -1,12 +1,18 @@
 """Benchmark: TFIM Trotter dynamics layers/sec on the batched TPU engine.
 
 Configs (BASELINE.md):
-  1. 5x5 grid TFIM, chi=10  — headline metric
+  1. 5x5 grid TFIM, chi=10  — headline lattice/χ.  The headline METRIC
+     value is the RESERVED de-converged `chi10_rolled` rate (rolled
+     per-iteration angles — real dynamics, immune to the deep-k
+     fixed-point collapse); the identical-layer converged-regime number
+     is reported as a labeled secondary (round-5 honesty rework).
   2. IBM-Eagle 127q heavy-hex kicked Ising, chi=8
   3. 5x5 grid TFIM, chi=32  — large-bond regime (SVD dominated)
   4. IBM-Eagle 127q heavy-hex, chi=64 — MXU regime (degree <= 3 keeps the
      vertex tensors at 64^3 * d; a degree-4 grid at chi=64 would need
      64^4-sized tensors, ~6.7 GB for the state alone)
+  + reserved slots at t=0: chi10_rolled (real dynamics), chi10_qdwh
+    (reference-accuracy path record)
 
 Prints a cumulative JSON result line after EVERY config (and a final one at
 the end) so that a driver-side timeout still leaves a parseable record —
@@ -114,17 +120,33 @@ EXTRA_CONFIGS = {
     "chi10_rolled": (2005, 1, 63, 5e-5),
 }
 
+# RESERVED slots (round-5, VERDICT r4 item 1): headline-tier scheduling
+# — launched at t=0 alongside the four headline configs, participate in
+# the deadline extension, never compete with extras for the ≤2-live cap.
+# name -> (base probe config, env overrides, k_hi override or None).
+RESERVED_SLOTS = {
+    # de-converged rolled-angle chi10 on the promoted stack: per-
+    # iteration angles cycle 64 distinct kicked-Ising layers, so the
+    # state never reaches the fixed point where data-dependent
+    # while_loops exit early — the HONEST real-dynamics rate and the
+    # number the final emit prefers as the headline metric value
+    "chi10_rolled": ("chi10_rolled", {"TNQS_EIGH_ALG": "auto",
+                                      "TNQS_SVD_ALG": "gram",
+                                      "TNQS_QR_ALG": "cholqr2"}, None),
+    # the reference-accuracy QDWH path (band ≤3e-6): guaranteed small-k
+    # slot (k=15 × 2005 ≈ 30k layers ≈ 12-40 s compute at the measured
+    # 0.40-1.2 ms/layer) so the accuracy record lands every round
+    "chi10_qdwh": ("chi10", {"TNQS_EIGH_ALG": "default",
+                             "TNQS_SVD_ALG": "default",
+                             "TNQS_QR_ALG": "default"}, 15),
+}
+
 # opt-in extra slots: name -> (base probe config, env overrides, k_hi
-# override or None).  Measured strictly AFTER the headline configs
-# resolve, ≤2 live at once (see _measure_all); shared with
+# override or None).  Measured strictly AFTER the headline+reserved
+# configs resolve, ≤2 live at once (see _measure_all); shared with
 # scripts/warm_bench.py so every program the driver may dispatch gets
 # pre-warmed.
 EXTRA_SLOTS = {
-    # the reference-accuracy QDWH path (band ≤3e-6): recorded as an
-    # opt-in slot now that the headline chi10 runs the fast stack
-    "chi10_qdwh": ("chi10", {"TNQS_EIGH_ALG": "default",
-                             "TNQS_SVD_ALG": "default",
-                             "TNQS_QR_ALG": "default"}, 63),
     # (chi10_cholqr1 removed: the cholqr1 HLO fast-fails on the axon
     # service — 0.5 s "walls" at k ∈ {1, 255} in three processes,
     # 2026-08-20 — while the same program is CPU-valid with drift
@@ -139,11 +161,6 @@ EXTRA_SLOTS = {
     # runs gram+cholqr2 (1.34× A/B, see HEADLINE_ENV note)
     "chi64_qdwh": ("chi64", {"TNQS_SVD_ALG": "default",
                              "TNQS_QR_ALG": "default"}, 8),
-    # de-converged rolled-angle chi10 on the promoted stack: the
-    # collapse-immune real-dynamics rate (see EXTRA_CONFIGS)
-    "chi10_rolled": ("chi10_rolled", {"TNQS_EIGH_ALG": "auto",
-                                      "TNQS_SVD_ALG": "gram",
-                                      "TNQS_QR_ALG": "cholqr2"}, None),
 }
 
 # Round-4 conditional promotion (VERDICT r3 item 1): the chi10 HEADLINE
@@ -483,11 +500,25 @@ def _measure_all(results: dict) -> None:
             "env": HEADLINE_ENV.get(config),
         }
         results[config] = {"per_layer": None, "z": None, "quality": None}
-    # opt-in extra slot: once ALL headline configs are resolved, leftover
-    # budget also records the fused jacobi-env path (TNQS_EIGH_ALG=auto —
-    # still opt-in pending the physics gate, BASELINE.md) so the fast
-    # path has a driver-verified number; it never competes with the four
-    # headline configs for budget
+    # reserved slots (VERDICT r4 item 1): headline-tier scheduling —
+    # launched at t=0, extend the deadline while unresolved, get the
+    # endgame k_lo monotonicity partner; BENCH artifacts must carry the
+    # real-dynamics (chi10_rolled) and reference-accuracy (chi10_qdwh)
+    # records every round, not leftover-budget-permitting
+    for name, (base, env_extra, k_extra) in RESERVED_SLOTS.items():
+        n, k_lo, k_hi, floor = CONFIGS.get(base) or EXTRA_CONFIGS[base]
+        if k_extra is not None:
+            k_hi = k_extra
+        state[name] = {
+            "n": n, "k_lo": k_lo, "k": k_hi, "floor": floor,
+            "samples": [], "timeouts": 0, "live": None,
+            "resolved": False, "klo_done": False,
+            "extra": False, "probe_config": base, "env": env_extra,
+        }
+        results[name] = {"per_layer": None, "z": None, "quality": None}
+    # opt-in extra slots: once ALL headline+reserved configs are
+    # resolved, leftover budget also records the remaining A/B paths;
+    # they never compete with the required configs for budget
     for name, (base, env_extra, k_extra) in EXTRA_SLOTS.items():
         if base not in CONFIGS and base not in EXTRA_CONFIGS:
             continue
@@ -670,8 +701,26 @@ def _emit(results: dict) -> None:
         return round(x, nd) if x is not None and x == x else None
 
     chi10 = results.get("chi10", {})
-    per_layer = chi10.get("per_layer")
+    rolled = results.get("chi10_rolled", {})
     z = chi10.get("z")
+    # HONEST HEADLINE (round-5, VERDICT r4 item 1): the metric value is
+    # the de-converged rolled-angle rate — per-iteration angles, no
+    # fixed point, no early while_loop exits — i.e. what the promoted
+    # stack sustains on REAL dynamics.  The identical-layer converged-
+    # regime number (state at a fixed point, data-dependent loops exit
+    # early; ~4.3x higher) is reported as a labeled secondary.  If the
+    # rolled slot has not landed yet, fall back to the converged number
+    # so a truncated window still leaves a record, with the regime key
+    # saying which one the value is.
+    per_layer = rolled.get("per_layer") or chi10.get("per_layer")
+    regime = (
+        "de-converged rolled angles (real dynamics)"
+        if rolled.get("per_layer")
+        else "converged fixed-point (identical layers; real-dynamics "
+        "rate is ~4.3x lower — rolled slot pending)"
+        if chi10.get("per_layer")
+        else None
+    )
     out = {
         "metric": "tfim_5x5_chi10_layers_per_sec",
         "value": _num(_inv(per_layer), 3),
@@ -681,6 +730,10 @@ def _emit(results: dict) -> None:
         )
         if per_layer
         else None,
+        "chi10_regime": regime,
+        "tfim_5x5_chi10_converged_layers_per_sec": _num(
+            _inv(chi10.get("per_layer")), 3
+        ),
         "z_center_after_layers": _num(z, 6) if z is not None else None,
         "heavyhex127q_chi8_layers_per_sec": _num(
             _inv(results.get("heavyhex", {}).get("per_layer")), 3
@@ -711,6 +764,7 @@ def _emit(results: dict) -> None:
         ),
         # rolled per-iteration angles — no fixed point, no early
         # while_loop exits: the collapse-immune real-dynamics rate
+        # (reserved t=0 slot; also the preferred headline value above)
         "tfim_5x5_chi10_rolled_layers_per_sec": _num(
             _inv(results.get("chi10_rolled", {}).get("per_layer")), 3
         ),

@@ -35,7 +35,9 @@ def warm_list():
     jobs = []
     for config, (n, _k_lo, k_hi, _floor) in bench.CONFIGS.items():
         jobs.append((config, config, bench.HEADLINE_ENV.get(config), n, k_hi))
-    for name, (base, env, k) in bench.EXTRA_SLOTS.items():
+    for name, (base, env, k) in (
+        list(bench.RESERVED_SLOTS.items()) + list(bench.EXTRA_SLOTS.items())
+    ):
         n, _k_lo, k_hi, _f = (
             bench.CONFIGS.get(base) or bench.EXTRA_CONFIGS[base]
         )

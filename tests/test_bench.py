@@ -147,7 +147,9 @@ def test_scheduler_resolves_all_configs_concurrently(monkeypatch):
 def test_scheduler_extends_budget_for_unresolved_configs(monkeypatch):
     """Past the base budget, unresolved configs keep sampling (deadline
     extends to TNQS_BENCH_MAX_S); once resolved the loop exits."""
-    tries = {c: 0 for c in bench.CONFIGS}
+    from collections import defaultdict
+
+    tries = defaultdict(int)
 
     def fake_launch(config, n, k, env_extra=None):
         tries[config] += 1
@@ -172,6 +174,61 @@ def test_scheduler_extends_budget_for_unresolved_configs(monkeypatch):
     bench._measure_all(results)
     assert tries["chi64"] == 3
     assert all(results[c]["per_layer"] is not None for c in bench.CONFIGS)
+
+
+def test_scheduler_launches_reserved_slots_at_t0(monkeypatch):
+    """Reserved slots (chi10_rolled real-dynamics, chi10_qdwh accuracy
+    record) are headline-tier: launched alongside the four headline
+    configs, not gated on their resolution (VERDICT r4 item 1)."""
+    launches = []
+
+    def fake_launch(config, n, k, env_extra=None):
+        launches.append((config, k))
+        import time as _t
+
+        return {"proc": _FakeProc(), "t0": _t.perf_counter(), "k": k, "cfg": config}
+
+    monkeypatch.setattr(bench, "_launch", fake_launch)
+    monkeypatch.setattr(bench, "_reap", lambda live: _rec(live["k"], 50.0, sync=50.0))
+    import time as _t
+
+    monkeypatch.setattr(bench, "_T_START", _t.perf_counter() - (bench.BUDGET_S - 100.0))
+    results = {}
+    bench._measure_all(results)
+    assert ("chi10_rolled", 63) in launches
+    assert ("chi10", 15) in launches  # the reserved chi10_qdwh probe
+    for name in bench.RESERVED_SLOTS:
+        assert results[name]["per_layer"] is not None, name
+        assert results[name]["quality"] == "sync"
+
+
+def test_emit_prefers_rolled_real_dynamics_value(capsys):
+    """The headline metric value is the de-converged rolled rate; the
+    converged fixed-point number is a labeled secondary."""
+    import json
+
+    results = {
+        "chi10": {"per_layer": 1e-4, "z": None, "quality": "sync"},
+        "chi10_rolled": {"per_layer": 4e-4, "z": None, "quality": "sync"},
+    }
+    bench._emit(results)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 2500.0
+    assert rec["tfim_5x5_chi10_converged_layers_per_sec"] == 10000.0
+    assert rec["tfim_5x5_chi10_rolled_layers_per_sec"] == 2500.0
+    assert "real dynamics" in rec["chi10_regime"]
+
+
+def test_emit_falls_back_to_converged_with_regime_label(capsys):
+    """A truncated window without a rolled sample still leaves a record,
+    loudly labeled as the converged-regime number."""
+    import json
+
+    results = {"chi10": {"per_layer": 1e-4, "z": None, "quality": "sync"}}
+    bench._emit(results)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 10000.0
+    assert "converged fixed-point" in rec["chi10_regime"]
 
 
 def test_rolled_probe_builds_and_steps():
