@@ -35,6 +35,62 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 VB = os.path.join(HERE, "validate_backend.py")
+BENCH = os.path.join(HERE, "..", "bench.py")
+
+
+def phase_poll(cap_s: float = 120.0) -> str:
+    """Cheap service-phase probe (round-4 finding k: congestion phases are
+    MACROSCOPIC — two 90-min control stages once timed out without one
+    1M-layer probe completing, while minutes after, the same service
+    served a 16k-layer sample in 8.0 s.  Poll cheaply, bail fast).
+
+    Dispatches the already-warmed heavyhex k=63 program (16k layers,
+    ~3-15 s in a calm phase) and classifies the service mood:
+
+      'calm'      — wall in [2, 60] s with a blocking sync or downloaded
+                    z: real execution at a sane rate; safe to spend a
+                    control stage now
+      'storm'     — sub-2 s wall or instant sync: fast-fail storm
+                    (finding l); fresh dispatches are dying
+      'congested' — the probe hit the cap: queue/kill phase
+    """
+    seed = int(time.time()) % 1000000
+    proc = subprocess.Popen(
+        [sys.executable, BENCH, "--probe", "heavyhex", "255", "63",
+         str(seed)],
+        text=True, start_new_session=True,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+    )
+    try:
+        out, _ = proc.communicate(timeout=cap_s)
+    except subprocess.TimeoutExpired:
+        import signal
+
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        try:
+            proc.communicate(timeout=15)
+        except Exception:
+            pass
+        return "congested"
+    rec = None
+    for line in (out or "").splitlines():
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                pass
+    if rec is None:
+        return "congested"
+    wall = rec.get("wall_seconds", 0.0)
+    executed = rec.get("z") is not None or rec.get("sync_seconds", 0.0) >= 1.0
+    if wall < 2.0 or not executed:
+        return "storm"
+    if wall <= 60.0:
+        return "calm"
+    return "congested"
 
 
 def run_stage(args_list, env, timeout_s, log):
@@ -87,7 +143,11 @@ def main():
                     help="seconds between attempts after a refused control")
     ap.add_argument("--eigh-alg", default="jacobi")
     ap.add_argument("--layers", type=int, default=10)
-    ap.add_argument("--control-timeout", type=float, default=5400.0)
+    ap.add_argument("--poll-cap", type=float, default=120.0,
+                    help="cheap phase-poll probe cap (round-4 finding k)")
+    ap.add_argument("--poll-cooldown", type=float, default=240.0,
+                    help="sleep between phase polls while not calm")
+    ap.add_argument("--control-timeout", type=float, default=2700.0)
     ap.add_argument("--bisect-timeout", type=float, default=10800.0)
     ap.add_argument("--out", default="/tmp/gate_bisect_result.json")
     ap.add_argument("--log", default="/tmp/gate_hunter_stages.log")
@@ -105,6 +165,20 @@ def main():
             break
         print(f"# gate_hunter attempt {attempt} "
               f"({(deadline - time.time()) / 3600:.1f}h left)", flush=True)
+        # phase-aware gating (round-4 finding k): never commit a long
+        # control stage blind — poll with one cheap warmed probe until
+        # the service reads calm (polls are minutes, not 90-min stages,
+        # and do not consume control attempts)
+        mood = None
+        while time.time() + args.poll_cooldown < deadline:
+            mood = phase_poll(args.poll_cap)
+            print(f"# gate_hunter: phase poll -> {mood}", flush=True)
+            if mood == "calm":
+                break
+            time.sleep(args.poll_cooldown)
+        if mood != "calm":
+            print("# gate_hunter: wall budget exhausted polling", flush=True)
+            break
         ctl = run_stage(["--control", str(args.layers)], env,
                         args.control_timeout, log)
         if not (ctl and ctl.get("ok")):
