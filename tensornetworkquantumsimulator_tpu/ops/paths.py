@@ -79,11 +79,14 @@ def contraction_sequence(tensors: Sequence, alg: str = "optimal", **kwargs):
         return hit
 
     seq = None
-    if alg == "optimal" and n <= 40:
+    if alg == "optimal" and n <= 64:
         # native exact DP (C++, `native/pathopt.cpp`) — the counterpart of
         # the reference's TensorOperations.optimaltree: all-subsets DP to
-        # n=16, connected-subset (netcon) DP to n=40 with budgeted
-        # enumeration (falls through to greedy on overflow)
+        # n=16, connected-subset (netcon) DP to n=64 (the 64-bit subset
+        # mask limit) with budgeted enumeration (falls through to the
+        # cost-capped dp/greedy chain on overflow — sparse structures
+        # like chains/trees/ladders solve exactly at n=41-64, dense
+        # ones fail fast)
         from ..native import optimal_path_native
 
         dims = {}

@@ -127,6 +127,41 @@ def test_native_dp_midsize_exact():
 
 
 @pytest.mark.skipif(get_pathopt() is None, reason="no C++ toolchain")
+def test_native_dp_n48_ring_exact():
+    """41-64 tensor regime (round-5 cap lift to the 64-bit-mask limit):
+    a 48-ring with dangling legs solves exactly — the returned order must
+    beat or match opt_einsum greedy and cost what the optimal interval
+    split of a ring costs."""
+    import opt_einsum as oe
+
+    n = 48
+    inputs = [[] for _ in range(n)]
+    dims = {}
+    si = 0
+    for i in range(n):
+        s = sym(si); si += 1
+        inputs[i].append(s); inputs[(i + 1) % n].append(s)
+        dims[s] = 3
+        s = sym(si); si += 1
+        inputs[i].append(s)
+        dims[s] = 2
+    ssa = optimal_path_native([tuple(s) for s in inputs], dims)
+    assert ssa is not None
+    assert len(ssa) == n - 1
+    cost = _path_cost(inputs, dims, ssa)
+    shapes = [tuple(dims[s] for s in sub) for sub in inputs]
+    eq = ",".join("".join(sub) for sub in inputs) + "->" + "".join(
+        s for sub in inputs for s in sub
+        if sum(s in t for t in inputs) == 1
+    )
+    _, info = oe.contract_path(
+        eq, *[__import__("numpy").empty(sh) for sh in shapes],
+        optimize="greedy",
+    )
+    assert cost <= info.opt_cost
+
+
+@pytest.mark.skipif(get_pathopt() is None, reason="no C++ toolchain")
 def test_native_dp_disconnected_components():
     """Disjoint cycles (disconnected adjacency) contract per component then
     join by outer products."""
