@@ -312,9 +312,23 @@ def _all_except_one(t, messages, slots):
 def _outgoing_messages(spec: BatchedGraphSpec, state: BatchedState) -> jax.Array:
     """m_out[u, j]: message u sends through slot j — contract the local norm
     factors with all incoming messages except slot j
-    (`abstractbeliefpropagationcache.jl:144-177`, batched)."""
+    (`abstractbeliefpropagationcache.jl:144-177`, batched).
+
+    ``TNQS_BP_KERNEL=1`` routes the χ≥64 degree-3 case through the fused
+    Pallas kernel (`pallas_bp.bp_outgoing_d3`): the per-vertex tensor
+    stays VMEM-resident through all absorbs and contractions instead of
+    making ~10 HBM round-trips — the BP iteration at χ=64 is
+    bandwidth-bound (scripts/chi64_anatomy.py)."""
     D = spec.degree
-    t = state.tensors  # [V, b0..b_{D-1}, s]
+    t = state.tensors
+    if os.environ.get("TNQS_BP_KERNEL", "0") == "1" and D == 3 and t.ndim == 5:
+        from .pallas_bp import bp_kernel_supported, bp_outgoing_d3
+
+        chi, d = t.shape[1], t.shape[-1]
+        if bp_kernel_supported(D, chi, d, t.dtype) and all(
+            s == chi for s in t.shape[1:4]
+        ):
+            return bp_outgoing_d3(t, state.messages)  # [V, b0..b_{D-1}, s]
     accs = _all_except_one(t, state.messages, list(range(D)))
     tconj = jnp.conj(t)
     outs = []

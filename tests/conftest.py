@@ -88,6 +88,7 @@ SLOW_TESTS = {
     "test_batched_configurations_general_components",
     "test_batched_loopcorrected_expectations_match_generic",
     "test_bmps_cylinder_ring_partitions",
+    "test_engine_routes_through_kernel",
     "test_sharded_state_roundtrip",
     "test_ensemble_axis_shards_over_mesh",
 }
