@@ -83,7 +83,7 @@ def test_sharded_grid_bmps_chi16():
     kmps/niters/lattice kept small: the point is the chi=16 (chi^2=256)
     interface through the shard_map pipeline, and the 8 virtual devices
     timeshare one core."""
-    nx, ny, chi, kmps = 8, 2, 16, 4
+    nx, ny, chi, kmps = 8, 3, 16, 4
     g = named_grid((nx, ny))
     psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=chi)
     psi = tnqs.normalize(psi, alg="bp")
