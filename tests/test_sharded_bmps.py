@@ -80,19 +80,20 @@ def test_sharded_grid_bmps_two_rows_per_device():
 def test_sharded_grid_bmps_chi16():
     """Bench-relevant bond dimension through the pipelined sharded BMPS
     (VERDICT r4 weak #5: sharded evidence was chi=2-4 toy scale).
-    kmps/niters/lattice kept small: the point is the chi=16 (chi^2=256)
-    interface through the shard_map pipeline, and the 8 virtual devices
-    timeshare one core."""
-    nx, ny, chi, kmps = 8, 3, 16, 4
+    kmps/niters/lattice kept minimal: the point is the chi=16 (chi^2=256
+    interface) strands through the shard_map pipeline, and the virtual
+    devices timeshare ONE core on this box (chi^4 transfer work x 6
+    serialized shards already costs minutes)."""
+    nx, ny, chi, kmps = 6, 3, 16, 3
     g = named_grid((nx, ny))
     psi = random_tensornetworkstate(jnp.complex128, g, bond_dimension=chi)
     psi = tnqs.normalize(psi, alg="bp")
     spec, state = batched_from_tns(psi, chi=chi)
 
-    norm_ref, expect_ref = make_grid_bmps(spec, nx, ny, kmps, niters=3)
-    mesh = _mesh(8)
+    norm_ref, expect_ref = make_grid_bmps(spec, nx, ny, kmps, niters=2)
+    mesh = _mesh(6)
     norm_sh, expect_sh = make_sharded_grid_bmps(
-        spec, nx, ny, mesh, kmps=kmps, niters=3
+        spec, nx, ny, mesh, kmps=kmps, niters=2
     )
     lz_r, ph_r = norm_ref(state.tensors)
     lz_s, ph_s = norm_sh(state.tensors)
