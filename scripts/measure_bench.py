@@ -75,20 +75,23 @@ def run_probe(variant: str, n: int, k: int, seed: int) -> None:
     )
     # a few generic layers' worth of entanglement would be better, but
     # the probe state only needs non-trivial strands: perturb the padded
-    # product tensors host-side with a seeded random bond excitation
+    # product tensors with a seeded random bond excitation.  The noise is
+    # built HOST-side (numpy) and the add happens IN-program: downloading
+    # state.tensors for a host-side add raises UNIMPLEMENTED on axon
     rng = np.random.default_rng(42)
-    t = np.asarray(state.tensors)
-    t = t + 0.05 * (
-        rng.standard_normal(t.shape) + 1j * rng.standard_normal(t.shape)
+    shape = tuple(state.tensors.shape)
+    noise = 0.05 * (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
     ).astype(np.complex64)
-    tensors0 = t
 
     op = np.asarray(op_matrix("Z", 2))
 
     if variant == "bmps":
         _norm, expect = make_grid_bmps(spec, nx, ny, kmps=16, niters=8)
 
-        def run_n(t0):
+        def run_n(tp, nz):
+            t0 = tp + nz
+
             def body(c, i):
                 z = expect(t0 * (1.0 + 1e-4 * i), jnp.asarray(op))
                 return c + jnp.sum(z), None
@@ -109,7 +112,9 @@ def run_probe(variant: str, n: int, k: int, seed: int) -> None:
             spec, nx, ny, norm_rank=8, projected_rank=8
         )
 
-        def run_n(t0):
+        def run_n(tp, nz):
+            t0 = tp + nz
+
             def body(c, i):
                 keys = jax.vmap(
                     lambda j: jax.random.fold_in(
@@ -134,9 +139,9 @@ def run_probe(variant: str, n: int, k: int, seed: int) -> None:
     else:
         raise SystemExit(f"unknown variant {variant}")
 
-    compiled = jax.jit(run_n).lower(tensors0).compile()
+    compiled = jax.jit(run_n).lower(state.tensors, noise).compile()
     t0c = time.perf_counter()
-    out = compiled(tensors0)
+    out = compiled(state.tensors, noise)
     z_val = None
     t1 = time.perf_counter()
     try:
