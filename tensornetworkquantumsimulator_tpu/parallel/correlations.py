@@ -321,10 +321,7 @@ def make_sharded_path_correlations(
     Completes the sharded op set's measurement story next to
     `make_sharded_site_expectations` / `make_sharded_bond_expectations`
     (reference semantics: `expect.jl:58-83`)."""
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from .sharding import shard_map_novma as shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = sspec.spec

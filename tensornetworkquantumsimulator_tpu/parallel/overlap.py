@@ -324,10 +324,7 @@ def make_sharded_inner(sspec, mesh, *, axis: str = "v", maxiter: int = 50,
     are shard-local, and edge scalars reuse the bond-bucket tables (one
     ppermute per cross-shard direction bucket) — Loschmidt echoes and
     truncation fidelities at pod scale."""
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from .sharding import shard_map_novma as shard_map
     from jax.sharding import PartitionSpec as P
 
     from .sharded_layer import _build_bond_tables
@@ -415,10 +412,7 @@ def make_sharded_pauli_expectations(
 
     Returns ``fn(state) -> {op: [V] real array}`` (jitted, outputs
     sharded on the vertex axis)."""
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from .sharding import shard_map_novma as shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = sspec.spec

@@ -208,10 +208,7 @@ def make_sharded_layer(
     kicked-Ising layer (1-site gate on every vertex + 2-site gate on every
     edge, color group by color group with BP refreshes in between).  State
     arrays must be sharded on the vertex axis over ``mesh[axis]``."""
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from .sharding import shard_map_novma as shard_map
 
     spec = sspec.spec
     D = spec.degree
@@ -374,10 +371,7 @@ def make_sharded_site_expectations(sspec: ShardedBPSpec, mesh: Mesh, op,
     ``mesh[axis]`` — the BP one-site RDM is vertex-local once messages
     are converged, so the computation is embarrassingly SPMD (no
     collectives at all)."""
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from .sharding import shard_map_novma as shard_map
 
     from .engine import local_expectations
 
@@ -474,10 +468,7 @@ def make_sharded_bond_expectations(sspec: ShardedBPSpec, mesh: Mesh, op1,
     O(boundary) ICI traffic, no all-gathers.  Matches
     `engine.bond_expectations` (the BP Steiner contraction of
     `expect.jl:58-83` specialized to an edge) to float roundoff."""
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from .sharding import shard_map_novma as shard_map
 
     from .engine import _site_transfer
 
@@ -552,10 +543,7 @@ def make_sharded_site_rdms(sspec: ShardedBPSpec, mesh: Mesh,
     """Jitted ``state -> [V, d, d]`` of trace-normalized 1-site RDMs
     (`rdm.jl:49-70`, single-vertex Steiner tree) on the vertex-sharded
     state — vertex-local given converged messages, so zero collectives."""
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from .sharding import shard_map_novma as shard_map
 
     from .engine import local_rdms
 
@@ -584,10 +572,7 @@ def make_sharded_bond_rdms(sspec: ShardedBPSpec, mesh: Mesh,
     preserved) on the vertex-sharded state — the sharded counterpart of
     `engine.bond_rdms`, with the same one-`ppermute`-per-cross-bucket
     halo discipline as `make_sharded_bond_expectations`."""
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from .sharding import shard_map_novma as shard_map
 
     from .engine import _site_transfer
 
@@ -674,10 +659,7 @@ def make_sharded_gauge(sspec: ShardedBPSpec, mesh: Mesh,
     stored message (one `ppermute`) and halo-out the partner's bond
     transform + new diagonal message (one more).  Spectra come back in
     ``spec.edges`` order."""
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from .sharding import shard_map_novma as shard_map
 
     from .gauge import _edge_gauge_transforms
 

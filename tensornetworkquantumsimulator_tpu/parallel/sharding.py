@@ -44,6 +44,29 @@ class ShardedBPSpec:
 PAD_VERTEX = "_tnqs_pad"
 
 
+
+def shard_map_novma(f, **kw):
+    """shard_map with the static varying-manual-axes checker OFF
+    (``check_vma=False``; ``check_rep`` in older jax).
+
+    Two reasons, both load-bearing: (a) pipeline scans whose carries
+    start device-constant and become device-varying after the first
+    ppermute (the sharded-BMPS wavefronts); (b) on REAL TPU backends
+    ``jnp.linalg.svd/eigh`` lower to iterative QDWH whose while_loop
+    convergence bool is a scalar carry the checker tags as varying —
+    CPU's LAPACK custom calls never trip this, so the 8-virtual-device
+    dryrun passed while the identical sharded-layer program failed on
+    the axon chip (round-5 finding; scripts/shard_overhead.py)."""
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+    try:
+        return _sm(f, check_vma=False, **kw)
+    except TypeError:  # pragma: no cover - older jax kwarg name
+        return _sm(f, check_rep=False, **kw)
+
+
 def shard_spec(
     g, num_shards: int, strip_key=None, num_colors=None, pad: bool = False
 ) -> ShardedBPSpec:
@@ -201,10 +224,7 @@ def make_sharded_bp_update(
     """Build the jitted sharded flooding-BP update: BatchedState -> BatchedState.
 
     State arrays must be sharded on the vertex axis over ``mesh[axis]``."""
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = shard_map_novma
 
     D = sspec.spec.degree
     S = sspec.num_shards

@@ -365,10 +365,7 @@ def make_sharded_layer_2d(
 ):
     """Fully-SPMD Trotter layer over a 2-D ("x", "y") mesh; same semantics
     and bitwise-faithfulness contract as the 1-D `make_sharded_layer`."""
-    try:
-        from jax import shard_map
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
+    from .sharding import shard_map_novma as shard_map
 
     spec = sspec.spec
     D = spec.degree
@@ -497,11 +494,9 @@ def make_sharded_layer_2d(
 # ---------------------------------------------------------------------------
 
 def _shard_map():
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-    return shard_map
+    from .sharding import shard_map_novma
+
+    return shard_map_novma
 
 
 def make_sharded_site_expectations_2d(sspec: Sharded2DSpec, mesh: Mesh):
