@@ -328,7 +328,8 @@ def _outgoing_messages(spec: BatchedGraphSpec, state: BatchedState) -> jax.Array
         if bp_kernel_supported(D, chi, d, t.dtype) and all(
             s == chi for s in t.shape[1:4]
         ):
-            return bp_outgoing_d3(t, state.messages)  # [V, b0..b_{D-1}, s]
+            return bp_outgoing_d3(t, state.messages)
+    # t: [V, b0..b_{D-1}, s]
     accs = _all_except_one(t, state.messages, list(range(D)))
     tconj = jnp.conj(t)
     outs = []
